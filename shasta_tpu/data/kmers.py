@@ -1,0 +1,152 @@
+"""K-mer table and marker k-mer selection.
+
+TPU-native counterpart of the reference k-mer table
+(reference: src/AssemblerKmers.cpp, src/Kmer.hpp). A k-mer of length
+k <= 15 is a KmerId: the 2-bit base codes packed MSB-first into a
+uint32 (so lexicographic order of sequences == numeric order of ids).
+
+Instead of a 4^k array-of-structs, we keep columnar arrays and compute
+cheap functions (reverse complement, hash) on the fly:
+
+- ``is_marker``  bool [4^k]  marker table (RC-closed invariant,
+  reference: src/Marker.hpp:7-19)
+- reverse complement ids via vectorized bit manipulation
+- downsampling hash identical to the reference:
+  MurmurHash2(kmerId + rc(kmerId), seed=13477)
+  (reference: src/AssemblerKmers.cpp:182-186)
+
+Marker selection method 0 (random selection) follows the reference
+semantics (reference: src/AssemblerKmers.cpp:31-100): each k-mer and
+its reverse complement are selected together with probability
+p = 1 - sqrt(1 - P) so that the marginal selection probability is P.
+The reference draws from std::mt19937; we instead make the draw a
+deterministic hash of the canonical k-mer id, which keeps the
+RC-closed invariant, is seed-reproducible, and is embarrassingly
+parallel (no sequential RNG stream).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from shasta_tpu.ops import hashing
+
+
+def reverse_complement_kmers(kmer_ids: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized reverse complement of packed k-mer ids."""
+    x = np.asarray(kmer_ids, dtype=np.uint64)
+    out = np.zeros_like(x)
+    for _ in range(k):
+        out = (out << np.uint64(2)) | (np.uint64(3) - (x & np.uint64(3)))
+        x = x >> np.uint64(2)
+    return out.astype(np.uint32)
+
+
+def is_rle_kmer(kmer_ids: np.ndarray, k: int) -> np.ndarray:
+    """True if the k-mer has no two consecutive equal bases (i.e. can
+    occur in run-length encoded sequence)."""
+    x = np.asarray(kmer_ids, dtype=np.uint32)
+    ok = np.ones(x.shape, dtype=bool)
+    prev = x & np.uint32(3)
+    y = x >> np.uint32(2)
+    for _ in range(k - 1):
+        cur = y & np.uint32(3)
+        ok &= cur != prev
+        prev = cur
+        y = y >> np.uint32(2)
+    return ok
+
+
+def kmer_downsampling_hash(kmer_ids: np.ndarray, k: int) -> np.ndarray:
+    """The per-kmer 32-bit hash the reference uses for method-3 marker
+    downsampling: MurmurHash2(kmerId + rcKmerId, seed 13477), which is
+    strand-symmetric (reference: src/AssemblerKmers.cpp:182-186)."""
+    rc = reverse_complement_kmers(kmer_ids, k)
+    n = np.asarray(kmer_ids, dtype=np.uint64) + rc.astype(np.uint64)
+    return hashing.murmur32_u64(n, 13477)
+
+
+@dataclass
+class KmerTable:
+    k: int
+    is_marker: np.ndarray  # bool [4^k]
+
+    @property
+    def kmer_count(self) -> int:
+        return 1 << (2 * self.k)
+
+    @property
+    def marker_count(self) -> int:
+        return int(self.is_marker.sum())
+
+    def reverse_complement(self, kmer_ids: np.ndarray) -> np.ndarray:
+        return reverse_complement_kmers(kmer_ids, self.k)
+
+    def downsampling_hash_table(self) -> np.ndarray:
+        """hash for every k-mer id (uint32 [4^k])."""
+        ids = np.arange(self.kmer_count, dtype=np.uint64)
+        return kmer_downsampling_hash(ids, self.k)
+
+    def check_rc_closed(self) -> bool:
+        ids = np.arange(self.kmer_count, dtype=np.uint64)
+        rc = reverse_complement_kmers(ids, self.k)
+        return bool(np.all(self.is_marker[rc] == self.is_marker))
+
+    def arrays(self):
+        return {"k": np.int64(self.k), "is_marker": self.is_marker}
+
+    @classmethod
+    def from_arrays(cls, a) -> "KmerTable":
+        return cls(k=int(a["k"]), is_marker=a["is_marker"])
+
+
+def select_kmers_random(k: int, probability: float, seed: int = 231) -> KmerTable:
+    """Marker selection method 0: random RC-closed selection.
+
+    Semantics follow the reference (see module docstring); the
+    Bernoulli draw per (kmer, rc) pair is hash(min(id, rc_id), seed)
+    rather than a sequential mt19937 stream.
+    """
+    if not (0.0 <= probability <= 1.0):
+        raise ValueError(f"Invalid k-mer probability {probability}")
+    count = 1 << (2 * k)
+    ids = np.arange(count, dtype=np.uint64)
+    rc = reverse_complement_kmers(ids, k).astype(np.uint64)
+    canonical = np.minimum(ids, rc)
+    # The reference gives each (kmer, rc) pair two independent draws at
+    # p = 1-sqrt(1-P) so the pair is selected with probability P
+    # (reference: AssemblerKmers.cpp:62-78). We make ONE draw per pair,
+    # so we use P directly.
+    p = probability
+    h = hashing.murmur64_features(
+        np.stack(
+            [
+                (canonical & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (canonical >> np.uint64(32)).astype(np.uint32),
+            ],
+            axis=1,
+        ),
+        seed,
+    )
+    # hash < p * 2^64, computed in float (same tie behavior as the
+    # reference's `x <= p` with x uniform in [0,1)).
+    threshold = np.uint64(min(int(p * float(2**64)), 2**64 - 1))
+    if p >= 1.0:
+        selected = np.ones(count, dtype=bool)
+    else:
+        selected = h <= threshold
+    return KmerTable(k=k, is_marker=selected)
+
+
+def select_kmers_from_ids(k: int, marker_ids: np.ndarray) -> KmerTable:
+    """Marker selection method 3 equivalent: explicit k-mer id list
+    (RC closure is enforced)."""
+    count = 1 << (2 * k)
+    is_marker = np.zeros(count, dtype=bool)
+    ids = np.asarray(marker_ids, dtype=np.int64)
+    is_marker[ids] = True
+    rc = reverse_complement_kmers(ids.astype(np.uint64), k)
+    is_marker[rc.astype(np.int64)] = True
+    return KmerTable(k=k, is_marker=is_marker)

