@@ -1,0 +1,642 @@
+"""Batched banded marker-sequence alignment (method 3 semantics).
+
+TPU-native counterpart of the reference's production alignment method 3
+(reference: src/AssemblerAlign3.cpp): a two-step scheme —
+
+1. find a diagonal band from matches between *downsampled* markers
+   (markers whose strand-symmetric k-mer hash is below
+   downsamplingFactor * 2^32, reference: AssemblerAlign3.cpp:70-82);
+2. run a *banded* overlap alignment (global with free ends, linear
+   gaps, match/mismatch/gap scores) over the full marker sequences and
+   collect the ordinal pairs of matching markers on the optimal path
+   (reference: AssemblerAlign3.cpp:243-299).
+
+The reference computes the band by running SeqAn on the downsampled
+sequences; we run the same banded DP kernel on the downsampled
+sequences (band seeded from the diagonal range of exact k-mer matches,
+which necessarily contains every matched pair of any alignment), then
+use the matched pairs' ordinal offsets exactly like the reference
+(offset range +- bandExtend, reject if wider than maxBand).
+
+The DP kernel is the throughput-critical inner loop of the whole
+assembler (the reference spends ~half its runtime here, see
+BASELINE.md). Design for the TPU:
+
+- a batch of B pairs is processed at once; the DP state is a (B, W)
+  score slab swept over rows with ``lax.scan`` — W is the band width,
+  padded to lane multiples;
+- the within-row gap dependency (left moves) is solved with a
+  prefix-max: V[d] = cummax(base[d'] - d'*gap) + d*gap, turning the
+  sequential inner loop of CPU DP into one vectorized ``lax.cummax``;
+- 2-bit traceback directions are stored as int8 (B, LA, W) in HBM and
+  walked back with a batched ``lax.scan``.
+
+Everything is jittable; buckets of (LA, LB, W) shapes keep compilation
+cached and tiles aligned.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = np.int32(-(2**30))
+
+# Traceback direction codes.
+STOP, DIAG, UP, LEFT = 0, 1, 2, 3
+
+
+@dataclass
+class AlignParams:
+    """Scoring and banding parameters; defaults follow the reference
+    Align section defaults (reference: src/AssemblerOptions.cpp)."""
+
+    match_score: int = 6
+    mismatch_score: int = -1
+    gap_score: int = -1
+    downsampling_factor: float = 0.1
+    band_extend: int = 10
+    max_band: int = 1000
+    # Filters (applied by the caller after alignment):
+    min_aligned_marker_count: int = 100
+    min_aligned_fraction: float = 0.0
+    max_skip: int = 30
+    max_drift: int = 30
+    max_trim: int = 30
+
+
+# ---------------------------------------------------------------------------
+# Core banded DP kernel
+# ---------------------------------------------------------------------------
+
+
+def _banded_forward(a, a_len, b, b_len, band_min, W, match, mismatch, gap):
+    """Banded overlap alignment forward pass.
+
+    DP matrix V[i, j], i in [0, a_len], j in [0, b_len];
+    V[0, j] = V[i, 0] = 0 (free start); score = max over last row/col.
+    Band: j - i in [band_min, band_min + W - 1], W static.
+
+    Returns (dirs int8 (B, LA, W), best_i, best_d, best_score).
+    """
+    B, LA = a.shape
+    LB = b.shape[1]
+    d_idx = jnp.arange(W, dtype=jnp.int32)  # (W,)
+
+    gap_i = jnp.int32(gap)
+
+    def row_step(carry, i):
+        prev, best_val, best_i, best_d = carry
+        # j for each band cell in this row: j = i + band_min + d
+        j = i + band_min[:, None] + d_idx[None, :]  # (B, W)
+        jm1 = j - 1
+
+        # Gather b[j-1] (the base compared at cell (i, j)).
+        jb = jnp.clip(jm1, 0, LB - 1)
+        bj = jnp.take_along_axis(b, jb, axis=1)
+        bj = jnp.where((jm1 >= 0) & (jm1 < LB), bj, -2)
+
+        ai = jnp.take_along_axis(a, jnp.broadcast_to(i[None, None] - 1, (B, 1)).clip(0, LA - 1), axis=1)
+        sub = jnp.where(bj == ai, jnp.int32(match), jnp.int32(mismatch))
+
+        # prev row is indexed so that diag (i-1, j-1) -> prev[d],
+        # up (i-1, j) -> prev[d+1].
+        prev_up = jnp.concatenate(
+            [prev[:, 1:], jnp.full((B, 1), NEG_INF, jnp.int32)], axis=1
+        )
+        diag_cand = prev + sub
+        up_cand = prev_up + gap_i
+        base = jnp.maximum(diag_cand, up_cand)
+        # Free start at j == 0 (V[i][0] = 0).
+        at_j0 = j == 0
+        base = jnp.where(at_j0, jnp.maximum(base, 0), base)
+
+        # In-row left dependency via prefix max:
+        # V[d] = max_{d'<=d} base[d'] + (d-d')*gap
+        shifted = base - d_idx[None, :] * gap_i
+        run = jax.lax.cummax(shifted, axis=1)
+        V = run + d_idx[None, :] * gap_i
+
+        # Invalidate cells outside the matrix for this pair.
+        valid = (j >= 0) & (j <= b_len[:, None]) & (i <= a_len)[:, None]
+        V = jnp.where(valid, V, NEG_INF)
+
+        came_left = V > base
+        dirs = jnp.where(
+            came_left,
+            jnp.int8(LEFT),
+            jnp.where(base == diag_cand, jnp.int8(DIAG), jnp.int8(UP)),
+        )
+        dirs = jnp.where(at_j0 & (V == 0), jnp.int8(STOP), dirs)
+        dirs = jnp.where(valid, dirs, jnp.int8(STOP))
+
+        # Track best over the last column (j == b_len) and last row.
+        in_last_col = (j == b_len[:, None]) & valid
+        col_vals = jnp.where(in_last_col, V, NEG_INF)
+        col_best_d = jnp.argmax(col_vals, axis=1).astype(jnp.int32)
+        col_best = jnp.take_along_axis(col_vals, col_best_d[:, None], axis=1)[:, 0]
+        better = col_best > best_val
+        best_val = jnp.where(better, col_best, best_val)
+        best_i = jnp.where(better, i, best_i)
+        best_d = jnp.where(better, col_best_d, best_d)
+
+        # Last row (i == a_len): any cell may end the alignment.
+        at_last_row = (i == a_len)[:, None] & valid
+        row_vals = jnp.where(at_last_row, V, NEG_INF)
+        row_best_d = jnp.argmax(row_vals, axis=1).astype(jnp.int32)
+        row_best = jnp.take_along_axis(row_vals, row_best_d[:, None], axis=1)[:, 0]
+        better2 = row_best > best_val
+        best_val = jnp.where(better2, row_best, best_val)
+        best_i = jnp.where(better2, i, best_i)
+        best_d = jnp.where(better2, row_best_d, best_d)
+
+        return (V, best_val, best_i, best_d), dirs
+
+    # Row 0: V[0][j] = 0 for j in [0, b_len] (within band of row 0).
+    j0 = band_min[:, None] + d_idx[None, :]
+    prev0 = jnp.where((j0 >= 0) & (j0 <= b_len[:, None]), 0, NEG_INF).astype(jnp.int32)
+
+    init = (
+        prev0,
+        jnp.full((B,), NEG_INF, jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+    )
+    rows = jnp.arange(1, LA + 1, dtype=jnp.int32)
+    (prev, best_val, best_i, best_d), dirs = jax.lax.scan(row_step, init, rows)
+    # dirs: (LA, B, W) -> (B, LA, W)
+    dirs = jnp.transpose(dirs, (1, 0, 2))
+    return dirs, best_i, best_d, best_val
+
+
+@functools.partial(jax.jit, static_argnames=("W", "match", "mismatch", "gap"))
+def banded_forward(a, a_len, b, b_len, band_min, *, W, match, mismatch, gap):
+    return _banded_forward(a, a_len, b, b_len, band_min, W, match, mismatch, gap)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def traceback(
+    dirs: jnp.ndarray,  # (B, LA, W) int8
+    a: jnp.ndarray,  # (B, LA) int32
+    b: jnp.ndarray,  # (B, LB) int32
+    band_min: jnp.ndarray,  # (B,)
+    best_i: jnp.ndarray,  # (B,)
+    best_d: jnp.ndarray,  # (B,)
+    *,
+    n_steps: int,
+):
+    """Walk the traceback; emit matched ordinal pairs.
+
+    Returns (m0, m1) int32 (n_steps, B): for each traceback step, the
+    matched (ordinal0, ordinal1) pair or (-1, -1). The path is emitted
+    in reverse (descending ordinals); the caller compacts and reverses.
+    A matched pair is emitted for DIAG steps where the k-mers are equal
+    (reference: AssemblerAlign3.cpp:283-292).
+    """
+    B, LA, W = dirs.shape
+    LB = b.shape[1]
+    dirs_flat = dirs.reshape(B, LA * W)
+
+    def step(carry, _):
+        i, d, active = carry
+        j = i + band_min + d
+        cell = jnp.clip((i - 1) * W + d, 0, LA * W - 1)
+        dcode = jnp.take_along_axis(dirs_flat, cell[:, None], axis=1)[:, 0]
+        active = active & (i > 0) & (j > 0) & (dcode != STOP)
+
+        is_diag = active & (dcode == DIAG)
+        ai = jnp.take_along_axis(a, jnp.clip(i - 1, 0, LA - 1)[:, None], axis=1)[:, 0]
+        bj = jnp.take_along_axis(b, jnp.clip(j - 1, 0, LB - 1)[:, None], axis=1)[:, 0]
+        is_match = is_diag & (ai == bj)
+
+        m0 = jnp.where(is_match, i - 1, -1)
+        m1 = jnp.where(is_match, j - 1, -1)
+
+        # Move: DIAG -> (i-1, d); UP -> (i-1, d+1); LEFT -> (i, d-1).
+        di = jnp.where((dcode == DIAG) | (dcode == UP), 1, 0)
+        dd = jnp.where(dcode == UP, 1, jnp.where(dcode == LEFT, -1, 0))
+        i = jnp.where(active, i - di, i)
+        d = jnp.where(active, d + dd, d)
+        return (i, d, active), (m0, m1)
+
+    init = (
+        best_i.astype(jnp.int32),
+        best_d.astype(jnp.int32),
+        jnp.ones((B,), bool),
+    )
+    _, (m0, m1) = jax.lax.scan(step, init, None, length=n_steps)
+    return m0, m1
+
+
+# ---------------------------------------------------------------------------
+# Shape bucketing
+# ---------------------------------------------------------------------------
+
+_LEN_BUCKETS = [64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536]
+_W_BUCKETS = [64, 128, 256, 512, 1024, 2048]
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+# ---------------------------------------------------------------------------
+# Downsampled band finding (phase 1)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _dot_diag_range(a, b):
+    """Per-pair min/max diagonal (i - j) over exact k-mer matches of the
+    padded downsampled sequences. Pads (-1 / -2) never match.
+
+    Returns (dmin, dmax, n_dots)."""
+    B, LA = a.shape
+    LB = b.shape[1]
+    eq = a[:, :, None] == b[:, None, :]  # (B, LA, LB)
+    ii = jnp.arange(LA, dtype=jnp.int32)[None, :, None]
+    jj = jnp.arange(LB, dtype=jnp.int32)[None, None, :]
+    diag = ii - jj
+    big = jnp.int32(1 << 20)
+    dmin = jnp.min(jnp.where(eq, diag, big), axis=(1, 2))
+    dmax = jnp.max(jnp.where(eq, diag, -big), axis=(1, 2))
+    n_dots = jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
+    return dmin, dmax, n_dots
+
+
+# ---------------------------------------------------------------------------
+# Alignment store + metrics
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AlignmentStore:
+    """Accepted alignments and their metrics.
+
+    Mirrors the reference's alignmentData + compressedAlignments
+    (reference: src/Assembler.hpp:942-976): per alignment the read pair
+    (read_id0 < read_id1, strand convention: oriented read 0 is
+    (read_id0, 0), oriented read 1 is (read_id1, 0 if same_strand
+    else 1)), the AlignmentInfo-style metrics, and the matched marker
+    ordinal pairs stored flat + CSR offsets.
+    """
+
+    read_id0: np.ndarray  # int32 [n]
+    read_id1: np.ndarray  # int32 [n]
+    same_strand: np.ndarray  # bool [n]
+    marker_count: np.ndarray  # int32 [n]  (matched markers)
+    n_markers0: np.ndarray  # int32 [n]  (total markers in oriented read 0)
+    n_markers1: np.ndarray  # int32 [n]
+    first0: np.ndarray  # int32 [n]
+    last0: np.ndarray  # int32 [n]
+    first1: np.ndarray  # int32 [n]
+    last1: np.ndarray  # int32 [n]
+    min_offset: np.ndarray  # int32 [n]
+    max_offset: np.ndarray  # int32 [n]
+    max_skip_v: np.ndarray  # int32 [n]
+    max_drift_v: np.ndarray  # int32 [n]
+    ord0: np.ndarray  # uint32 flat
+    ord1: np.ndarray  # uint32 flat
+    offsets: np.ndarray  # int64 [n+1]
+
+    @property
+    def count(self) -> int:
+        return self.read_id0.shape[0]
+
+    def ordinals(self, i: int):
+        lo, hi = self.offsets[i], self.offsets[i + 1]
+        return self.ord0[lo:hi], self.ord1[lo:hi]
+
+    def arrays(self) -> Dict[str, np.ndarray]:
+        return {k: getattr(self, k) for k in self.__dataclass_fields__}
+
+    @classmethod
+    def from_arrays(cls, a) -> "AlignmentStore":
+        return cls(**{k: a[k] for k in cls.__dataclass_fields__})
+
+    # Trim helpers (reference: Alignment.hpp:279-287)
+    def left_trim(self) -> np.ndarray:
+        return np.minimum(self.first0, self.first1)
+
+    def right_trim(self) -> np.ndarray:
+        return np.minimum(
+            self.n_markers0 - 1 - self.last0, self.n_markers1 - 1 - self.last1
+        )
+
+    def aligned_fraction_min(self) -> np.ndarray:
+        r0 = (self.last0 + 1 - self.first0).astype(np.float64)
+        r1 = (self.last1 + 1 - self.first1).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            f0 = np.where(r0 > 0, self.marker_count / r0, 0.0)
+            f1 = np.where(r1 > 0, self.marker_count / r1, 0.0)
+        return np.minimum(f0, f1)
+
+
+def _metrics_from_ordinals(ord0: np.ndarray, ord1: np.ndarray) -> Tuple[int, ...]:
+    """(max_skip, max_drift, min_off, max_off) for one alignment
+    (reference: src/Alignment.cpp:4-29)."""
+    if ord0.shape[0] == 0:
+        return 0, 0, 0, 0
+    o0 = ord0.astype(np.int64)
+    o1 = ord1.astype(np.int64)
+    off = o0 - o1
+    if o0.shape[0] == 1:
+        return 0, 0, int(off[0]), int(off[0])
+    d0 = np.abs(np.diff(o0))
+    d1 = np.abs(np.diff(o1))
+    max_skip = int(np.maximum(d0, d1).max())
+    max_drift = int(np.abs(np.diff(off)).max())
+    return max_skip, max_drift, int(off.min()), int(off.max())
+
+
+# ---------------------------------------------------------------------------
+# Host-side driver: pad, bucket, run, compact
+# ---------------------------------------------------------------------------
+
+# HBM budget for the traceback-direction slab per kernel invocation.
+_DIRS_BYTE_BUDGET = 1 << 30
+_MAX_BATCH = 512
+
+
+def _pad_rows(rows: List[np.ndarray], width: int, pad: int) -> np.ndarray:
+    out = np.full((len(rows), width), pad, dtype=np.int32)
+    for i, r in enumerate(rows):
+        out[i, : r.shape[0]] = r
+    return out
+
+
+def _run_bucket(
+    a_rows: List[np.ndarray],
+    b_rows: List[np.ndarray],
+    band_mins: np.ndarray,
+    W: int,
+    params: AlignParams,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Run forward+traceback for same-shape-bucket pairs.
+
+    Returns per pair the matched (ord0, ord1) arrays in increasing
+    ordinal order.
+    """
+    LA = _bucket(max(r.shape[0] for r in a_rows), _LEN_BUCKETS)
+    LB = _bucket(max(r.shape[0] for r in b_rows), _LEN_BUCKETS)
+    n = len(a_rows)
+    results: List[Tuple[np.ndarray, np.ndarray]] = []
+
+    max_b = max(1, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
+    for lo in range(0, n, max_b):
+        hi = min(lo + max_b, n)
+        B = hi - lo
+        a = _pad_rows(a_rows[lo:hi], LA, -1)
+        b = _pad_rows(b_rows[lo:hi], LB, -2)
+        a_len = np.array([r.shape[0] for r in a_rows[lo:hi]], np.int32)
+        b_len = np.array([r.shape[0] for r in b_rows[lo:hi]], np.int32)
+        bm = band_mins[lo:hi].astype(np.int32)
+
+        dirs, best_i, best_d, best_val = banded_forward(
+            a,
+            a_len,
+            b,
+            b_len,
+            bm,
+            W=W,
+            match=params.match_score,
+            mismatch=params.mismatch_score,
+            gap=params.gap_score,
+        )
+        n_steps = int(LA + LB)
+        m0, m1 = traceback(dirs, a, b, bm, best_i, best_d, n_steps=n_steps)
+        m0 = np.asarray(m0)  # (n_steps, B)
+        m1 = np.asarray(m1)
+        for t in range(B):
+            sel = m0[:, t] >= 0
+            o0 = m0[sel, t][::-1].astype(np.uint32)
+            o1 = m1[sel, t][::-1].astype(np.uint32)
+            results.append((o0, o1))
+    return results
+
+
+def _grouped_run(
+    a_rows: List[np.ndarray],
+    b_rows: List[np.ndarray],
+    band_mins: np.ndarray,
+    widths: np.ndarray,
+    params: AlignParams,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Group pairs into (LA, LB, W) shape buckets and run each bucket."""
+    n = len(a_rows)
+    keys = []
+    for i in range(n):
+        la = _bucket(a_rows[i].shape[0], _LEN_BUCKETS)
+        lb = _bucket(b_rows[i].shape[0], _LEN_BUCKETS)
+        w = _bucket(int(widths[i]), _W_BUCKETS)
+        keys.append((la, lb, w))
+    order: Dict[Tuple[int, int, int], List[int]] = {}
+    for i, k in enumerate(keys):
+        order.setdefault(k, []).append(i)
+
+    results: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * n
+    for (la, lb, w), idxs in sorted(order.items()):
+        # Centre each pair's band inside the padded width.
+        bm = np.empty(len(idxs), np.int32)
+        for t, i in enumerate(idxs):
+            extra = w - int(widths[i])
+            bm[t] = int(band_mins[i]) - extra // 2
+        res = _run_bucket(
+            [a_rows[i] for i in idxs], [b_rows[i] for i in idxs], bm, w, params
+        )
+        for t, i in enumerate(idxs):
+            results[i] = res[t]
+    return results  # type: ignore[return-value]
+
+
+def align_candidates(
+    markers,
+    read_id0: np.ndarray,
+    read_id1: np.ndarray,
+    same_strand: np.ndarray,
+    params: AlignParams,
+    ds_hash_table: np.ndarray,
+    progress: Optional[object] = None,
+) -> AlignmentStore:
+    """Align all candidate pairs (method 3 semantics) and apply the
+    reference's acceptance filters (reference: AssemblerAlign.cpp:437-470).
+
+    The first oriented read of each pair is (read_id0, strand 0); the
+    second is (read_id1, strand 0) for same-strand candidates and
+    (read_id1, strand 1) otherwise — matching the reference convention
+    (reference: AssemblerAlign.cpp:380-384).
+    """
+    n_pairs = read_id0.shape[0]
+    or0 = (read_id0.astype(np.int64) << 1)
+    or1 = (read_id1.astype(np.int64) << 1) | (~same_strand).astype(np.int64)
+
+    koff = markers.offsets
+    kmer_flat = markers.kmer_ids.astype(np.int32)
+
+    # Downsampled marker selection (strand-symmetric hash threshold).
+    ds_threshold = np.uint32(
+        min(int(params.downsampling_factor * float(2**32)), 2**32 - 1)
+    )
+    ds_flat = ds_hash_table[markers.kmer_ids] < ds_threshold
+
+    def full_seq(orid: int) -> np.ndarray:
+        return kmer_flat[koff[orid] : koff[orid + 1]]
+
+    def ds_seq(orid: int) -> Tuple[np.ndarray, np.ndarray]:
+        lo, hi = koff[orid], koff[orid + 1]
+        sel = np.flatnonzero(ds_flat[lo:hi])
+        return kmer_flat[lo:hi][sel], sel  # (kmers, original ordinals)
+
+    # ---- Phase 1: band finding on downsampled sequences ----
+    ds_a: List[np.ndarray] = []
+    ds_b: List[np.ndarray] = []
+    ds_ord_a: List[np.ndarray] = []
+    ds_ord_b: List[np.ndarray] = []
+    for p in range(n_pairs):
+        ka, oa = ds_seq(int(or0[p]))
+        kb, ob = ds_seq(int(or1[p]))
+        ds_a.append(ka)
+        ds_b.append(kb)
+        ds_ord_a.append(oa)
+        ds_ord_b.append(ob)
+
+    # Diagonal range of exact matches (device, bucketed by shape).
+    dmin = np.zeros(n_pairs, np.int64)
+    dmax = np.zeros(n_pairs, np.int64)
+    ndots = np.zeros(n_pairs, np.int64)
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for p in range(n_pairs):
+        la = _bucket(max(1, ds_a[p].shape[0]), _LEN_BUCKETS)
+        lb = _bucket(max(1, ds_b[p].shape[0]), _LEN_BUCKETS)
+        buckets.setdefault((la, lb), []).append(p)
+    for (la, lb), idxs in sorted(buckets.items()):
+        max_b = max(1, min(_MAX_BATCH, (1 << 25) // max(1, la * lb)))
+        for lo in range(0, len(idxs), max_b):
+            part = idxs[lo : lo + max_b]
+            a = _pad_rows([ds_a[i] for i in part], la, -1)
+            b = _pad_rows([ds_b[i] for i in part], lb, -2)
+            mn, mx, nd = _dot_diag_range(a, b)
+            dmin[part] = np.asarray(mn)
+            dmax[part] = np.asarray(mx)
+            ndots[part] = np.asarray(nd)
+
+    # Downsampled banded DP where dots exist.
+    cand_idx = np.flatnonzero(ndots > 0)
+    ds_margin = 8
+    widths = np.zeros(n_pairs, np.int64)
+    bmins = np.zeros(n_pairs, np.int64)
+    run_idx = []
+    for p in cand_idx:
+        w = int(dmax[p] - dmin[p]) + 1 + 2 * ds_margin
+        if w > _W_BUCKETS[-1]:
+            continue  # hopeless band at downsampled level already
+        widths[p] = w
+        bmins[p] = dmin[p] - ds_margin
+        run_idx.append(p)
+
+    band_min_full = np.zeros(n_pairs, np.int64)
+    band_max_full = np.zeros(n_pairs, np.int64)
+    has_band = np.zeros(n_pairs, bool)
+    if run_idx:
+        ds_results = _grouped_run(
+            [ds_a[i] for i in run_idx],
+            [ds_b[i] for i in run_idx],
+            bmins[run_idx],
+            widths[run_idx],
+            params,
+        )
+        for t, p in enumerate(run_idx):
+            o0, o1 = ds_results[t]
+            if o0.shape[0] == 0:
+                continue
+            # Map downsampled indices back to original ordinals
+            # (reference keeps (ordinal, kmer) pairs: AssemblerAlign3.cpp:76-80).
+            orig0 = ds_ord_a[p][o0]
+            orig1 = ds_ord_b[p][o1]
+            off = orig0.astype(np.int64) - orig1.astype(np.int64)
+            bmin = int(off.min()) - params.band_extend
+            bmax = int(off.max()) + params.band_extend
+            if bmax - bmin > params.max_band:
+                continue  # reference: AssemblerAlign3.cpp:233-239
+            band_min_full[p] = bmin
+            band_max_full[p] = bmax
+            has_band[p] = True
+
+    # ---- Phase 2: banded alignment on full marker sequences ----
+    # Note: the DP i axis is oriented read 0, j axis is oriented read 1;
+    # band is on j - i = ordinal1 - ordinal0 = -offset.
+    full_idx = np.flatnonzero(has_band)
+    a_rows = [full_seq(int(or0[p])) for p in full_idx]
+    b_rows = [full_seq(int(or1[p])) for p in full_idx]
+    j_band_min = -band_max_full[full_idx]
+    j_widths = band_max_full[full_idx] - band_min_full[full_idx] + 1
+
+    results = _grouped_run(a_rows, b_rows, j_band_min, j_widths, params)
+
+    # ---- Metrics + filters ----
+    keep_rows = []
+    for t, p in enumerate(full_idx):
+        o0, o1 = results[t]
+        mc = o0.shape[0]
+        if mc < params.min_aligned_marker_count:
+            continue
+        n0 = a_rows[t].shape[0]
+        n1 = b_rows[t].shape[0]
+        first0, last0 = int(o0[0]), int(o0[-1])
+        first1, last1 = int(o1[0]), int(o1[-1])
+        range0 = last0 + 1 - first0
+        range1 = last1 + 1 - first1
+        if min(mc / range0, mc / range1) < params.min_aligned_fraction:
+            continue
+        left_trim = min(first0, first1)
+        right_trim = min(n0 - 1 - last0, n1 - 1 - last1)
+        if left_trim > params.max_trim or right_trim > params.max_trim:
+            continue
+        max_skip, max_drift, omin, omax = _metrics_from_ordinals(o0, o1)
+        if max_skip > params.max_skip or max_drift > params.max_drift:
+            continue
+        keep_rows.append(
+            (p, mc, n0, n1, first0, last0, first1, last1, omin, omax, max_skip, max_drift, o0, o1)
+        )
+
+    n_keep = len(keep_rows)
+    offs = np.zeros(n_keep + 1, np.int64)
+    for i, row in enumerate(keep_rows):
+        offs[i + 1] = offs[i] + row[1]
+    ord0 = np.empty(int(offs[-1]), np.uint32)
+    ord1 = np.empty(int(offs[-1]), np.uint32)
+    for i, row in enumerate(keep_rows):
+        ord0[offs[i] : offs[i + 1]] = row[12]
+        ord1[offs[i] : offs[i + 1]] = row[13]
+
+    def col(j, dtype=np.int32):
+        return np.array([r[j] for r in keep_rows], dtype)
+
+    kept_p = col(0, np.int64)
+    return AlignmentStore(
+        read_id0=read_id0[kept_p].astype(np.int32),
+        read_id1=read_id1[kept_p].astype(np.int32),
+        same_strand=same_strand[kept_p].astype(bool),
+        marker_count=col(1),
+        n_markers0=col(2),
+        n_markers1=col(3),
+        first0=col(4),
+        last0=col(5),
+        first1=col(6),
+        last1=col(7),
+        min_offset=col(8),
+        max_offset=col(9),
+        max_skip_v=col(10),
+        max_drift_v=col(11),
+        ord0=ord0,
+        ord1=ord1,
+        offsets=offs,
+    )

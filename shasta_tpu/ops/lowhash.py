@@ -1,0 +1,268 @@
+"""LowHash (modified MinHash) alignment-candidate generation.
+
+TPU-native counterpart of the reference LowHash0
+(reference: src/LowHash0.cpp:161-490). Semantics reproduced exactly:
+
+- a feature is m consecutive marker k-mer ids of an oriented read;
+- per iteration ``it``, features are hashed with MurmurHash64A
+  (seed = it*37); hashes below hashFraction*2^64 are "low";
+- low hashes are bucketed by ``hash & mask``; buckets with size in
+  [max(2, minBucketSize), maxBucketSize] generate candidate pairs among
+  entries whose high 32 hash bits also agree (collision filter);
+- pair (readId0 < readId1, sameStrand) frequencies accumulate over all
+  iterations and hits; pairs with frequency >= minFrequency survive.
+
+The reference implements this with per-thread bucket fills and merges;
+here each iteration is a sort/group-by over dense arrays — the same
+shape the sharded TPU path uses (bucket-id all-to-all followed by a
+segmented pair expansion), with numpy on host and jnp on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from shasta_tpu.data.markers import MarkerStore
+from shasta_tpu.ops import hashing
+
+
+@dataclass
+class LowHashParams:
+    """Defaults follow the reference MinHash options
+    (reference: src/AssemblerOptions.cpp MinHash section)."""
+
+    m: int = 4
+    hash_fraction: float = 0.01
+    iteration_count: int = 10
+    log2_bucket_count: int = 0  # 0 = auto
+    min_bucket_size: int = 0
+    max_bucket_size: int = 10
+    min_frequency: int = 2
+
+
+@dataclass
+class CandidatePairs:
+    """Alignment candidates: (read_id0 < read_id1, same_strand)."""
+
+    read_id0: np.ndarray  # int32
+    read_id1: np.ndarray  # int32
+    same_strand: np.ndarray  # bool
+    frequency: np.ndarray  # int32
+
+    @property
+    def count(self) -> int:
+        return self.read_id0.shape[0]
+
+    def arrays(self):
+        return {
+            "read_id0": self.read_id0,
+            "read_id1": self.read_id1,
+            "same_strand": self.same_strand,
+            "frequency": self.frequency,
+        }
+
+    @classmethod
+    def from_arrays(cls, a):
+        return cls(
+            read_id0=a["read_id0"],
+            read_id1=a["read_id1"],
+            same_strand=a["same_strand"],
+            frequency=a["frequency"],
+        )
+
+
+def _auto_log2_bucket_count(total_markers: int, hash_fraction: float) -> int:
+    est = max(1, int(hash_fraction * total_markers))
+    log2_est = est.bit_length()  # == 64 - clz(est)
+    return min(31, 5 + log2_est)
+
+
+def compute_feature_hashes(
+    markers: MarkerStore,
+    m: int,
+    seed: int,
+    exclude: Optional[np.ndarray] = None,
+    chunk: int = 1 << 23,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Hash every feature (m consecutive markers) of every oriented read.
+
+    Returns (orid int64[n_feat], hash uint64[n_feat]) for all valid
+    features (those fully inside one oriented read and whose read is
+    not excluded).
+    """
+    kmer_ids = markers.kmer_ids
+    offsets = markers.offsets
+    n_or = markers.oriented_read_count
+    counts = np.diff(offsets)
+
+    n_pos = kmer_ids.shape[0] - m + 1
+    if n_pos <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+
+    orid_of_p = np.repeat(np.arange(n_or, dtype=np.int64), counts)[:n_pos]
+    ord_in_read = np.arange(n_pos, dtype=np.int64) - offsets[orid_of_p]
+    valid = ord_in_read <= (counts[orid_of_p] - m)
+    if exclude is not None:
+        valid &= ~exclude[orid_of_p]
+
+    sel = np.flatnonzero(valid)
+    orids = orid_of_p[sel]
+
+    hashes = np.empty(sel.shape[0], dtype=np.uint64)
+    feat = np.empty((min(chunk, sel.shape[0]), m), dtype=np.uint32)
+    for lo in range(0, sel.shape[0], chunk):
+        hi = min(lo + chunk, sel.shape[0])
+        block = sel[lo:hi]
+        fb = feat[: hi - lo]
+        for j in range(m):
+            fb[:, j] = kmer_ids[block + j]
+        hashes[lo:hi] = hashing.murmur64_features(fb, seed)
+    return orids, hashes
+
+
+def find_candidates_lowhash(
+    markers: MarkerStore,
+    params: LowHashParams,
+    is_palindromic: Optional[np.ndarray] = None,
+) -> CandidatePairs:
+    """Run all LowHash iterations and return frequency-filtered pairs."""
+    n_or = markers.oriented_read_count
+    total_markers = markers.total_count
+
+    log2_buckets = params.log2_bucket_count
+    if log2_buckets == 0:
+        log2_buckets = _auto_log2_bucket_count(total_markers, params.hash_fraction)
+    mask = np.uint64((1 << log2_buckets) - 1)
+    hash_threshold = np.uint64(
+        min(int(params.hash_fraction * float(2**64)), 2**64 - 1)
+    )
+
+    exclude = None
+    if is_palindromic is not None:
+        exclude = np.repeat(is_palindromic, 2)
+
+    min_bucket = max(2, params.min_bucket_size)
+    max_bucket = params.max_bucket_size
+
+    pair_keys = []  # uint64 keys: (r0 << 33) | (r1 << 1) | sameStrand
+
+    for it in range(params.iteration_count):
+        orids, hashes = compute_feature_hashes(markers, params.m, it * 37, exclude)
+        low = hashes < hash_threshold
+        orids = orids[low]
+        hashes = hashes[low]
+        if orids.shape[0] == 0:
+            continue
+
+        buckets = (hashes & mask).astype(np.uint64)
+        # Bucket sizes over the FULL bucket (before the high-bits
+        # collision filter), as in the reference (LowHash0.cpp:434-441).
+        order = np.argsort(buckets, kind="stable")
+        b_sorted = buckets[order]
+        o_sorted = orids[order]
+        h_sorted = hashes[order]
+
+        # Group bounds by bucket.
+        is_new = np.empty(b_sorted.shape[0], dtype=bool)
+        is_new[0] = True
+        np.not_equal(b_sorted[1:], b_sorted[:-1], out=is_new[1:])
+        group_id = np.cumsum(is_new) - 1
+        group_sizes = np.bincount(group_id)
+        entry_bucket_size = group_sizes[group_id]
+
+        usable = (entry_bucket_size >= min_bucket) & (entry_bucket_size <= max_bucket)
+        if not usable.any():
+            continue
+
+        # Within usable buckets, sub-group by high 32 bits.
+        ub = b_sorted[usable]
+        uo = o_sorted[usable]
+        uh = (h_sorted[usable] >> np.uint64(32)).astype(np.uint64)
+        key = (ub << np.uint64(32)) | uh  # log2_buckets<=31 so no overlap
+        order2 = np.argsort(key, kind="stable")
+        key = key[order2]
+        uo = uo[order2]
+
+        is_new2 = np.empty(key.shape[0], dtype=bool)
+        is_new2[0] = True
+        np.not_equal(key[1:], key[:-1], out=is_new2[1:])
+        gid2 = np.cumsum(is_new2) - 1
+        gsize2 = np.bincount(gid2)
+
+        pairs = _pairs_within_groups(uo, gid2, gsize2)
+        if pairs is not None:
+            pair_keys.append(pairs)
+
+    if not pair_keys:
+        return CandidatePairs(
+            read_id0=np.zeros(0, np.int32),
+            read_id1=np.zeros(0, np.int32),
+            same_strand=np.zeros(0, bool),
+            frequency=np.zeros(0, np.int32),
+        )
+
+    all_keys = np.concatenate(pair_keys)
+    uniq, freq = np.unique(all_keys, return_counts=True)
+    keep = freq >= params.min_frequency
+    uniq = uniq[keep]
+    freq = freq[keep]
+
+    r0 = (uniq >> np.uint64(33)).astype(np.int32)
+    r1 = ((uniq >> np.uint64(1)) & np.uint64(0xFFFFFFFF)).astype(np.int32)
+    same = (uniq & np.uint64(1)).astype(bool)
+    return CandidatePairs(
+        read_id0=r0, read_id1=r1, same_strand=same, frequency=freq.astype(np.int32)
+    )
+
+
+def _pairs_within_groups(
+    orids: np.ndarray, group_id: np.ndarray, group_sizes: np.ndarray
+) -> Optional[np.ndarray]:
+    """All ordered pairs (i < j within group) of entries in each group,
+    as packed keys (readId0 << 33) | (readId1 << 1) | sameStrand,
+    keeping only pairs with readId0 < readId1."""
+    g = group_sizes
+    n_pairs_per_group = (g * (g - 1)) // 2
+    total = int(n_pairs_per_group.sum())
+    if total == 0:
+        return None
+
+    group_starts = np.concatenate(([0], np.cumsum(g)))[:-1]
+    pg_offsets = np.concatenate(([0], np.cumsum(n_pairs_per_group)))
+
+    # For each pair slot t in group, enumerate (i, j), i<j, in the
+    # standard triangular order.
+    pair_gid = np.repeat(np.arange(g.shape[0]), n_pairs_per_group)
+    t = np.arange(total, dtype=np.int64) - pg_offsets[pair_gid]
+    # triangular decode: i = row such that row*(2g-row-1)/2 <= t
+    gg = g[pair_gid].astype(np.float64)
+    i = np.floor(
+        ((2 * gg - 1) - np.sqrt((2 * gg - 1) ** 2 - 8 * t)) / 2
+    ).astype(np.int64)
+    # fix potential fp rounding
+    base = i * (2 * g[pair_gid] - i - 1) // 2
+    over = base > t
+    i[over] -= 1
+    base = i * (2 * g[pair_gid] - i - 1) // 2
+    j = t - base + i + 1
+
+    a = orids[group_starts[pair_gid] + i]
+    b = orids[group_starts[pair_gid] + j]
+
+    ra, sa = a >> 1, a & 1
+    rb, sb = b >> 1, b & 1
+    lo_first = ra < rb
+    r0 = np.where(lo_first, ra, rb)
+    r1 = np.where(lo_first, rb, ra)
+    keep = ra != rb
+    same = (sa == sb).astype(np.uint64)
+
+    keys = (
+        (r0.astype(np.uint64) << np.uint64(33))
+        | (r1.astype(np.uint64) << np.uint64(1))
+        | same
+    )
+    return keys[keep]
