@@ -1,0 +1,589 @@
+"""The global marker graph: vertices merge aligned markers; edges
+follow reads between surviving vertices.
+
+TPU-native counterpart of the reference marker graph
+(reference: src/MarkerGraph.hpp, src/AssemblerMarkerGraph.cpp:38-520
+for vertex creation, :2028 for edges, :2279 for transitive reduction,
+:2843 for pruning).
+
+Key re-design vs the reference: the lock-free 128-bit-CAS union-find
+(reference: src/dset64-gccAtomic.hpp) is replaced by an *iterative
+min-label hooking + pointer-jumping* union-find over dense arrays —
+each round is a gather/scatter-min over the unite pairs followed by
+O(log n) pointer-jumping compressions, the exact shape that shards
+over a TPU mesh with collectives (the reference itself finishes with
+the same flattening passes, AssemblerMarkerGraph.cpp:131-151).
+Label = minimum marker id in the component, which also makes vertex
+numbering deterministic (the reference's numbering depends on thread
+interleaving).
+
+A global marker id is ``markers.offsets[orid] + ordinal`` — identical
+to the reference's getMarkerId (reference: src/AssemblerMarkers.cpp).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from shasta_tpu.data.markers import MarkerStore
+from shasta_tpu.graph.read_graph import ReadGraph
+from shasta_tpu.ops.align import AlignmentStore
+
+INVALID_VERTEX = np.int64(-1)
+
+
+# ---------------------------------------------------------------------------
+# Union-find over dense arrays (min-label hooking + pointer jumping)
+# ---------------------------------------------------------------------------
+
+
+def union_find_labels(n: int, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Connected-component label (min element id) for each of n items
+    under the unions (u[i], v[i]).
+
+    Iterative hooking: scatter-min each pair's smaller label onto the
+    larger label's representative, then pointer-jump to convergence.
+    Deterministic regardless of pair order.
+    """
+    label = np.arange(n, dtype=np.int64)
+    if u.shape[0] == 0:
+        return label
+    u = np.asarray(u, dtype=np.int64)
+    v = np.asarray(v, dtype=np.int64)
+    while True:
+        lu = label[u]
+        lv = label[v]
+        diff = lu != lv
+        if not diff.any():
+            break
+        lu = lu[diff]
+        lv = lv[diff]
+        lo = np.minimum(lu, lv)
+        hi = np.maximum(lu, lv)
+        np.minimum.at(label, hi, lo)
+        # Pointer jumping until fully compressed.
+        while True:
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+    return label
+
+
+# ---------------------------------------------------------------------------
+# Vertex creation
+# ---------------------------------------------------------------------------
+
+
+def gather_unite_pairs(
+    markers: MarkerStore,
+    graph: ReadGraph,
+    alignments: AlignmentStore,
+    is_chimeric: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Marker-id unite pairs from the read-graph alignments
+    (reference: createMarkerGraphVerticesThreadFunction1,
+    src/AssemblerMarkerGraph.cpp:540-604): for each direct read-graph
+    edge (the even edge of each RC pair), unite every aligned ordinal
+    pair and its reverse complement.
+    """
+    moff = markers.offsets
+    counts = np.diff(moff)
+
+    # Direct edges only (even index), skipping cross-strand edges and
+    # chimeric reads.
+    direct = np.arange(0, graph.edge_count, 2, dtype=np.int64)
+    ok = ~graph.crosses_strands[direct]
+    aids = graph.alignment_id[direct]
+    r0 = alignments.read_id0[aids]
+    r1 = alignments.read_id1[aids]
+    if is_chimeric is not None:
+        ok &= ~is_chimeric[r0] & ~is_chimeric[r1]
+    aids = aids[ok]
+    if aids.shape[0] == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+    # Oriented reads of the stored alignment (the convention used when
+    # the alignment was computed).
+    orid0 = alignments.read_id0[aids].astype(np.int64) * 2
+    orid1 = alignments.read_id1[aids].astype(np.int64) * 2 + np.where(
+        alignments.same_strand[aids], 0, 1
+    )
+
+    # Expand per-alignment ordinal lists.
+    lo = alignments.offsets[aids]
+    hi = alignments.offsets[aids + 1]
+    n_per = (hi - lo).astype(np.int64)
+    total = int(n_per.sum())
+    # Flat indices into ord0/ord1 for all selected alignments.
+    idx = np.repeat(lo, n_per) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.concatenate(([0], np.cumsum(n_per)))[:-1], n_per)
+    )
+    o0 = alignments.ord0[idx].astype(np.int64)
+    o1 = alignments.ord1[idx].astype(np.int64)
+
+    a_orid0 = np.repeat(orid0, n_per)
+    a_orid1 = np.repeat(orid1, n_per)
+
+    m0 = moff[a_orid0] + o0
+    m1 = moff[a_orid1] + o1
+
+    # Reverse complements: marker (orid, ord) -> (orid^1, count-1-ord).
+    m0r = moff[a_orid0 ^ 1] + (counts[a_orid0] - 1 - o0)
+    m1r = moff[a_orid1 ^ 1] + (counts[a_orid1] - 1 - o1)
+
+    return np.concatenate([m0, m0r]), np.concatenate([m1, m1r])
+
+
+@dataclass
+class MarkerGraph:
+    """Vertices + edges of the global marker graph.
+
+    - ``vertex_table``: int64 [total_markers] -> vertex id or -1
+      (reference: MarkerGraph::vertexTable)
+    - ``vertex_offsets``/``vertex_markers``: CSR vertex -> sorted
+      marker ids (reference: MarkerGraph::vertices())
+    - ``rc_vertex``: reverse complement vertex of each vertex
+    - edges: ``source``, ``target``, ``coverage`` (+ removal flags),
+      RC pairing via ``rc_edge``
+    - ``interval_*``: CSR edge -> MarkerInterval(orid, ord0, ord1)
+    """
+
+    vertex_table: np.ndarray  # int64 [total_markers]
+    vertex_offsets: np.ndarray  # int64 [n_vertices+1]
+    vertex_markers: np.ndarray  # int64 [sum coverage]
+    rc_vertex: np.ndarray  # int64 [n_vertices]
+
+    source: np.ndarray = None  # int64 [n_edges]
+    target: np.ndarray = None  # int64 [n_edges]
+    coverage: np.ndarray = None  # int32 [n_edges]
+    rc_edge: np.ndarray = None  # int64 [n_edges]
+    removed_tr: np.ndarray = None  # bool — wasRemovedByTransitiveReduction
+    pruned: np.ndarray = None  # bool — wasPruned
+    superbubble: np.ndarray = None  # bool — isSuperBubbleEdge
+    low_coverage_cross: np.ndarray = None  # bool — isLowCoverageCrossEdge
+    interval_offsets: np.ndarray = None  # int64 [n_edges+1]
+    interval_orid: np.ndarray = None  # int64 [total intervals]
+    interval_ord0: np.ndarray = None  # int32
+    interval_ord1: np.ndarray = None  # int32
+    # Adjacency over alive edges (built on demand).
+    _by_source_off: np.ndarray = None
+    _by_source: np.ndarray = None
+    _by_target_off: np.ndarray = None
+    _by_target: np.ndarray = None
+
+    @property
+    def vertex_count(self) -> int:
+        return self.vertex_offsets.shape[0] - 1
+
+    @property
+    def edge_count(self) -> int:
+        return 0 if self.source is None else self.source.shape[0]
+
+    def vertex_coverage(self) -> np.ndarray:
+        return np.diff(self.vertex_offsets)
+
+    def vertex_marker_ids(self, v: int) -> np.ndarray:
+        return self.vertex_markers[self.vertex_offsets[v] : self.vertex_offsets[v + 1]]
+
+    def edge_intervals(self, e: int):
+        lo, hi = self.interval_offsets[e], self.interval_offsets[e + 1]
+        return (
+            self.interval_orid[lo:hi],
+            self.interval_ord0[lo:hi],
+            self.interval_ord1[lo:hi],
+        )
+
+    def alive(self) -> np.ndarray:
+        """Edges surviving all removal flags."""
+        a = np.ones(self.edge_count, dtype=bool)
+        for f in (self.removed_tr, self.pruned, self.superbubble, self.low_coverage_cross):
+            if f is not None:
+                a &= ~f
+        return a
+
+    def build_adjacency(self) -> None:
+        n = self.vertex_count
+        e = np.arange(self.edge_count, dtype=np.int64)
+        o = np.argsort(self.source, kind="stable")
+        self._by_source = e[o]
+        self._by_source_off = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(self.source, minlength=n), out=self._by_source_off[1:])
+        o = np.argsort(self.target, kind="stable")
+        self._by_target = e[o]
+        self._by_target_off = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(self.target, minlength=n), out=self._by_target_off[1:])
+
+    def edges_by_source(self, v: int) -> np.ndarray:
+        return self._by_source[self._by_source_off[v] : self._by_source_off[v + 1]]
+
+    def edges_by_target(self, v: int) -> np.ndarray:
+        return self._by_target[self._by_target_off[v] : self._by_target_off[v + 1]]
+
+    def arrays(self) -> Dict[str, np.ndarray]:
+        out = {
+            "vertex_table": self.vertex_table,
+            "vertex_offsets": self.vertex_offsets,
+            "vertex_markers": self.vertex_markers,
+            "rc_vertex": self.rc_vertex,
+        }
+        if self.source is not None:
+            out.update(
+                source=self.source,
+                target=self.target,
+                coverage=self.coverage,
+                rc_edge=self.rc_edge,
+                removed_tr=self.removed_tr,
+                pruned=self.pruned,
+                superbubble=self.superbubble,
+                low_coverage_cross=self.low_coverage_cross,
+                interval_offsets=self.interval_offsets,
+                interval_orid=self.interval_orid,
+                interval_ord0=self.interval_ord0,
+                interval_ord1=self.interval_ord1,
+            )
+        return out
+
+    @classmethod
+    def from_arrays(cls, a) -> "MarkerGraph":
+        kw = {k: a[k] for k in a if not k.startswith("_")}
+        return cls(**kw)
+
+
+def create_marker_graph_vertices(
+    markers: MarkerStore,
+    unite_u: np.ndarray,
+    unite_v: np.ndarray,
+    min_coverage: int = 2,
+    max_coverage: int = 100,
+    min_coverage_per_strand: int = 0,
+    allow_duplicate_markers: bool = False,
+) -> MarkerGraph:
+    """Union markers, filter by coverage, flag bad sets, renumber.
+
+    Follows reference createMarkerGraphVertices
+    (src/AssemblerMarkerGraph.cpp:38-520): disjoint sets with coverage
+    outside [min_coverage, max_coverage] are dropped; sets with more
+    than one marker of the same read are bad (ThreadFunction7 at :697),
+    as are sets whose per-strand coverage is below
+    ``min_coverage_per_strand``. Vertex ids are assigned in increasing
+    order of the set's minimum marker id (deterministic).
+    """
+    total = markers.total_count
+    if total == 0:
+        return MarkerGraph(
+            vertex_table=np.zeros(0, np.int64),
+            vertex_offsets=np.zeros(1, np.int64),
+            vertex_markers=np.zeros(0, np.int64),
+            rc_vertex=np.zeros(0, np.int64),
+        )
+    label = union_find_labels(total, unite_u, unite_v)
+
+    # Coverage per set.
+    reps, inverse, cov = np.unique(label, return_inverse=True, return_counts=True)
+    good = (cov >= min_coverage) & (cov <= max_coverage)
+
+    # Read id of each marker (marker -> oriented read via CSR search).
+    moff = markers.offsets
+    orid_of_marker = (
+        np.searchsorted(moff, np.arange(total, dtype=np.int64), side="right") - 1
+    )
+    read_of_marker = orid_of_marker >> 1
+    strand_of_marker = (orid_of_marker & 1).astype(np.int64)
+
+    # Bad-set detection, vectorized over all markers grouped by set:
+    # sort markers by (set, marker id) — marker id order groups same
+    # reads adjacently the same way the reference relies on sorted
+    # marker ids (src/AssemblerMarkerGraph.cpp:723-733).
+    order = np.argsort(inverse, kind="stable")  # stable keeps marker id order
+    g = inverse[order]
+    m_sorted = np.arange(total, dtype=np.int64)[order]
+    r_sorted = read_of_marker[m_sorted]
+    s_sorted = strand_of_marker[m_sorted]
+
+    same_set = np.empty(total, dtype=bool)
+    same_set[0] = False
+    np.equal(g[1:], g[:-1], out=same_set[1:])
+
+    if not allow_duplicate_markers:
+        dup = same_set & (r_sorted == np.concatenate(([-1], r_sorted[:-1])))
+        bad_dup = np.zeros(reps.shape[0], dtype=bool)
+        np.logical_or.at(bad_dup, g[dup], True)
+    else:
+        bad_dup = np.zeros(reps.shape[0], dtype=bool)
+
+    if min_coverage_per_strand > 0:
+        c0 = np.zeros(reps.shape[0], dtype=np.int64)
+        np.add.at(c0, inverse, 1 - strand_of_marker)
+        c1 = cov - c0
+        bad_strand = (c0 < min_coverage_per_strand) | (c1 < min_coverage_per_strand)
+    else:
+        bad_strand = np.zeros(reps.shape[0], dtype=bool)
+
+    keep_set = good & ~bad_dup & ~bad_strand
+
+    # Final numbering: surviving sets in increasing order of their
+    # minimum marker id, which equals the representative label.
+    kept_reps_idx = np.flatnonzero(keep_set)
+    # reps is sorted ascending already (np.unique), so numbering follows.
+    new_id = np.full(reps.shape[0], INVALID_VERTEX, dtype=np.int64)
+    new_id[kept_reps_idx] = np.arange(kept_reps_idx.shape[0], dtype=np.int64)
+
+    vertex_table = new_id[inverse]
+
+    # CSR vertex -> sorted marker ids.
+    n_vertices = kept_reps_idx.shape[0]
+    keep_marker = vertex_table >= 0
+    vm = np.flatnonzero(keep_marker)
+    vt = vertex_table[vm]
+    o = np.argsort(vt, kind="stable")  # marker ids stay sorted within vertex
+    vertex_markers = vm[o]
+    vertex_offsets = np.zeros(n_vertices + 1, dtype=np.int64)
+    np.cumsum(np.bincount(vt, minlength=n_vertices), out=vertex_offsets[1:])
+
+    # Reverse complement vertex: vertex of the RC of the first marker.
+    counts = np.diff(moff)
+    first_marker = vertex_markers[vertex_offsets[:-1]] if n_vertices else np.zeros(0, np.int64)
+    fm_orid = orid_of_marker[first_marker]
+    fm_ord = first_marker - moff[fm_orid]
+    rc_marker = moff[fm_orid ^ 1] + (counts[fm_orid] - 1 - fm_ord)
+    rc_vertex = vertex_table[rc_marker]
+
+    return MarkerGraph(
+        vertex_table=vertex_table,
+        vertex_offsets=vertex_offsets,
+        vertex_markers=vertex_markers,
+        rc_vertex=rc_vertex,
+    )
+
+
+def check_strand_symmetry(mg: MarkerGraph) -> bool:
+    """Audit the reference's strand-symmetry invariant
+    (reference: Assembler::checkMarkerGraphIsStrandSymmetric,
+    src/Assembler.hpp:1542): rc is an involution with no fixed issues."""
+    rc = mg.rc_vertex
+    if (rc < 0).any():
+        return False
+    return bool(np.array_equal(rc[rc], np.arange(mg.vertex_count, dtype=np.int64)))
+
+
+# ---------------------------------------------------------------------------
+# Edge creation (mode 0)
+# ---------------------------------------------------------------------------
+
+
+def create_marker_graph_edges(markers: MarkerStore, mg: MarkerGraph) -> None:
+    """Per oriented read, consecutive markers with surviving vertices
+    generate a MarkerInterval; identical (source, target) intervals
+    merge into one edge (reference: createMarkerGraphEdges,
+    src/AssemblerMarkerGraph.cpp:2028-2180). Fills mg in place."""
+    moff = markers.offsets
+    total = markers.total_count
+    n_or = markers.oriented_read_count
+
+    vt = mg.vertex_table
+    valid = np.flatnonzero(vt >= 0)  # markers with vertices, in flat order
+    if valid.shape[0] == 0:
+        _set_empty_edges(mg)
+        return
+    orid_of_valid = np.searchsorted(moff, valid, side="right") - 1
+
+    # Consecutive valid markers within the same oriented read.
+    same = orid_of_valid[1:] == orid_of_valid[:-1]
+    i0 = valid[:-1][same]
+    i1 = valid[1:][same]
+    orid = orid_of_valid[:-1][same]
+    src = vt[i0]
+    tgt = vt[i1]
+    ord0 = (i0 - moff[orid]).astype(np.int32)
+    ord1 = (i1 - moff[orid]).astype(np.int32)
+
+    # Group by (source, target); intervals sorted by (orid, ord0)
+    # within the edge, edges sorted by (source, target) — matching the
+    # reference's per-vertex sorted-children order.
+    order = np.lexsort((ord0, orid, tgt, src))
+    src = src[order]
+    tgt = tgt[order]
+    orid = orid[order]
+    ord0 = ord0[order]
+    ord1 = ord1[order]
+
+    new_edge = np.empty(src.shape[0], dtype=bool)
+    new_edge[0] = True
+    new_edge[1:] = (src[1:] != src[:-1]) | (tgt[1:] != tgt[:-1])
+    edge_id_of_interval = np.cumsum(new_edge) - 1
+    n_edges = int(edge_id_of_interval[-1]) + 1
+
+    e_src = src[new_edge]
+    e_tgt = tgt[new_edge]
+    e_cov = np.bincount(edge_id_of_interval).astype(np.int32)
+    interval_offsets = np.zeros(n_edges + 1, dtype=np.int64)
+    np.cumsum(e_cov, out=interval_offsets[1:])
+
+    # Reverse complement edge: (s, t) -> (rc[t], rc[s]).
+    rc_s = mg.rc_vertex[e_tgt]
+    rc_t = mg.rc_vertex[e_src]
+    # Lookup via the sorted (source, target) key list.
+    key = e_src * np.int64(mg.vertex_count) + e_tgt
+    rc_key = rc_s * np.int64(mg.vertex_count) + rc_t
+    pos = np.searchsorted(key, rc_key)
+    pos = np.clip(pos, 0, n_edges - 1)
+    found = key[pos] == rc_key
+    rc_edge = np.where(found, pos, -1).astype(np.int64)
+
+    mg.source = e_src
+    mg.target = e_tgt
+    mg.coverage = e_cov
+    mg.rc_edge = rc_edge
+    mg.removed_tr = np.zeros(n_edges, dtype=bool)
+    mg.pruned = np.zeros(n_edges, dtype=bool)
+    mg.superbubble = np.zeros(n_edges, dtype=bool)
+    mg.low_coverage_cross = np.zeros(n_edges, dtype=bool)
+    mg.interval_offsets = interval_offsets
+    mg.interval_orid = orid
+    mg.interval_ord0 = ord0
+    mg.interval_ord1 = ord1
+    mg.build_adjacency()
+
+
+def _set_empty_edges(mg: MarkerGraph) -> None:
+    mg.source = np.zeros(0, np.int64)
+    mg.target = np.zeros(0, np.int64)
+    mg.coverage = np.zeros(0, np.int32)
+    mg.rc_edge = np.zeros(0, np.int64)
+    mg.removed_tr = np.zeros(0, bool)
+    mg.pruned = np.zeros(0, bool)
+    mg.superbubble = np.zeros(0, bool)
+    mg.low_coverage_cross = np.zeros(0, bool)
+    mg.interval_offsets = np.zeros(1, np.int64)
+    mg.interval_orid = np.zeros(0, np.int64)
+    mg.interval_ord0 = np.zeros(0, np.int32)
+    mg.interval_ord1 = np.zeros(0, np.int32)
+    mg.build_adjacency()
+
+
+# ---------------------------------------------------------------------------
+# Transitive reduction + prune
+# ---------------------------------------------------------------------------
+
+
+def transitive_reduction(
+    mg: MarkerGraph,
+    low_coverage_threshold: int = 1,
+    high_coverage_threshold: int = 256,
+    max_distance: int = 30,
+    edge_marker_skip_threshold: int = 100,
+) -> None:
+    """Flag weak edges (reference: Assembler::transitiveReduction,
+    src/AssemblerMarkerGraph.cpp:2279-2500):
+
+    1. edges with coverage <= low_coverage_threshold;
+    2. coverage-1 edges whose single marker skip exceeds
+       edge_marker_skip_threshold;
+    3. remaining edges with coverage < high_coverage_threshold, in
+       increasing coverage order: removed if the target is reachable
+       from the source within max_distance without the edge, using
+       only strong edges.
+
+    Strand-symmetric: the RC edge of every removed edge is removed too.
+    """
+    n_edges = mg.edge_count
+    if n_edges == 0:
+        return
+    removed = mg.removed_tr
+    removed[:] = False
+    cov = mg.coverage
+
+    # 1. Low coverage.
+    low = cov <= low_coverage_threshold
+    removed |= low
+    removed |= low[mg.rc_edge.clip(0)] & (mg.rc_edge >= 0)
+
+    # 2. Coverage-1 long-skip edges.
+    c1 = np.flatnonzero(cov == 1)
+    if c1.shape[0]:
+        skips = (
+            mg.interval_ord1[mg.interval_offsets[c1]]
+            - mg.interval_ord0[mg.interval_offsets[c1]]
+        )
+        long_skip = c1[skips > edge_marker_skip_threshold]
+        removed[long_skip] = True
+        rc = mg.rc_edge[long_skip]
+        removed[rc[rc >= 0]] = True
+
+    # 3. BFS per edge in increasing coverage order (process each RC
+    # pair once, from the lower edge id).
+    mg.build_adjacency()
+    by_source_off = mg._by_source_off
+    by_source = mg._by_source
+    targets = mg.target
+    candidates = np.flatnonzero(
+        (cov > low_coverage_threshold)
+        & (cov < high_coverage_threshold)
+        & (mg.rc_edge >= np.arange(n_edges))
+    )
+    order = np.argsort(cov[candidates], kind="stable")
+    candidates = candidates[order]
+
+    dist = np.full(mg.vertex_count, -1, dtype=np.int64)
+    for e in candidates:
+        if removed[e]:
+            continue
+        u0 = mg.source[e]
+        u1 = targets[e]
+        # BFS from u0 avoiding edge e over strong edges.
+        q = deque([u0])
+        dist[u0] = 0
+        seen = [u0]
+        found = False
+        while q and not found:
+            v0 = q.popleft()
+            d1 = dist[v0] + 1
+            for ei in by_source[by_source_off[v0] : by_source_off[v0 + 1]]:
+                if ei == e or removed[ei]:
+                    continue
+                v1 = targets[ei]
+                if dist[v1] >= 0:
+                    continue
+                if v1 == u1:
+                    found = True
+                    break
+                dist[v1] = d1
+                seen.append(v1)
+                if d1 < max_distance:
+                    q.append(v1)
+        if found:
+            removed[e] = True
+            rc = mg.rc_edge[e]
+            if rc >= 0:
+                removed[rc] = True
+        for v in seen:
+            dist[v] = -1
+
+
+def prune(mg: MarkerGraph, iteration_count: int = 6) -> None:
+    """Iteratively prune leaf edges (reference:
+    pruneMarkerGraphStrongSubgraph, src/AssemblerMarkerGraph.cpp:2843):
+    at each iteration flag edges whose target is a forward leaf
+    (out-degree 0) or whose source is a backward leaf (in-degree 0)
+    of the current strong subgraph."""
+    n_edges = mg.edge_count
+    if n_edges == 0:
+        return
+    n_v = mg.vertex_count
+    mg.pruned[:] = False
+    for _ in range(iteration_count):
+        alive = ~mg.removed_tr & ~mg.pruned
+        out_deg = np.bincount(mg.source[alive], minlength=n_v)
+        in_deg = np.bincount(mg.target[alive], minlength=n_v)
+        to_prune = alive & (
+            (out_deg[mg.target] == 0) | (in_deg[mg.source] == 0)
+        )
+        if not to_prune.any():
+            break
+        mg.pruned |= to_prune

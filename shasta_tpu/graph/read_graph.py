@@ -1,0 +1,301 @@
+"""The read graph: oriented reads as vertices, selected alignments as edges.
+
+TPU-native counterpart of the reference read graph
+(reference: src/ReadGraph.hpp:36-56, src/AssemblerReadGraph.cpp:35-240).
+Vertices are oriented reads (2 per read); every kept alignment
+generates an RC pair of edges (edge 2i+1 is the strand-flipped mirror
+of edge 2i, a property downstream stages exploit the same way the
+reference does at src/AssemblerMarkerGraph.cpp:540-559).
+
+Construction method 0 (the default, createReadGraph at
+src/AssemblerReadGraph.cpp:35): for each read keep the best
+``max_alignment_count`` alignments by decreasing aligned-marker count;
+an alignment survives if either of its reads keeps it. The selection
+is a pure sort/segment computation here (no per-read loop), the same
+shape the sharded multi-host path uses.
+
+Chimera detection (flagChimericReads at
+src/AssemblerReadGraph.cpp:355): for each read, BFS to
+``max_chimeric_read_distance``; the read is chimeric if the vertices
+at maximum distance fall in more than one connected component once
+all edges touching the start read (either strand) are removed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from shasta_tpu.ops.align import AlignmentStore
+
+
+@dataclass
+class ReadGraph:
+    """Edges come in RC pairs: edge 2i+1 is edge 2i with both strands
+    flipped (reference: src/AssemblerReadGraph.cpp:128-141)."""
+
+    orid0: np.ndarray  # int64 [n_edges] oriented read id, orid0 < orid1
+    orid1: np.ndarray  # int64 [n_edges]
+    alignment_id: np.ndarray  # int64 [n_edges] (shared by the RC pair)
+    crosses_strands: np.ndarray  # bool [n_edges]
+    n_oriented_reads: int
+    # CSR adjacency: edge ids incident to each oriented read.
+    adj_offsets: np.ndarray = None  # int64 [n_or+1]
+    adj_edges: np.ndarray = None  # int64 [total incidences]
+
+    def __post_init__(self):
+        if self.adj_offsets is None:
+            self._build_adjacency()
+
+    def _build_adjacency(self) -> None:
+        n_or = self.n_oriented_reads
+        ends = np.concatenate([self.orid0, self.orid1])
+        eids = np.concatenate(
+            [np.arange(self.edge_count, dtype=np.int64)] * 2
+        )
+        order = np.argsort(ends, kind="stable")
+        self.adj_edges = eids[order]
+        counts = np.bincount(ends, minlength=n_or)
+        self.adj_offsets = np.zeros(n_or + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.adj_offsets[1:])
+
+    @property
+    def edge_count(self) -> int:
+        return self.orid0.shape[0]
+
+    def neighbors(self, orid: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(edge ids, other endpoints) incident to an oriented read."""
+        lo, hi = self.adj_offsets[orid], self.adj_offsets[orid + 1]
+        e = self.adj_edges[lo:hi]
+        other = np.where(self.orid0[e] == orid, self.orid1[e], self.orid0[e])
+        return e, other
+
+    def arrays(self) -> Dict[str, np.ndarray]:
+        return {
+            "orid0": self.orid0,
+            "orid1": self.orid1,
+            "alignment_id": self.alignment_id,
+            "crosses_strands": self.crosses_strands,
+            "n_oriented_reads": np.int64(self.n_oriented_reads),
+        }
+
+    @classmethod
+    def from_arrays(cls, a) -> "ReadGraph":
+        return cls(
+            orid0=a["orid0"],
+            orid1=a["orid1"],
+            alignment_id=a["alignment_id"],
+            crosses_strands=a["crosses_strands"].copy(),
+            n_oriented_reads=int(a["n_oriented_reads"]),
+        )
+
+
+def select_alignments_knn(
+    alignments: AlignmentStore, n_reads: int, max_alignment_count: int
+) -> np.ndarray:
+    """Method-0 alignment selection (reference:
+    src/AssemblerReadGraph.cpp:57-100): per read keep the
+    ``max_alignment_count`` alignments with most aligned markers; an
+    alignment is kept if either read keeps it. Ties break by lower
+    alignment id (deterministic, unlike the reference's nth_element).
+
+    Returns keep: bool [n_alignments].
+    """
+    n = alignments.count
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    # Incidences: each alignment appears once per involved read.
+    inc_read = np.concatenate([alignments.read_id0, alignments.read_id1])
+    inc_aid = np.concatenate([np.arange(n, dtype=np.int64)] * 2)
+    inc_mc = np.concatenate([alignments.marker_count] * 2)
+
+    # Sort by (read, -marker_count, alignment_id).
+    order = np.lexsort((inc_aid, -inc_mc.astype(np.int64), inc_read))
+    sread = inc_read[order]
+    # Rank within read.
+    read_start_idx = np.concatenate(
+        ([0], np.cumsum(np.bincount(sread, minlength=n_reads)))
+    )
+    rank = np.arange(sread.shape[0], dtype=np.int64) - read_start_idx[sread]
+    keep_inc = rank < max_alignment_count
+
+    keep = np.zeros(n, dtype=bool)
+    keep[inc_aid[order][keep_inc]] = True
+    return keep
+
+
+def build_read_graph(
+    alignments: AlignmentStore, n_reads: int, keep: np.ndarray
+) -> ReadGraph:
+    """Create RC-paired edges from the kept alignments (reference:
+    src/AssemblerReadGraph.cpp:107-141)."""
+    kept = np.flatnonzero(keep)
+    n_kept = kept.shape[0]
+
+    r0 = alignments.read_id0[kept].astype(np.int64)
+    r1 = alignments.read_id1[kept].astype(np.int64)
+    same = alignments.same_strand[kept]
+
+    # Direct edge: (r0, 0) -- (r1, same ? 0 : 1); RC edge flips strands.
+    e0_a = r0 * 2
+    e0_b = r1 * 2 + np.where(same, 0, 1)
+    e1_a = r0 * 2 + 1
+    e1_b = r1 * 2 + np.where(same, 1, 0)
+
+    orid0 = np.empty(2 * n_kept, dtype=np.int64)
+    orid1 = np.empty(2 * n_kept, dtype=np.int64)
+    orid0[0::2] = np.minimum(e0_a, e0_b)
+    orid1[0::2] = np.maximum(e0_a, e0_b)
+    orid0[1::2] = np.minimum(e1_a, e1_b)
+    orid1[1::2] = np.maximum(e1_a, e1_b)
+
+    alignment_id = np.repeat(kept, 2)
+
+    return ReadGraph(
+        orid0=orid0,
+        orid1=orid1,
+        alignment_id=alignment_id,
+        crosses_strands=np.zeros(2 * n_kept, dtype=bool),
+        n_oriented_reads=2 * n_reads,
+    )
+
+
+def create_read_graph(
+    alignments: AlignmentStore,
+    n_reads: int,
+    max_alignment_count: int = 6,
+) -> Tuple[ReadGraph, np.ndarray]:
+    """Method-0 read graph creation. Returns (graph, keep_alignment)."""
+    keep = select_alignments_knn(alignments, n_reads, max_alignment_count)
+    return build_read_graph(alignments, n_reads, keep), keep
+
+
+# ---------------------------------------------------------------------------
+# Chimera flagging
+# ---------------------------------------------------------------------------
+
+
+class _DSU:
+    __slots__ = ("parent",)
+
+    def __init__(self, n: int):
+        self.parent = list(range(n))
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def flag_chimeric_reads(
+    graph: ReadGraph, n_reads: int, max_distance: int = 2
+) -> np.ndarray:
+    """Flag chimeric reads (reference: src/AssemblerReadGraph.cpp:355-580).
+
+    For each read: BFS from (read, 0) to ``max_distance`` (skipping
+    cross-strand edges); union local vertices over edges that avoid the
+    start read entirely; the read is chimeric if the max-distance
+    frontier spans more than one component.
+
+    Returns is_chimeric: bool [n_reads].
+    """
+    is_chimeric = np.zeros(n_reads, dtype=bool)
+    if max_distance == 0:
+        return is_chimeric
+
+    adj_off = graph.adj_offsets
+    adj_e = graph.adj_edges
+    orid0 = graph.orid0
+    orid1 = graph.orid1
+    crosses = graph.crosses_strands
+
+    n_or = graph.n_oriented_reads
+    local_id = np.full(n_or, -1, dtype=np.int64)
+
+    for read_id in range(n_reads):
+        start = 2 * read_id
+        # BFS.
+        verts = [start]
+        dists = [0]
+        local_id[start] = 0
+        frontier = [start]
+        d = 0
+        while frontier and d < max_distance:
+            d += 1
+            nxt = []
+            for v0 in frontier:
+                for ei in adj_e[adj_off[v0] : adj_off[v0 + 1]]:
+                    if crosses[ei]:
+                        continue
+                    v1 = orid1[ei] if orid0[ei] == v0 else orid0[ei]
+                    if local_id[v1] >= 0:
+                        continue
+                    local_id[v1] = len(verts)
+                    verts.append(int(v1))
+                    dists.append(d)
+                    nxt.append(int(v1))
+            frontier = nxt
+
+        # Union over edges among local vertices avoiding the start read.
+        dsu = _DSU(len(verts))
+        for u_local, v0 in enumerate(verts):
+            if v0 >> 1 == read_id:
+                continue
+            for ei in adj_e[adj_off[v0] : adj_off[v0 + 1]]:
+                if crosses[ei]:
+                    continue
+                v1 = orid1[ei] if orid0[ei] == v0 else orid0[ei]
+                if v1 >> 1 == read_id:
+                    continue
+                if local_id[v1] >= 0:
+                    dsu.union(u_local, int(local_id[v1]))
+
+        # Check the max-distance frontier.
+        component = -1
+        for u_local, v0 in enumerate(verts):
+            if dists[u_local] != max_distance or (v0 >> 1) == read_id:
+                continue
+            c = dsu.find(u_local)
+            if component == -1:
+                component = c
+            elif c != component:
+                is_chimeric[read_id] = True
+                break
+
+        for v0 in verts:
+            local_id[v0] = -1
+
+    return is_chimeric
+
+
+def connected_components(graph: ReadGraph) -> np.ndarray:
+    """Connected components over oriented reads (informational, like
+    reference computeReadGraphConnectedComponents). Returns component
+    label per oriented read (min oriented read id in component)."""
+    n = graph.n_oriented_reads
+    label = np.arange(n, dtype=np.int64)
+    a = graph.orid0
+    b = graph.orid1
+    while True:
+        la = label[a]
+        lb = label[b]
+        m = np.minimum(la, lb)
+        new = label.copy()
+        np.minimum.at(new, a, m)
+        np.minimum.at(new, b, m)
+        # Pointer jumping.
+        new = new[new]
+        if np.array_equal(new, label):
+            return label
+        label = new

@@ -109,6 +109,10 @@ def _parse_fastq(data: bytes) -> ParsedReads:
     return ParsedReads(names=names, seq_ascii=flat, offsets=offsets, metadata=metadata)
 
 
+def parse_fasta_bytes(data: bytes) -> ParsedReads:
+    return _parse_fasta(data)
+
+
 def parse_file(path: str) -> ParsedReads:
     data = _open_maybe_gzip(path)
     stem = path[:-3] if path.endswith(".gz") else path

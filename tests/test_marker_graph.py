@@ -1,0 +1,151 @@
+"""Marker graph: union-find, vertex filtering, edges, reduction, prune."""
+
+import numpy as np
+import pytest
+
+from shasta_tpu.data.kmers import select_kmers_random
+from shasta_tpu.data.markers import MarkerStore, find_markers
+from shasta_tpu.data.reads import build_read_store
+from shasta_tpu.graph import marker_graph as MG
+from shasta_tpu.graph import read_graph as RG
+from shasta_tpu.io.fasta import parse_fasta_bytes
+from shasta_tpu.ops import lowhash as LH
+from shasta_tpu.ops.align import AlignParams, align_candidates
+
+from tests import synth
+from shasta_tpu.data import bases as B
+
+
+def test_union_find_labels():
+    # 0-1-2 chain, 3-4, 5 isolated
+    u = np.array([0, 1, 3])
+    v = np.array([1, 2, 4])
+    label = MG.union_find_labels(6, u, v)
+    assert label.tolist() == [0, 0, 0, 3, 3, 5]
+
+
+def test_union_find_large_random():
+    rng = np.random.default_rng(0)
+    n = 5000
+    # Random unions within blocks of 10 -> each block one component.
+    base = np.arange(0, n, 10).repeat(9)
+    off1 = np.tile(np.arange(0, 9), n // 10)
+    off2 = np.tile(np.arange(1, 10), n // 10)
+    label = MG.union_find_labels(n, base + off1, base + off2)
+    assert np.array_equal(label, (np.arange(n) // 10) * 10)
+
+
+def make_markers(seqs):
+    """MarkerStore from explicit per-oriented-read kmer id lists
+    (positions = 3*ordinal)."""
+    offsets = np.zeros(len(seqs) + 1, np.int64)
+    for i, s in enumerate(seqs):
+        offsets[i + 1] = offsets[i] + len(s)
+    kmer_ids = np.concatenate([np.asarray(s, np.uint32) for s in seqs])
+    positions = np.concatenate(
+        [3 * np.arange(len(s), dtype=np.uint32) for s in seqs]
+    )
+    return MarkerStore(k=4, kmer_ids=kmer_ids, positions=positions, offsets=offsets)
+
+
+def test_vertex_filtering_duplicate_and_coverage():
+    # 2 reads (4 oriented reads), each with 3 markers.
+    m = make_markers([[1, 2, 3], [4, 5, 6], [1, 2, 3], [4, 5, 6]])
+    # Unite (read0 strand0, ord i) with (read1 strand0, ord i), plus RCs.
+    u = np.array([0, 1, 2, 9, 10, 11])
+    v = np.array([6, 7, 8, 3, 4, 5])
+    mg = MG.create_marker_graph_vertices(m, u, v, min_coverage=2, max_coverage=10)
+    assert mg.vertex_count == 6  # 3 per strand
+    assert MG.check_strand_symmetry(mg)
+    cov = mg.vertex_coverage()
+    assert np.all(cov == 2)
+
+    # With min_coverage=3, nothing survives.
+    mg2 = MG.create_marker_graph_vertices(m, u, v, min_coverage=3, max_coverage=10)
+    assert mg2.vertex_count == 0
+
+    # Duplicate markers from the same read kill the set.
+    u3 = np.array([0])
+    v3 = np.array([1])  # same oriented read 0 -> same read
+    mg3 = MG.create_marker_graph_vertices(m, u3, v3, min_coverage=2, max_coverage=10)
+    assert mg3.vertex_count == 0
+
+
+def test_edges_and_prune():
+    # Linear chain with all vertices surviving: edges follow reads.
+    m = make_markers([[1, 2, 3, 4], [9, 9, 9, 9], [1, 2, 3, 4], [9, 9, 9, 9]])
+    u = np.array([0, 1, 2, 3, 13, 14, 15, 12])
+    v = np.array([8, 9, 10, 11, 5, 6, 7, 4])
+    mg = MG.create_marker_graph_vertices(m, u, v, min_coverage=2, max_coverage=10)
+    MG.create_marker_graph_edges(m, mg)
+    assert mg.vertex_count == 8
+    # Each oriented read contributes 3 consecutive-pairs; reads agree,
+    # so 3 edges per strand.
+    assert mg.edge_count == 6
+    assert np.all(mg.coverage == 2)
+    # RC pairing is a valid involution.
+    assert np.all(mg.rc_edge >= 0)
+    assert np.array_equal(mg.rc_edge[mg.rc_edge], np.arange(6))
+    MG.transitive_reduction(mg, low_coverage_threshold=0, max_distance=5)
+    assert not mg.removed_tr.any()
+    MG.prune(mg, iteration_count=1)
+    # A pure linear chain is all leaves-edges eventually, but one prune
+    # iteration only removes the terminal edges.
+    assert mg.pruned.sum() == 4  # first and last edge of each strand
+
+
+def full_pipeline_to_marker_graph(
+    genome_size=20000, n_reads=120, read_len=3000, seed=3, error_rate=0.0
+):
+    genome = synth.random_genome(genome_size, seed=seed)
+    reads = synth.sample_reads(
+        genome, n_reads, read_len, seed=seed + 1, error_rate=error_rate
+    )
+    fasta = b"".join(
+        b">r%d\n%s\n" % (i, B.decode_to_str(r).encode()) for i, r in enumerate(reads)
+    )
+    parsed = parse_fasta_bytes(fasta)
+    store = build_read_store(parsed, min_read_length=500)
+    kt = select_kmers_random(8, 0.1, seed=231)
+    markers = find_markers(store, kt)
+    cand = LH.find_candidates_lowhash(
+        markers,
+        LH.LowHashParams(m=4, hash_fraction=0.05, iteration_count=6, min_frequency=2),
+    )
+    params = AlignParams(min_aligned_marker_count=20, max_skip=60, max_drift=60, max_trim=60)
+    al = align_candidates(
+        markers,
+        cand.read_id0,
+        cand.read_id1,
+        cand.same_strand,
+        params,
+        kt.downsampling_hash_table(),
+    )
+    rg, keep = RG.create_read_graph(al, store.read_count, max_alignment_count=8)
+    chim = RG.flag_chimeric_reads(rg, store.read_count, max_distance=2)
+    u, v = MG.gather_unite_pairs(markers, rg, al, chim)
+    mg = MG.create_marker_graph_vertices(
+        markers, u, v, min_coverage=3, max_coverage=200
+    )
+    MG.create_marker_graph_edges(markers, mg)
+    return store, markers, mg
+
+
+@pytest.mark.slow
+def test_marker_graph_integration():
+    store, markers, mg = full_pipeline_to_marker_graph()
+    assert mg.vertex_count > 100
+    assert MG.check_strand_symmetry(mg)
+    # Edges exist and are strand-symmetric.
+    assert mg.edge_count > 100
+    ok = mg.rc_edge >= 0
+    assert ok.mean() > 0.99
+    idx = np.flatnonzero(ok)
+    assert np.array_equal(mg.rc_edge[mg.rc_edge[idx]], idx)
+    # After reduction + prune the alive subgraph should be mostly a
+    # linear chain (error-free reads): most vertices have degree <= 1.
+    MG.transitive_reduction(mg, low_coverage_threshold=1, max_distance=30)
+    MG.prune(mg, iteration_count=3)
+    alive = mg.alive()
+    out_deg = np.bincount(mg.source[alive], minlength=mg.vertex_count)
+    assert (out_deg <= 1).mean() > 0.95
