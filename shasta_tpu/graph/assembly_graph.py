@@ -1,0 +1,686 @@
+"""Mode-0 assembly: marker-graph consensus, linear-chain condensation,
+segment stitching, GFA/FASTA output.
+
+TPU-native counterpart of the reference mode-0 assembly stage
+(reference: src/AssemblerAssemblyGraph.cpp, src/AssembledSegment.cpp,
+src/AssemblerMarkerGraph.cpp:3179+ for edge consensus, :4509+ for
+vertex repeat counts). The structure follows the reference's call
+sequence (srcMain/main.cpp:913-1036):
+
+  assembleMarkerGraphVertices -> assembleMarkerGraphEdges ->
+  createAssemblyGraphEdges/Vertices -> assemble -> writers
+
+Vertex repeat-count consensus is computed for ALL vertices in one
+vectorized histogram pass per k-mer position (instead of a loop over
+vertices); edge consensus loops over edges on host with a batched NW
+center-star MSA (see shasta_tpu.consensus.msa).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from shasta_tpu.consensus import msa as MSA
+from shasta_tpu.data.markers import MarkerStore
+from shasta_tpu.data.reads import ReadStore
+from shasta_tpu.graph.marker_graph import MarkerGraph
+
+GAP = 4
+
+
+# ---------------------------------------------------------------------------
+# Oriented-read access helpers
+# ---------------------------------------------------------------------------
+
+
+def oriented_positions_to_flat(
+    reads: ReadStore, orid: int, positions: np.ndarray
+) -> Tuple[np.ndarray, bool]:
+    """Flat indices into reads.rle_bases for RLE positions of an
+    oriented read; bool says whether bases must be complemented."""
+    rid = orid >> 1
+    lo, hi = reads.offsets[rid], reads.offsets[rid + 1]
+    if orid & 1:
+        return hi - 1 - positions, True
+    return lo + positions, False
+
+
+def oriented_base_repeat(reads: ReadStore, orid: int, positions: np.ndarray):
+    idx, comp = oriented_positions_to_flat(reads, orid, positions)
+    b = reads.rle_bases[idx]
+    if comp:
+        b = 3 - b
+    return b, reads.repeat_counts[idx]
+
+
+def unpack_kmer(kmer_id: int, k: int) -> np.ndarray:
+    """MSB-first packed k-mer id -> base codes."""
+    out = np.empty(k, dtype=np.uint8)
+    x = int(kmer_id)
+    for i in range(k - 1, -1, -1):
+        out[i] = x & 3
+        x >>= 2
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Vertex consensus (repeat counts per k-mer position)
+# ---------------------------------------------------------------------------
+
+
+def assemble_marker_graph_vertices(
+    reads: ReadStore,
+    markers: MarkerStore,
+    mg: MarkerGraph,
+    caller: str = "Modal",
+    max_repeat: int = 256,
+) -> np.ndarray:
+    """Consensus repeat count for each of the k positions of each
+    vertex (reference: assembleMarkerGraphVertices,
+    src/AssemblerMarkerGraph.cpp:4509). The base sequence of a vertex
+    is its k-mer; only repeat counts need consensus.
+
+    Returns int32 [n_vertices, k]. Fully vectorized: one histogram
+    scatter per k-mer position over all vertices at once.
+    """
+    k = markers.k
+    n_v = mg.vertex_count
+    out = np.zeros((n_v, k), dtype=np.int32)
+    if n_v == 0:
+        return out
+
+    moff = markers.offsets
+    total = markers.total_count
+    # Vertex and oriented read of every in-vertex marker.
+    vm = mg.vertex_markers  # flat marker ids, grouped by vertex
+    v_of = np.repeat(np.arange(n_v, dtype=np.int64), mg.vertex_coverage())
+    orid = np.searchsorted(moff, vm, side="right") - 1
+    pos = markers.positions[vm].astype(np.int64)  # RLE position of marker start
+
+    # Flat index of RLE position (pos + j) per oriented read.
+    rid = orid >> 1
+    rev = (orid & 1).astype(bool)
+    lo = reads.offsets[rid]
+    hi = reads.offsets[rid + 1]
+
+    for j in range(k):
+        p = pos + j
+        idx = np.where(rev, hi - 1 - p, lo + p)
+        rc = reads.repeat_counts[idx].astype(np.int64).clip(0, max_repeat - 1)
+        hist = np.zeros((n_v, max_repeat), dtype=np.int32)
+        np.add.at(hist, (v_of, rc), 1)
+        if caller == "Modal":
+            out[:, j] = np.argmax(hist, axis=1)
+        elif caller == "Median":
+            c = np.cumsum(hist, axis=1)
+            half = c[:, -1:] // 2
+            out[:, j] = np.argmax(c > half, axis=1)
+        else:
+            raise ValueError(f"Unsupported vertex caller {caller!r}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Edge consensus
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EdgeConsensus:
+    """Per marker-graph edge: consensus fill sequence between the two
+    vertex k-mers (RLE codes + repeat counts) or an overlapping base
+    count when the k-mers overlap (reference: the
+    (sequence, repeatCounts, overlappingBaseCount) triple of
+    computeMarkerGraphEdgeConsensusSequenceUsingSpoa)."""
+
+    offsets: np.ndarray  # int64 [n_edges+1] into seq/rep
+    seq: np.ndarray  # uint8 flat
+    rep: np.ndarray  # int32 flat
+    overlap: np.ndarray  # int32 [n_edges]
+
+    def get(self, e: int):
+        lo, hi = self.offsets[e], self.offsets[e + 1]
+        return self.seq[lo:hi], self.rep[lo:hi], int(self.overlap[e])
+
+    def arrays(self) -> Dict[str, np.ndarray]:
+        return {
+            "offsets": self.offsets,
+            "seq": self.seq,
+            "rep": self.rep,
+            "overlap": self.overlap,
+        }
+
+    @classmethod
+    def from_arrays(cls, a) -> "EdgeConsensus":
+        return cls(offsets=a["offsets"], seq=a["seq"], rep=a["rep"], overlap=a["overlap"])
+
+
+def assemble_marker_graph_edges(
+    reads: ReadStore,
+    markers: MarkerStore,
+    mg: MarkerGraph,
+    needed: Optional[np.ndarray] = None,
+    caller=None,
+    length_threshold_markers: int = 1000,
+    length_threshold_bases: int = 1000,
+) -> EdgeConsensus:
+    """Consensus fill sequence of each (needed) marker graph edge
+    (reference: computeMarkerGraphEdgeConsensusSequenceUsingSpoa,
+    src/AssemblerMarkerGraph.cpp:3179-3660).
+
+    Per edge, with k = marker length and per-interval marker positions
+    (position0, position1):
+    - long intervals (ordinal skip > length_threshold_markers or RLE
+      span > length_threshold_bases) -> use the shortest interval's
+      literal sequence;
+    - otherwise pick mode 1 (offset <= k: overlapping/adjacent markers,
+      consensus = most frequent offset) or mode 2 (intervening
+      sequence: MSA of distinct sequences by decreasing frequency,
+      per-column caller consensus) by majority.
+    """
+    from shasta_tpu.consensus.caller import ModalConsensusCaller
+
+    if caller is None:
+        caller = ModalConsensusCaller()
+    k = markers.k
+    n_edges = mg.edge_count
+    moff = markers.offsets
+
+    seq_rows: List[np.ndarray] = []
+    rep_rows: List[np.ndarray] = []
+    overlap = np.zeros(n_edges, dtype=np.int32)
+    offsets = np.zeros(n_edges + 1, dtype=np.int64)
+
+    pos_flat = markers.positions
+
+    for e in range(n_edges):
+        if needed is not None and not needed[e]:
+            offsets[e + 1] = offsets[e]
+            continue
+        orids, ord0s, ord1s = mg.edge_intervals(e)
+        m = orids.shape[0]
+        p0 = pos_flat[moff[orids] + ord0s].astype(np.int64)
+        p1 = pos_flat[moff[orids] + ord1s].astype(np.int64)
+        offs = p1 - p0
+        skips = (ord1s - ord0s).astype(np.int64)
+        rle_span = offs
+
+        if (skips > length_threshold_markers).any() or (
+            rle_span > length_threshold_bases
+        ).any():
+            # Pathological: shortest interval literally.
+            i = int(np.argmin(skips))
+            if p1[i] > p0[i] + k:
+                positions = np.arange(p0[i] + k, p1[i], dtype=np.int64)
+                b, r = oriented_base_repeat(reads, int(orids[i]), positions)
+                seq_rows.append(b.astype(np.uint8))
+                rep_rows.append(r.astype(np.int32))
+                overlap[e] = 0
+            else:
+                overlap[e] = int(p0[i] + k - p1[i])
+            offsets[e + 1] = offsets[e] + (
+                seq_rows[-1].shape[0] if p1[i] > p0[i] + k else 0
+            )
+            continue
+
+        mode1 = offs <= k
+        if mode1.sum() >= m - mode1.sum():
+            # Mode 1: most frequent offset (ties -> smaller offset).
+            hist = np.bincount(offs[mode1].astype(np.int64), minlength=k + 1)
+            best_offset = int(np.argmax(hist))
+            overlap[e] = k - best_offset
+            offsets[e + 1] = offsets[e]
+            continue
+
+        # Mode 2: MSA of intervening sequences.
+        used = np.flatnonzero(~mode1)
+        seqs: List[np.ndarray] = []
+        reps: List[np.ndarray] = []
+        for i in used:
+            positions = np.arange(p0[i] + k, p1[i], dtype=np.int64)
+            b, r = oriented_base_repeat(reads, int(orids[i]), positions)
+            seqs.append(b)
+            reps.append(r)
+
+        # Distinct sequences in order of decreasing frequency
+        # (stable: ties by first encountered).
+        keys: Dict[bytes, int] = {}
+        occurrences: List[List[int]] = []
+        for t, s in enumerate(seqs):
+            kb = s.tobytes()
+            if kb in keys:
+                occurrences[keys[kb]].append(t)
+            else:
+                keys[kb] = len(occurrences)
+                occurrences.append([t])
+        order = sorted(
+            range(len(occurrences)), key=lambda K: (-len(occurrences[K]), K)
+        )
+        distinct = [seqs[occurrences[K][0]] for K in order]
+        occ_sorted = [occurrences[K] for K in order]
+
+        rows = MSA.center_star_msa(distinct)
+        width = rows[0].shape[0]
+
+        # Per-column coverage -> consensus.
+        cons_seq: List[int] = []
+        cons_rep: List[int] = []
+        # per used-interval pointer into its own sequence
+        ptr = np.zeros(len(seqs), dtype=np.int64)
+        for col in range(width):
+            col_bases = []
+            col_reps = []
+            for row_i, occ in enumerate(occ_sorted):
+                ch = rows[row_i][col]
+                for t in occ:
+                    if ch == GAP:
+                        col_bases.append(GAP)
+                        col_reps.append(0)
+                    else:
+                        col_bases.append(int(ch))
+                        col_reps.append(int(reps[t][ptr[t]]))
+            for row_i, occ in enumerate(occ_sorted):
+                if rows[row_i][col] != GAP:
+                    for t in occ:
+                        ptr[t] += 1
+            b, r = caller(np.array(col_bases), np.array(col_reps))
+            if b != GAP:
+                cons_seq.append(b)
+                cons_rep.append(max(1, r))
+        seq_rows.append(np.array(cons_seq, dtype=np.uint8))
+        rep_rows.append(np.array(cons_rep, dtype=np.int32))
+        overlap[e] = 0
+        offsets[e + 1] = offsets[e] + len(cons_seq)
+
+    seq = (
+        np.concatenate(seq_rows) if seq_rows else np.zeros(0, np.uint8)
+    )
+    rep = (
+        np.concatenate(rep_rows) if rep_rows else np.zeros(0, np.int32)
+    )
+    return EdgeConsensus(offsets=offsets, seq=seq, rep=rep, overlap=overlap)
+
+
+# ---------------------------------------------------------------------------
+# Assembly graph (linear chain condensation)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AssemblyGraph:
+    """Edges are linear chains of marker-graph edges
+    (reference: src/AssemblyGraph.hpp:33-120). ``chain_offsets``/
+    ``chains`` is the CSR of marker-graph edge ids per assembly edge
+    (the reference's edgeLists); rc pairing follows the reference
+    convention: an edge is assembled iff edge_id <= rc_edge[edge_id]."""
+
+    chain_offsets: np.ndarray  # int64 [n_edges+1]
+    chains: np.ndarray  # int64 flat marker-graph edge ids
+    rc_edge: np.ndarray  # int64 [n_edges]
+    source_v: np.ndarray  # int64 [n_edges] marker-graph vertex id
+    target_v: np.ndarray  # int64 [n_edges]
+    is_circular: np.ndarray  # bool [n_edges]
+
+    # Assembled sequence per assembled edge (filled by assemble()).
+    seg_rle_offsets: np.ndarray = None  # int64 [n_edges+1]
+    seg_rle: np.ndarray = None  # uint8 flat
+    seg_rep: np.ndarray = None  # int32 flat
+    seg_raw_offsets: np.ndarray = None  # int64 [n_edges+1]
+    seg_raw: np.ndarray = None  # uint8 flat
+
+    @property
+    def edge_count(self) -> int:
+        return self.chain_offsets.shape[0] - 1
+
+    def chain(self, e: int) -> np.ndarray:
+        return self.chains[self.chain_offsets[e] : self.chain_offsets[e + 1]]
+
+    def is_assembled_edge(self, e: int) -> bool:
+        return e <= self.rc_edge[e]
+
+    def raw_sequence(self, e: int) -> np.ndarray:
+        if self.is_assembled_edge(e):
+            lo, hi = self.seg_raw_offsets[e], self.seg_raw_offsets[e + 1]
+            return self.seg_raw[lo:hi]
+        rc = self.rc_edge[e]
+        lo, hi = self.seg_raw_offsets[rc], self.seg_raw_offsets[rc + 1]
+        s = self.seg_raw[lo:hi]
+        return (3 - s[::-1]).astype(np.uint8)
+
+    def arrays(self) -> Dict[str, np.ndarray]:
+        out = {
+            "chain_offsets": self.chain_offsets,
+            "chains": self.chains,
+            "rc_edge": self.rc_edge,
+            "source_v": self.source_v,
+            "target_v": self.target_v,
+            "is_circular": self.is_circular,
+        }
+        for k in ("seg_rle_offsets", "seg_rle", "seg_rep", "seg_raw_offsets", "seg_raw"):
+            v = getattr(self, k)
+            if v is not None:
+                out[k] = v
+        return out
+
+    @classmethod
+    def from_arrays(cls, a) -> "AssemblyGraph":
+        return cls(**dict(a))
+
+
+def create_assembly_graph(mg: MarkerGraph) -> AssemblyGraph:
+    """Condense maximal linear chains of alive marker-graph edges
+    (reference: createAssemblyGraphEdges,
+    src/AssemblerAssemblyGraph.cpp:38-230). RC chains are appended
+    immediately after their direct chain, like the reference."""
+    n_edges = mg.edge_count
+    alive = mg.alive()
+    n_v = mg.vertex_count
+
+    out_deg = np.bincount(mg.source[alive], minlength=n_v)
+    in_deg = np.bincount(mg.target[alive], minlength=n_v)
+
+    # Unique alive out-edge / in-edge per vertex (valid when degree==1).
+    only_out = np.full(n_v, -1, dtype=np.int64)
+    e_alive = np.flatnonzero(alive)
+    only_out[mg.source[e_alive]] = e_alive
+    only_in = np.full(n_v, -1, dtype=np.int64)
+    only_in[mg.target[e_alive]] = e_alive
+
+    def next_edge(e: int) -> int:
+        t = mg.target[e]
+        if out_deg[t] != 1 or in_deg[t] != 1:
+            return -1
+        return int(only_out[t])
+
+    def prev_edge(e: int) -> int:
+        s = mg.source[e]
+        if out_deg[s] != 1 or in_deg[s] != 1:
+            return -1
+        return int(only_in[s])
+
+    was_found = np.zeros(n_edges, dtype=bool)
+    chains: List[np.ndarray] = []
+    rc_of: List[int] = []
+    circular: List[bool] = []
+
+    for start in range(n_edges):
+        if not alive[start] or was_found[start]:
+            continue
+        nxt = []
+        e = start
+        is_circ = False
+        while True:
+            e = next_edge(e)
+            if e == -1:
+                break
+            if e == start:
+                is_circ = True
+                break
+            nxt.append(e)
+        prev = []
+        if not is_circ:
+            e = start
+            while True:
+                e = prev_edge(e)
+                if e == -1:
+                    break
+                prev.append(e)
+        chain = np.array(prev[::-1] + [start] + nxt, dtype=np.int64)
+        was_found[chain] = True
+
+        rc_chain = mg.rc_edge[chain][::-1].copy()
+        if is_circ:
+            self_comp = bool(np.isin(rc_chain[0], chain))
+        else:
+            self_comp = bool(np.array_equal(chain, rc_chain))
+
+        cid = len(chains)
+        chains.append(chain)
+        circular.append(is_circ)
+        if self_comp:
+            rc_of.append(cid)
+        else:
+            was_found[rc_chain] = True
+            chains.append(rc_chain)
+            circular.append(is_circ)
+            rc_of.append(cid + 1)
+            rc_of.append(cid)
+
+    n_a = len(chains)
+    chain_offsets = np.zeros(n_a + 1, dtype=np.int64)
+    for i, c in enumerate(chains):
+        chain_offsets[i + 1] = chain_offsets[i] + c.shape[0]
+    flat = (
+        np.concatenate(chains) if chains else np.zeros(0, np.int64)
+    )
+    source_v = np.array(
+        [mg.source[c[0]] for c in chains], dtype=np.int64
+    ) if chains else np.zeros(0, np.int64)
+    target_v = np.array(
+        [mg.target[c[-1]] for c in chains], dtype=np.int64
+    ) if chains else np.zeros(0, np.int64)
+
+    return AssemblyGraph(
+        chain_offsets=chain_offsets,
+        chains=flat,
+        rc_edge=np.array(rc_of, dtype=np.int64),
+        source_v=source_v,
+        target_v=target_v,
+        is_circular=np.array(circular, dtype=bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment stitching
+# ---------------------------------------------------------------------------
+
+
+def assemble_segments(
+    ag: AssemblyGraph,
+    mg: MarkerGraph,
+    markers: MarkerStore,
+    vertex_repeats: np.ndarray,  # [n_vertices, k]
+    edge_consensus: EdgeConsensus,
+) -> None:
+    """Stitch each assembled chain into RLE + raw sequence
+    (reference: AssembledSegment::assemble/computeVertexOffsets/
+    computeVertexAssembledPortion, src/AssembledSegment.cpp:52-180).
+    Fills ag.seg_* in place."""
+    k = markers.k
+    n_a = ag.edge_count
+    kmer_first = markers.kmer_ids[mg.vertex_markers[mg.vertex_offsets[:-1]]] if mg.vertex_count else np.zeros(0, np.uint32)
+    vertex_cov = mg.vertex_coverage()
+
+    rle_rows: List[np.ndarray] = []
+    rep_rows: List[np.ndarray] = []
+    raw_rows: List[np.ndarray] = []
+    rle_offsets = np.zeros(n_a + 1, dtype=np.int64)
+    raw_offsets = np.zeros(n_a + 1, dtype=np.int64)
+
+    for a in range(n_a):
+        if not ag.is_assembled_edge(a):
+            rle_offsets[a + 1] = rle_offsets[a]
+            raw_offsets[a + 1] = raw_offsets[a]
+            continue
+        chain = ag.chain(a)
+        n_e = chain.shape[0]
+        # Vertices along the chain.
+        v_ids = np.empty(n_e + 1, dtype=np.int64)
+        v_ids[0] = mg.source[chain[0]]
+        v_ids[1:] = mg.target[chain]
+
+        # Per-vertex sequences and repeat counts.
+        v_seqs = [unpack_kmer(int(kmer_first[v]), k) for v in v_ids]
+        v_reps = [vertex_repeats[v] for v in v_ids]
+        v_cov = vertex_cov[v_ids]
+
+        # Edge fills.
+        e_seq = []
+        e_rep = []
+        e_overlap = np.empty(n_e, dtype=np.int64)
+        for t, e in enumerate(chain):
+            s, r, o = edge_consensus.get(int(e))
+            e_seq.append(s)
+            e_rep.append(r)
+            e_overlap[t] = o
+
+        # Vertex offsets (reference: computeVertexOffsets).
+        v_off = np.zeros(n_e + 1, dtype=np.int64)
+        for i in range(n_e):
+            if e_overlap[i] > 0:
+                v_off[i + 1] = v_off[i] + k - e_overlap[i]
+            else:
+                v_off[i + 1] = v_off[i] + k + e_seq[i].shape[0]
+
+        # Assembled portion per vertex (reference:
+        # computeVertexAssembledPortion — overlap resolution by
+        # coverage, ties by lower vertex id).
+        first = np.zeros(n_e + 1, dtype=np.int64)
+        second = np.full(n_e + 1, k, dtype=np.int64)
+        for i in range(n_e + 1):
+            for j in range(i - 1, -1, -1):
+                if v_off[j] + k < v_off[i]:
+                    break
+                if v_cov[j] > v_cov[i] or (
+                    v_cov[j] == v_cov[i] and v_ids[j] < v_ids[i]
+                ):
+                    first[i] = v_off[j] + k - v_off[i]
+                    break
+            for j in range(i + 1, n_e + 1):
+                if v_off[i] + k < v_off[j]:
+                    break
+                if v_cov[j] > v_cov[i] or (
+                    v_cov[j] == v_cov[i] and v_ids[j] < v_ids[i]
+                ):
+                    second[i] = v_off[j] - v_off[i]
+                    break
+            if second[i] <= first[i]:
+                first[i] = 0
+                second[i] = 0
+
+        # Stitch (reference: AssembledSegment::assemble).
+        rle: List[np.ndarray] = []
+        rep: List[np.ndarray] = []
+        for i in range(n_e + 1):
+            rle.append(v_seqs[i][first[i] : second[i]])
+            rep.append(v_reps[i][first[i] : second[i]].astype(np.int32))
+            if i < n_e and e_seq[i].shape[0] > 0:
+                rle.append(e_seq[i])
+                rep.append(e_rep[i])
+        rle_arr = np.concatenate(rle) if rle else np.zeros(0, np.uint8)
+        rep_arr = np.concatenate(rep) if rep else np.zeros(0, np.int32)
+        rep_arr = np.maximum(rep_arr, 1)
+        raw_arr = np.repeat(rle_arr, rep_arr)
+
+        rle_rows.append(rle_arr)
+        rep_rows.append(rep_arr)
+        raw_rows.append(raw_arr)
+        rle_offsets[a + 1] = rle_offsets[a] + rle_arr.shape[0]
+        raw_offsets[a + 1] = raw_offsets[a] + raw_arr.shape[0]
+
+    ag.seg_rle_offsets = rle_offsets
+    ag.seg_rle = np.concatenate(rle_rows) if rle_rows else np.zeros(0, np.uint8)
+    ag.seg_rep = np.concatenate(rep_rows) if rep_rows else np.zeros(0, np.int32)
+    ag.seg_raw_offsets = raw_offsets
+    ag.seg_raw = np.concatenate(raw_rows) if raw_rows else np.zeros(0, np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Statistics and writers
+# ---------------------------------------------------------------------------
+
+
+def assembly_statistics(ag: AssemblyGraph) -> Dict[str, int]:
+    """Counts + N50 over assembled segments (raw bases), like the
+    reference's computeAssemblyStatistics
+    (src/AssemblerAssemblyGraph.cpp:864)."""
+    lengths = np.diff(ag.seg_raw_offsets)
+    lengths = lengths[lengths > 0]
+    total = int(lengths.sum())
+    n50 = 0
+    if total > 0:
+        s = np.sort(lengths)[::-1]
+        cum = np.cumsum(s)
+        n50 = int(s[np.searchsorted(cum, total / 2)])
+    return {
+        "segment_count": int(lengths.shape[0]),
+        "total_length": total,
+        "longest": int(lengths.max()) if lengths.shape[0] else 0,
+        "n50": n50,
+    }
+
+
+_BASES = np.array(["A", "C", "G", "T"])
+
+
+def _seq_str(codes: np.ndarray) -> str:
+    return "".join(_BASES[codes])
+
+
+def write_gfa1(
+    path: str,
+    ag: AssemblyGraph,
+    k: int,
+    vertex_repeats: Optional[np.ndarray] = None,
+    both_strands: bool = False,
+) -> None:
+    """GFA 1.0 (reference: writeGfa1,
+    src/AssemblerAssemblyGraph.cpp:942): S per assembled edge (raw
+    sequence), L per (in-edge, out-edge) pair at every vertex, mapped
+    to the assembled representative with orientation flips."""
+    n = ag.edge_count
+    with open(path, "w") as f:
+        f.write("H\tVN:Z:1.0\n")
+        for e in range(n):
+            if not both_strands and not ag.is_assembled_edge(e):
+                continue
+            s = ag.raw_sequence(e)
+            if s.shape[0] == 0:
+                continue
+            f.write(f"S\t{e}\t{_seq_str(s)}\n")
+
+        # Links: group edges by shared vertex.
+        by_target: Dict[int, List[int]] = {}
+        by_source: Dict[int, List[int]] = {}
+        for e in range(n):
+            by_source.setdefault(int(ag.source_v[e]), []).append(e)
+            by_target.setdefault(int(ag.target_v[e]), []).append(e)
+        # Raw overlap length at a vertex = sum of its k repeat counts.
+        for v, ins in by_target.items():
+            outs = by_source.get(v)
+            if not outs:
+                continue
+            if vertex_repeats is not None:
+                olap = int(vertex_repeats[v].sum())
+            else:
+                olap = k
+            for e0 in ins:
+                for e1 in outs:
+                    if both_strands:
+                        f.write(f"L\t{e0}\t+\t{e1}\t+\t{olap}M\n")
+                    else:
+                        r0, o0 = (
+                            (e0, "+") if ag.is_assembled_edge(e0) else (int(ag.rc_edge[e0]), "-")
+                        )
+                        r1, o1 = (
+                            (e1, "+") if ag.is_assembled_edge(e1) else (int(ag.rc_edge[e1]), "-")
+                        )
+                        f.write(f"L\t{r0}\t{o0}\t{r1}\t{o1}\t{olap}M\n")
+
+
+def write_fasta(path: str, ag: AssemblyGraph) -> None:
+    """FASTA of assembled segments (reference: writeFasta,
+    src/AssemblerAssemblyGraph.cpp:1214)."""
+    with open(path, "w") as f:
+        for e in range(ag.edge_count):
+            if not ag.is_assembled_edge(e):
+                continue
+            s = ag.raw_sequence(e)
+            if s.shape[0] == 0:
+                continue
+            f.write(f">{e} length {s.shape[0]}\n")
+            f.write(_seq_str(s))
+            f.write("\n")

@@ -113,6 +113,29 @@ def parse_fasta_bytes(data: bytes) -> ParsedReads:
     return _parse_fasta(data)
 
 
+def merge_parsed(parts: List[ParsedReads]) -> ParsedReads:
+    """Concatenate reads from several input files (reference: the
+    addReads-per-file loop at srcMain/main.cpp:544)."""
+    names: List[str] = []
+    metadata: List[str] = []
+    seqs = []
+    total = 0
+    for p in parts:
+        names.extend(p.names)
+        metadata.extend(p.metadata if p.metadata else [""] * p.read_count)
+        seqs.append(p.seq_ascii)
+        total += p.seq_ascii.shape[0]
+    offsets = np.zeros(len(names) + 1, dtype=np.int64)
+    lengths = np.concatenate([np.diff(p.offsets) for p in parts]) if parts else np.zeros(0, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return ParsedReads(
+        names=names,
+        seq_ascii=np.concatenate(seqs) if seqs else np.zeros(0, np.uint8),
+        offsets=offsets,
+        metadata=metadata,
+    )
+
+
 def parse_file(path: str) -> ParsedReads:
     data = _open_maybe_gzip(path)
     stem = path[:-3] if path.endswith(".gz") else path

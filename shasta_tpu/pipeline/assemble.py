@@ -1,0 +1,293 @@
+"""The end-to-end mode-0 assembly pipeline.
+
+TPU-native counterpart of the reference's assemble() driver
+(reference: srcMain/main.cpp:516-830 and mode0Assembly at :845-1045).
+Every stage persists its outputs to the run directory's stage store,
+so any stage can be re-run in isolation — the same
+checkpoint-is-the-data-model property the reference gets from its
+memory-mapped Data/ namespace.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from shasta_tpu.data.kmers import KmerTable, select_kmers_random
+from shasta_tpu.data.markers import MarkerStore, find_markers
+from shasta_tpu.data.reads import ReadStore, build_read_store
+from shasta_tpu.data.store import RunStore
+from shasta_tpu.graph import assembly_graph as AG
+from shasta_tpu.graph import marker_graph as MG
+from shasta_tpu.graph import read_graph as RG
+from shasta_tpu.io import fasta as FIO
+from shasta_tpu.ops import lowhash as LH
+from shasta_tpu.ops.align import AlignParams, AlignmentStore, align_candidates
+from shasta_tpu.pipeline.config import AssemblyConfig
+from shasta_tpu.utils.perf import PerformanceLog
+from shasta_tpu.consensus.caller import get_consensus_caller
+
+
+def auto_min_coverage(coverage_histogram: np.ndarray, fallback: int = 5) -> int:
+    """Pick MarkerGraph.minCoverage from the disjoint-sets coverage
+    histogram when the configured value is 0 (reference: PeakFinder,
+    src/PeakFinder.cpp, used at src/AssemblerMarkerGraph.cpp:230-250).
+
+    Simplified criterion: the main peak is the histogram argmax for
+    coverage >= 3; the cutoff is the lowest point of the valley
+    between the low-coverage error peak and the main peak.
+    """
+    h = np.asarray(coverage_histogram, dtype=np.float64)
+    if h.shape[0] < 5:
+        return fallback
+    main_peak = int(np.argmax(h[3:]) + 3)
+    if main_peak <= 2:
+        return fallback
+    valley = int(np.argmin(h[1:main_peak]) + 1)
+    return max(2, valley)
+
+
+class Assembler:
+    """Holds pipeline state; method names mirror the reference's
+    Assembler stages (reference: src/Assembler.hpp) so Python-driven
+    stage-wise runs look the same."""
+
+    def __init__(self, run_dir: str, config: Optional[AssemblyConfig] = None):
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        self.store = RunStore(run_dir)
+        self.config = config or AssemblyConfig()
+        self.log = PerformanceLog(os.path.join(run_dir, "performance.log"))
+
+        self.reads: Optional[ReadStore] = None
+        self.kmer_table: Optional[KmerTable] = None
+        self.markers: Optional[MarkerStore] = None
+        self.candidates: Optional[LH.CandidatePairs] = None
+        self.alignments: Optional[AlignmentStore] = None
+        self.read_graph: Optional[RG.ReadGraph] = None
+        self.marker_graph: Optional[MG.MarkerGraph] = None
+        self.assembly_graph: Optional[AG.AssemblyGraph] = None
+        self.vertex_repeats: Optional[np.ndarray] = None
+        self.edge_consensus: Optional[AG.EdgeConsensus] = None
+        self.min_coverage_used: int = 0
+
+    # ----- stages -----
+
+    def add_reads(self, input_files: List[str]) -> None:
+        with self.log.stage("addReads"):
+            parsed_list = [FIO.parse_file(p) for p in input_files]
+            merged = FIO.merge_parsed(parsed_list) if len(parsed_list) > 1 else parsed_list[0]
+            self.reads = build_read_store(
+                merged, min_read_length=self.config.reads.min_read_length
+            )
+            self.store.save_stage("Reads", self.reads.arrays())
+
+    def select_kmers(self) -> None:
+        ck = self.config.kmers
+        with self.log.stage("selectKmers"):
+            self.kmer_table = select_kmers_random(ck.k, ck.probability, seed=ck.seed)
+            self.store.save_stage("Kmers", self.kmer_table.arrays())
+
+    def find_markers(self) -> None:
+        with self.log.stage("findMarkers"):
+            self.markers = find_markers(self.reads, self.kmer_table)
+            self.store.save_stage("Markers", self.markers.arrays())
+
+    def find_alignment_candidates(self) -> None:
+        cm = self.config.min_hash
+        with self.log.stage("findAlignmentCandidatesLowHash"):
+            params = LH.LowHashParams(
+                m=cm.m,
+                hash_fraction=cm.hash_fraction,
+                iteration_count=cm.min_hash_iteration_count,
+                log2_bucket_count=cm.log2_min_hash_bucket_count,
+                min_bucket_size=cm.min_bucket_size,
+                max_bucket_size=cm.max_bucket_size,
+                min_frequency=cm.min_frequency,
+            )
+            self.candidates = LH.find_candidates_lowhash(
+                self.markers, params, self.reads.is_palindromic
+            )
+            self.store.save_stage("AlignmentCandidates", self.candidates.arrays())
+
+    def compute_alignments(self) -> None:
+        ca = self.config.align
+        with self.log.stage("computeAlignments"):
+            params = AlignParams(
+                match_score=ca.match_score,
+                mismatch_score=ca.mismatch_score,
+                gap_score=ca.gap_score,
+                downsampling_factor=ca.downsampling_factor,
+                band_extend=ca.band_extend,
+                max_band=ca.max_band,
+                min_aligned_marker_count=ca.min_aligned_marker_count,
+                min_aligned_fraction=ca.min_aligned_fraction,
+                max_skip=ca.max_skip,
+                max_drift=ca.max_drift,
+                max_trim=ca.max_trim,
+            )
+            self.alignments = align_candidates(
+                self.markers,
+                self.candidates.read_id0,
+                self.candidates.read_id1,
+                self.candidates.same_strand,
+                params,
+                self.kmer_table.downsampling_hash_table(),
+            )
+            self.store.save_stage("Alignments", self.alignments.arrays())
+
+    def create_read_graph(self) -> None:
+        cr = self.config.read_graph
+        with self.log.stage("createReadGraph"):
+            self.read_graph, _ = RG.create_read_graph(
+                self.alignments,
+                self.reads.read_count,
+                max_alignment_count=cr.max_alignment_count,
+            )
+            self.store.save_stage("ReadGraph", self.read_graph.arrays())
+        with self.log.stage("flagChimericReads"):
+            self.reads.is_chimeric = RG.flag_chimeric_reads(
+                self.read_graph,
+                self.reads.read_count,
+                max_distance=cr.max_chimeric_read_distance,
+            )
+
+    def create_marker_graph_vertices(self) -> None:
+        cm = self.config.marker_graph
+        with self.log.stage("createMarkerGraphVertices"):
+            u, v = MG.gather_unite_pairs(
+                self.markers, self.read_graph, self.alignments, self.reads.is_chimeric
+            )
+            min_cov = cm.min_coverage
+            if min_cov == 0:
+                # Histogram of disjoint-set sizes for auto selection.
+                label = MG.union_find_labels(self.markers.total_count, u, v)
+                _, counts = np.unique(label, return_counts=True)
+                hist = np.bincount(counts)
+                min_cov = auto_min_coverage(hist)
+                self.log.line(f"Automatically selected MarkerGraph.minCoverage = {min_cov}")
+            self.min_coverage_used = min_cov
+            self.marker_graph = MG.create_marker_graph_vertices(
+                self.markers,
+                u,
+                v,
+                min_coverage=min_cov,
+                max_coverage=cm.max_coverage,
+                min_coverage_per_strand=cm.min_coverage_per_strand,
+                allow_duplicate_markers=cm.allow_duplicate_markers,
+            )
+
+    def create_marker_graph_edges(self) -> None:
+        cm = self.config.marker_graph
+        with self.log.stage("createMarkerGraphEdges"):
+            MG.create_marker_graph_edges(self.markers, self.marker_graph)
+        with self.log.stage("transitiveReduction"):
+            MG.transitive_reduction(
+                self.marker_graph,
+                low_coverage_threshold=cm.low_coverage_threshold,
+                high_coverage_threshold=cm.high_coverage_threshold,
+                max_distance=cm.max_distance,
+                edge_marker_skip_threshold=cm.edge_marker_skip_threshold,
+            )
+        with self.log.stage("pruneMarkerGraphStrongSubgraph"):
+            MG.prune(self.marker_graph, iteration_count=cm.prune_iteration_count)
+        self.store.save_stage("MarkerGraph", self.marker_graph.arrays())
+
+    def assemble_mode0(self) -> None:
+        ca = self.config.assembly
+        mg = self.marker_graph
+        with self.log.stage("createAssemblyGraphEdges"):
+            self.assembly_graph = AG.create_assembly_graph(mg)
+        with self.log.stage("assembleMarkerGraphVertices"):
+            self.vertex_repeats = AG.assemble_marker_graph_vertices(
+                self.reads, self.markers, mg, caller=_vertex_caller_name(ca.consensus_caller)
+            )
+        with self.log.stage("assembleMarkerGraphEdges"):
+            # Only edges on assembled chains need consensus.
+            needed = np.zeros(mg.edge_count, dtype=bool)
+            for a in range(self.assembly_graph.edge_count):
+                if self.assembly_graph.is_assembled_edge(a):
+                    needed[self.assembly_graph.chain(a)] = True
+            self.edge_consensus = AG.assemble_marker_graph_edges(
+                self.reads,
+                self.markers,
+                mg,
+                needed=needed,
+                caller=get_consensus_caller(ca.consensus_caller),
+                length_threshold_markers=ca.marker_graph_edge_length_threshold_for_consensus,
+            )
+        with self.log.stage("assemble"):
+            AG.assemble_segments(
+                self.assembly_graph,
+                mg,
+                self.markers,
+                self.vertex_repeats,
+                self.edge_consensus,
+            )
+        self.store.save_stage("AssemblyGraph", self.assembly_graph.arrays())
+
+    def write_output(self) -> Dict:
+        stats = AG.assembly_statistics(self.assembly_graph)
+        with self.log.stage("writeOutput"):
+            AG.write_fasta(os.path.join(self.run_dir, "Assembly.fasta"), self.assembly_graph)
+            AG.write_gfa1(
+                os.path.join(self.run_dir, "Assembly.gfa"),
+                self.assembly_graph,
+                self.markers.k,
+                self.vertex_repeats,
+            )
+            summary = {
+                "readCount": self.reads.read_count,
+                "rawBaseCount": self.reads.total_raw_bases,
+                "rleBaseCount": self.reads.total_rle_bases,
+                "markerCount": self.markers.total_count,
+                "alignmentCandidateCount": int(self.candidates.count),
+                "alignmentCount": int(self.alignments.count),
+                "chimericReadCount": int(self.reads.is_chimeric.sum()),
+                "markerGraphVertexCount": self.marker_graph.vertex_count,
+                "markerGraphEdgeCount": self.marker_graph.edge_count,
+                "markerGraphMinCoverageUsed": self.min_coverage_used,
+                "assembledSegmentCount": stats["segment_count"],
+                "totalAssembledSegmentLength": stats["total_length"],
+                "longestAssembledSegmentLength": stats["longest"],
+                "assembledSegmentN50": stats["n50"],
+                "stageSeconds": dict(self.log.stage_seconds),
+            }
+            with open(os.path.join(self.run_dir, "AssemblySummary.json"), "w") as f:
+                json.dump(summary, f, indent=2)
+            self.config.write_conf(os.path.join(self.run_dir, "shasta.conf"))
+        return summary
+
+
+def _vertex_caller_name(spec: str) -> str:
+    return "Median" if spec == "Median" else "Modal"
+
+
+def run_assembly(
+    input_files: List[str],
+    run_dir: str,
+    config: Optional[AssemblyConfig] = None,
+) -> Dict:
+    """The full mode-0 pipeline (reference call sequence:
+    srcMain/main.cpp:516-830 + mode0Assembly :845-1045)."""
+    t0 = time.monotonic()
+    a = Assembler(run_dir, config)
+    a.add_reads(input_files)
+    a.select_kmers()
+    a.find_markers()
+    a.find_alignment_candidates()
+    a.compute_alignments()
+    a.create_read_graph()
+    a.create_marker_graph_vertices()
+    a.create_marker_graph_edges()
+    a.assemble_mode0()
+    summary = a.write_output()
+    summary["elapsedSeconds"] = time.monotonic() - t0
+    a.log.line(f"Assembly done in {summary['elapsedSeconds']:.3f} s.")
+    a.log.close()
+    return summary

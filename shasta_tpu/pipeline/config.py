@@ -1,0 +1,172 @@
+"""Assembly configuration: sections and keys mirror the reference's
+``[Section] key=value`` conf files (reference: src/AssemblerOptions.hpp:91-391,
+conf/*.conf). Any key can be set from a conf file or a CLI
+``--Section.key value`` override.
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+
+@dataclass
+class ReadsOptions:
+    min_read_length: int = 10000
+    desired_coverage: int = 0  # 0 = no coverage-based cutoff
+    no_cache: bool = False
+
+
+@dataclass
+class KmersOptions:
+    k: int = 10
+    probability: float = 0.1
+    generation_method: int = 0
+    seed: int = 231  # reference: srcMain/main.cpp:598 (mt19937 seed 231)
+
+
+@dataclass
+class MinHashOptions:
+    m: int = 4
+    hash_fraction: float = 0.01
+    min_hash_iteration_count: int = 10
+    log2_min_hash_bucket_count: int = 0
+    min_bucket_size: int = 0
+    max_bucket_size: int = 10
+    min_frequency: int = 2
+
+
+@dataclass
+class AlignOptions:
+    align_method: int = 3
+    match_score: int = 6
+    mismatch_score: int = -1
+    gap_score: int = -1
+    downsampling_factor: float = 0.1
+    band_extend: int = 10
+    max_band: int = 1000
+    max_skip: int = 30
+    max_drift: int = 30
+    max_trim: int = 30
+    min_aligned_marker_count: int = 100
+    min_aligned_fraction: float = 0.0
+
+
+@dataclass
+class ReadGraphOptions:
+    creation_method: int = 0
+    max_alignment_count: int = 6
+    max_chimeric_read_distance: int = 2
+    strand_separation_method: int = 0
+
+
+@dataclass
+class MarkerGraphOptions:
+    min_coverage: int = 0  # 0 = auto via peak finder
+    max_coverage: int = 100
+    min_coverage_per_strand: int = 0
+    allow_duplicate_markers: bool = False
+    # transitive reduction
+    low_coverage_threshold: int = 1
+    high_coverage_threshold: int = 256
+    max_distance: int = 30
+    edge_marker_skip_threshold: int = 100
+    prune_iteration_count: int = 6
+    simplify_max_length: str = "10,100,1000"
+
+
+@dataclass
+class AssemblyOptions:
+    mode: int = 0
+    consensus_caller: str = "Modal"
+    marker_graph_edge_length_threshold_for_consensus: int = 1000
+
+
+@dataclass
+class AssemblyConfig:
+    reads: ReadsOptions = field(default_factory=ReadsOptions)
+    kmers: KmersOptions = field(default_factory=KmersOptions)
+    min_hash: MinHashOptions = field(default_factory=MinHashOptions)
+    align: AlignOptions = field(default_factory=AlignOptions)
+    read_graph: ReadGraphOptions = field(default_factory=ReadGraphOptions)
+    marker_graph: MarkerGraphOptions = field(default_factory=MarkerGraphOptions)
+    assembly: AssemblyOptions = field(default_factory=AssemblyOptions)
+
+    _SECTION_MAP = {
+        "Reads": "reads",
+        "Kmers": "kmers",
+        "MinHash": "min_hash",
+        "Align": "align",
+        "ReadGraph": "read_graph",
+        "MarkerGraph": "marker_graph",
+        "Assembly": "assembly",
+    }
+
+    def to_dict(self) -> Dict[str, Dict[str, object]]:
+        out = {}
+        for section, attr in self._SECTION_MAP.items():
+            out[section] = dataclasses.asdict(getattr(self, attr))
+        return out
+
+    def set(self, section: str, key: str, value: str) -> None:
+        """Apply one ``Section.key=value`` override (string value is
+        coerced to the field's type)."""
+        attr = self._SECTION_MAP.get(section)
+        if attr is None:
+            raise KeyError(f"Unknown config section {section!r}")
+        obj = getattr(self, attr)
+        pykey = _to_snake(key)
+        if not hasattr(obj, pykey):
+            raise KeyError(f"Unknown config key {section}.{key}")
+        cur = getattr(obj, pykey)
+        if isinstance(cur, bool):
+            setattr(obj, pykey, str(value).lower() in ("1", "true", "yes"))
+        elif isinstance(cur, int):
+            setattr(obj, pykey, int(value))
+        elif isinstance(cur, float):
+            setattr(obj, pykey, float(value))
+        else:
+            setattr(obj, pykey, value)
+
+    @classmethod
+    def from_conf_file(cls, path: str) -> "AssemblyConfig":
+        cfg = cls()
+        parser = configparser.ConfigParser()
+        parser.optionxform = str  # keep camelCase keys intact
+        parser.read(path)
+        for section in parser.sections():
+            for key, value in parser.items(section):
+                try:
+                    cfg.set(section, key, value)
+                except KeyError:
+                    pass  # tolerate unknown keys from reference confs
+        return cfg
+
+    def write_conf(self, path: str) -> None:
+        """Record the effective configuration (like the reference's
+        shasta.conf dump, srcMain/main.cpp:359-364)."""
+        with open(path, "w") as f:
+            for section, attr in self._SECTION_MAP.items():
+                f.write(f"[{section}]\n")
+                for k, v in dataclasses.asdict(getattr(self, attr)).items():
+                    f.write(f"{_to_camel(k)} = {v}\n")
+                f.write("\n")
+
+
+def _to_snake(key: str) -> str:
+    out = []
+    for c in key:
+        if c.isupper():
+            out.append("_")
+            out.append(c.lower())
+        else:
+            out.append(c)
+    s = "".join(out)
+    return s[1:] if s.startswith("_") else s
+
+
+def _to_camel(key: str) -> str:
+    parts = key.split("_")
+    return parts[0] + "".join(p.capitalize() for p in parts[1:])

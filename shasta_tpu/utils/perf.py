@@ -1,0 +1,43 @@
+"""Stage tracing: timestamped begin/end lines, like the reference's
+performance.log (reference: src/performanceLog.hpp:10-14, stage lines
+e.g. src/AssemblerMarkerGraph.cpp:75)."""
+
+from __future__ import annotations
+
+import contextlib
+import datetime
+import sys
+import time
+from typing import Dict, List, Optional, TextIO
+
+
+class PerformanceLog:
+    def __init__(self, path: Optional[str] = None, echo: bool = False):
+        self._f: Optional[TextIO] = open(path, "w") if path else None
+        self._echo = echo
+        self.stage_seconds: Dict[str, float] = {}
+
+    def line(self, msg: str) -> None:
+        ts = datetime.datetime.now().strftime("%Y-%b-%d %H:%M:%S.%f")
+        text = f"{ts} {msg}"
+        if self._f:
+            self._f.write(text + "\n")
+            self._f.flush()
+        if self._echo:
+            print(text, file=sys.stderr)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        self.line(f"Begin {name}.")
+        t0 = time.monotonic()
+        try:
+            yield
+        finally:
+            dt = time.monotonic() - t0
+            self.stage_seconds[name] = self.stage_seconds.get(name, 0.0) + dt
+            self.line(f"End {name} ({dt:.3f} s).")
+
+    def close(self) -> None:
+        if self._f:
+            self._f.close()
+            self._f = None

@@ -1,0 +1,84 @@
+"""End-to-end mode-0 assembly on synthetic reads: the assembled contig
+must reconstruct the source genome."""
+
+import os
+
+import numpy as np
+import pytest
+
+from shasta_tpu.data import bases as B
+from shasta_tpu.pipeline.assemble import run_assembly
+from shasta_tpu.pipeline.config import AssemblyConfig
+
+from tests import synth
+
+
+def small_config():
+    cfg = AssemblyConfig()
+    cfg.reads.min_read_length = 500
+    cfg.kmers.k = 8
+    cfg.kmers.probability = 0.1
+    cfg.min_hash.hash_fraction = 0.05
+    cfg.min_hash.min_hash_iteration_count = 6
+    cfg.min_hash.max_bucket_size = 60
+    cfg.align.min_aligned_marker_count = 20
+    cfg.align.max_skip = 60
+    cfg.align.max_drift = 60
+    cfg.align.max_trim = 60
+    cfg.read_graph.max_alignment_count = 8
+    cfg.marker_graph.min_coverage = 3
+    return cfg
+
+
+@pytest.mark.slow
+def test_e2e_error_free(tmp_path):
+    genome = synth.random_genome(30000, seed=11)
+    reads = synth.sample_reads(genome, 150, 3000, seed=12, both_strands=True)
+    fasta_path = os.path.join(tmp_path, "reads.fasta")
+    synth.write_fasta(fasta_path, reads)
+
+    run_dir = os.path.join(tmp_path, "run")
+    summary = run_assembly([fasta_path], run_dir, small_config())
+
+    assert summary["readCount"] == 150
+    assert summary["assembledSegmentCount"] >= 1
+    # The contigs together should cover most of the genome (an
+    # occasional break at a thin-coverage spot is expected).
+    assert summary["totalAssembledSegmentLength"] > 0.8 * 30000
+    assert summary["assembledSegmentCount"] <= 4
+
+    # Every contig must be an exact subsequence of the genome (either
+    # strand): error-free reads must assemble without errors.
+    contigs = read_fasta_codes(os.path.join(run_dir, "Assembly.fasta"))
+    gs = B.decode_to_str(genome)
+    gs_rc = B.decode_to_str(B.reverse_complement(genome))
+    for c in contigs:
+        cs = B.decode_to_str(c)
+        assert cs in gs or cs in gs_rc
+
+    # Output files exist.
+    for f in ("Assembly.fasta", "Assembly.gfa", "AssemblySummary.json",
+              "shasta.conf", "performance.log"):
+        assert os.path.exists(os.path.join(run_dir, f)), f
+    # Stage store is populated (checkpoint/rerun capability).
+    from shasta_tpu.data.store import RunStore
+    store = RunStore(run_dir, create=False)
+    for stage in ("Reads", "Kmers", "Markers", "AlignmentCandidates",
+                  "Alignments", "ReadGraph", "MarkerGraph", "AssemblyGraph"):
+        assert store.has_stage(stage), stage
+
+
+def read_fasta_codes(path):
+    seqs = []
+    cur = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith(">"):
+                if cur:
+                    seqs.append(B.encode_str("".join(cur)))
+                    cur = []
+            else:
+                cur.append(line.strip())
+    if cur:
+        seqs.append(B.encode_str("".join(cur)))
+    return seqs
