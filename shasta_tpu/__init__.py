@@ -28,7 +28,7 @@ __all__ = ["__version__", "Assembler"]
 def __getattr__(name):
     # Lazy import to keep `import shasta_tpu` light.
     if name == "Assembler":
-        from shasta_tpu.pipeline.assembler import Assembler
+        from shasta_tpu.pipeline.assemble import Assembler
 
         return Assembler
     raise AttributeError(f"module 'shasta_tpu' has no attribute {name!r}")

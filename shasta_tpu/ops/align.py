@@ -45,6 +45,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from shasta_tpu.utils import jaxsetup  # noqa: F401  (persistent XLA cache)
+
 NEG_INF = np.int32(-(2**30))
 
 # Traceback direction codes.
@@ -237,8 +239,13 @@ def traceback(
 # Shape bucketing
 # ---------------------------------------------------------------------------
 
-_LEN_BUCKETS = [64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536]
-_W_BUCKETS = [64, 128, 256, 512, 1024, 2048]
+# Coarse buckets: every distinct (LA, LB, W) combination compiles its
+# own XLA kernel (~10-30 s each on TPU), so bucket sparsity matters more
+# than padding waste. 4x steps keep the worst-case pad at 4x while
+# capping the kernel zoo at |LEN|^2 * |W| shapes (shared across runs via
+# the persistent compilation cache enabled in shasta_tpu/__init__.py).
+_LEN_BUCKETS = [128, 512, 2048, 8192, 32768]
+_W_BUCKETS = [128, 512, 2048]
 
 
 def _bucket(n: int, buckets) -> int:
@@ -362,8 +369,12 @@ def _metrics_from_ordinals(ord0: np.ndarray, ord1: np.ndarray) -> Tuple[int, ...
 # ---------------------------------------------------------------------------
 
 # HBM budget for the traceback-direction slab per kernel invocation.
-_DIRS_BYTE_BUDGET = 1 << 30
-_MAX_BATCH = 512
+_DIRS_BYTE_BUDGET = 1 << 31
+_MAX_BATCH = 1024
+
+# Batch sizes are padded up to one of these so that every kernel
+# invocation reuses a cached compilation (B is part of the XLA shape).
+_BATCH_BUCKETS = [8, 64, 256, 1024, 4096]
 
 
 def _pad_rows(rows: List[np.ndarray], width: int, pad: int) -> np.ndarray:
@@ -393,12 +404,17 @@ def _run_bucket(
     max_b = max(1, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
     for lo in range(0, n, max_b):
         hi = min(lo + max_b, n)
-        B = hi - lo
-        a = _pad_rows(a_rows[lo:hi], LA, -1)
-        b = _pad_rows(b_rows[lo:hi], LB, -2)
-        a_len = np.array([r.shape[0] for r in a_rows[lo:hi]], np.int32)
-        b_len = np.array([r.shape[0] for r in b_rows[lo:hi]], np.int32)
-        bm = band_mins[lo:hi].astype(np.int32)
+        B = _bucket(hi - lo, _BATCH_BUCKETS) if hi - lo < max_b else hi - lo
+        pad = B - (hi - lo)
+        a = _pad_rows(a_rows[lo:hi] + [np.zeros(0, np.int32)] * pad, LA, -1)
+        b = _pad_rows(b_rows[lo:hi] + [np.zeros(0, np.int32)] * pad, LB, -2)
+        a_len = np.array(
+            [r.shape[0] for r in a_rows[lo:hi]] + [0] * pad, np.int32
+        )
+        b_len = np.array(
+            [r.shape[0] for r in b_rows[lo:hi]] + [0] * pad, np.int32
+        )
+        bm = np.concatenate([band_mins[lo:hi], np.zeros(pad)]).astype(np.int32)
 
         dirs, best_i, best_d, best_val = banded_forward(
             a,
@@ -415,7 +431,7 @@ def _run_bucket(
         m0, m1 = traceback(dirs, a, b, bm, best_i, best_d, n_steps=n_steps)
         m0 = np.asarray(m0)  # (n_steps, B)
         m1 = np.asarray(m1)
-        for t in range(B):
+        for t in range(hi - lo):
             sel = m0[:, t] >= 0
             o0 = m0[sel, t][::-1].astype(np.uint32)
             o1 = m1[sel, t][::-1].astype(np.uint32)
@@ -521,12 +537,17 @@ def align_candidates(
         max_b = max(1, min(_MAX_BATCH, (1 << 25) // max(1, la * lb)))
         for lo in range(0, len(idxs), max_b):
             part = idxs[lo : lo + max_b]
-            a = _pad_rows([ds_a[i] for i in part], la, -1)
-            b = _pad_rows([ds_b[i] for i in part], lb, -2)
+            pad = (
+                _bucket(len(part), _BATCH_BUCKETS) - len(part)
+                if len(part) < max_b
+                else 0
+            )
+            a = _pad_rows([ds_a[i] for i in part] + [np.zeros(0, np.int32)] * pad, la, -1)
+            b = _pad_rows([ds_b[i] for i in part] + [np.zeros(0, np.int32)] * pad, lb, -2)
             mn, mx, nd = _dot_diag_range(a, b)
-            dmin[part] = np.asarray(mn)
-            dmax[part] = np.asarray(mx)
-            ndots[part] = np.asarray(nd)
+            dmin[part] = np.asarray(mn)[: len(part)]
+            dmax[part] = np.asarray(mx)[: len(part)]
+            ndots[part] = np.asarray(nd)[: len(part)]
 
     # Downsampled banded DP where dots exist.
     cand_idx = np.flatnonzero(ndots > 0)

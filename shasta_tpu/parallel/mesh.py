@@ -1,0 +1,250 @@
+"""Multi-chip sharding of the pipeline's hot stages.
+
+The reference scales with a single-node thread pool over shared memory
+(reference: src/MultithreadedObject.hpp:33-99). The TPU-native design
+shards over a `jax.sharding.Mesh`:
+
+- candidate pairs are data-parallel over the ``pairs`` axis (the
+  equivalent of the reference's dynamic batch scheduler,
+  MultithreadedObject.hpp:49-54 — here the load is balanced up front
+  by shape bucketing, then split evenly);
+- LowHash features are data-parallel over reads, with bucket exchange
+  expressed as an all-to-all (reference's shared-memory bucket fill,
+  src/LowHash0.cpp:169-182);
+- the marker-graph union-find runs min-hooking rounds edge-parallel
+  with a cross-device min-reduction, then pointer-jumping on the
+  replicated label array (reference's lock-free CAS DSU,
+  src/dset64-gccAtomic.hpp, already converges with the same O(log)
+  flattening passes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from shasta_tpu.utils import jaxsetup  # noqa: F401
+from shasta_tpu.ops.align import _banded_forward
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "pairs") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Sharded banded alignment (data-parallel over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def sharded_banded_forward(
+    mesh: Mesh,
+    a: jnp.ndarray,  # (B, LA) int32, B divisible by mesh size
+    a_len: jnp.ndarray,
+    b: jnp.ndarray,  # (B, LB)
+    b_len: jnp.ndarray,
+    band_min: jnp.ndarray,
+    *,
+    W: int,
+    match: int = 6,
+    mismatch: int = -1,
+    gap: int = -1,
+):
+    """The full-batch DP forward pass sharded over pairs. Each device
+    runs the identical scan on its shard; no collectives needed (the
+    reduction over pairs happens host-side when metrics are gathered)."""
+    axis = mesh.axis_names[0]
+
+    def local(a, a_len, b, b_len, band_min):
+        dirs, best_i, best_d, best_val = _banded_forward(
+            a, a_len, b, b_len, band_min, W, match, mismatch, gap
+        )
+        return best_i, best_d, best_val
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(fn)(a, a_len, b, b_len, band_min)
+
+
+# ---------------------------------------------------------------------------
+# Sharded LowHash feature hashing + bucket histogram (all-to-all shape)
+# ---------------------------------------------------------------------------
+
+
+def _mix64(x: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
+    """splitmix64-style mixer on uint32 pairs (device-friendly stand-in
+    for MurmurHash64A in the sharded path; the host path uses the exact
+    Murmur hash — see shasta_tpu.ops.hashing)."""
+    x = x.astype(jnp.uint32)
+    h = x ^ (seed.astype(jnp.uint32))
+    h = (h ^ (h >> 16)) * jnp.uint32(0x7FEB352D)
+    h = (h ^ (h >> 15)) * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h
+
+
+def sharded_lowhash_step(
+    mesh: Mesh,
+    features: jnp.ndarray,  # (N, m) uint32, N divisible by mesh size
+    seed: int,
+    log2_buckets: int,
+):
+    """Hash features and histogram their bucket ids, reads sharded over
+    devices and the histogram psum-reduced across the mesh — the
+    collective skeleton of the LowHash bucket exchange."""
+    axis = mesh.axis_names[0]
+    n_buckets = 1 << log2_buckets
+
+    def local(feats):
+        h = jnp.zeros(feats.shape[0], jnp.uint32)
+        for j in range(feats.shape[1]):
+            h = _mix64(feats[:, j] ^ h, jnp.uint32(seed * 37 + j))
+        bucket = (h & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
+        hist = jnp.zeros((n_buckets,), jnp.int32).at[bucket].add(1)
+        hist = jax.lax.psum(hist, axis)
+        return h, bucket, hist
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=(P(axis), P(axis), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)(features)
+
+
+# ---------------------------------------------------------------------------
+# Sharded union-find (min-hooking + pointer jumping)
+# ---------------------------------------------------------------------------
+
+
+def sharded_union_find(
+    mesh: Mesh,
+    n: int,
+    u: jnp.ndarray,  # (E,) int32/int64, E divisible by mesh size
+    v: jnp.ndarray,
+    n_rounds: int = 16,
+) -> jnp.ndarray:
+    """Connected-component labels via edge-parallel min-hooking: each
+    device proposes scatter-min updates from its edge shard; proposals
+    combine with a cross-device elementwise min (pmin); pointer jumping
+    compresses. Matches the host union_find_labels semantics
+    (label = min member id) for graphs whose components converge within
+    n_rounds hooking rounds."""
+    axis = mesh.axis_names[0]
+
+    def local(u, v):
+        label = jnp.arange(n, dtype=jnp.int32)
+
+        def round_fn(label, _):
+            lu = label[u]
+            lv = label[v]
+            lo = jnp.minimum(lu, lv)
+            hi = jnp.maximum(lu, lv)
+            prop = label.at[hi].min(lo)
+            label = jax.lax.pmin(prop, axis)
+
+            def jump(lbl, _):
+                return lbl[lbl], None
+
+            label, _ = jax.lax.scan(jump, label, None, length=8)
+            return label, None
+
+        label, _ = jax.lax.scan(round_fn, label, None, length=n_rounds)
+        return label
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(None),
+        check_rep=False,
+    )
+    return jax.jit(fn)(u, v)
+
+
+# ---------------------------------------------------------------------------
+# One "full step": the compute core of the pipeline under one jit
+# ---------------------------------------------------------------------------
+
+
+def full_step(
+    mesh: Mesh,
+    features: jnp.ndarray,  # (N, m) uint32
+    a: jnp.ndarray,  # (B, LA) int32 marker sequences
+    a_len: jnp.ndarray,
+    b: jnp.ndarray,
+    b_len: jnp.ndarray,
+    band_min: jnp.ndarray,
+    unite_u: jnp.ndarray,  # (E,)
+    unite_v: jnp.ndarray,
+    n_markers: int,
+    *,
+    W: int = 128,
+    log2_buckets: int = 8,
+):
+    """LowHash hashing -> banded alignment -> union-find, all sharded
+    over the mesh. This is the multi-chip 'training step' equivalent:
+    the three collective-bearing hot stages chained under jit."""
+    axis = mesh.axis_names[0]
+    n_buckets = 1 << log2_buckets
+
+    def local(features, a, a_len, b, b_len, band_min, uu, vv):
+        # LowHash
+        h = jnp.zeros(features.shape[0], jnp.uint32)
+        for j in range(features.shape[1]):
+            h = _mix64(features[:, j] ^ h, jnp.uint32(37 + j))
+        bucket = (h & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
+        hist = jax.lax.psum(
+            jnp.zeros((n_buckets,), jnp.int32).at[bucket].add(1), axis
+        )
+        # Alignment
+        dirs, best_i, best_d, best_val = _banded_forward(
+            a, a_len, b, b_len, band_min, W, 6, -1, -1
+        )
+        # Union-find rounds
+        label = jnp.arange(n_markers, dtype=jnp.int32)
+
+        def round_fn(label, _):
+            lu = label[uu]
+            lv = label[vv]
+            prop = label.at[jnp.maximum(lu, lv)].min(jnp.minimum(lu, lv))
+            label = jax.lax.pmin(prop, axis)
+            label = label[label]
+            label = label[label]
+            return label, None
+
+        label, _ = jax.lax.scan(round_fn, label, None, length=8)
+        return hist, best_val, label
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None),
+            P(axis, None),
+            P(axis),
+            P(axis, None),
+            P(axis),
+            P(axis),
+            P(axis),
+            P(axis),
+        ),
+        out_specs=(P(), P(axis), P(None)),
+        check_rep=False,
+    )
+    return jax.jit(fn)(features, a, a_len, b, b_len, band_min, unite_u, unite_v)

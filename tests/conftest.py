@@ -1,14 +1,23 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh so the
-sharded (multi-chip) code paths are exercised without TPU hardware."""
+sharded (multi-chip) code paths are exercised without TPU hardware.
+
+Note: the environment may pre-register a TPU backend via sitecustomize
+and export JAX_PLATFORMS pointing at it; `jax.config.update` after
+import is the override that actually sticks (env vars alone do not).
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def pytest_configure(config):
