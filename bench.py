@@ -1,0 +1,98 @@
+"""Benchmark: marker alignments per second on one chip.
+
+The reference spends about half of total assembly wall-clock computing
+marker alignments (reference: docs/ComputationalMethods.html,
+"Computing optimal alignments in marker representation"; BASELINE.md).
+A human 60x ONT run on 128 vCPUs takes ~3 h and computes tens of
+millions of candidate alignments, i.e. roughly
+
+    4e7 alignments / (0.5 * 3 h * 3600 s/h) ~= 7400 alignments/s
+
+on the 128-core reference machine. That number is the baseline this
+bench compares against (vs_baseline = ours / 7400).
+
+The workload mirrors production shapes: ~430-marker sequences (3 kb
+reads at 10% marker density — the reference's marker compression,
+BASELINE.md "Marker representation compression"), bands from LowHash
+candidate offsets, full method-3 two-phase alignment including band
+finding, traceback, metric computation and filtering.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+REFERENCE_ALIGNMENTS_PER_SEC = 7400.0
+
+
+def build_workload(n_reads=300, read_len=3000, genome_size=60000, seed=5):
+    from tests import synth
+    from shasta_tpu.data import bases as B
+    from shasta_tpu.io.fasta import parse_fasta_bytes
+    from shasta_tpu.data.reads import build_read_store
+    from shasta_tpu.data.kmers import select_kmers_random
+    from shasta_tpu.data.markers import find_markers
+    from shasta_tpu.ops import lowhash as LH
+
+    genome = synth.random_genome(genome_size, seed=seed)
+    reads = synth.sample_reads(genome, n_reads, read_len, seed=seed + 1, both_strands=True)
+    fasta = b"".join(
+        b">r%d\n%s\n" % (i, B.decode_to_str(r).encode()) for i, r in enumerate(reads)
+    )
+    store = build_read_store(parse_fasta_bytes(fasta), min_read_length=500)
+    kt = select_kmers_random(8, 0.1, seed=231)
+    markers = find_markers(store, kt)
+    cand = LH.find_candidates_lowhash(
+        markers,
+        LH.LowHashParams(
+            m=4, hash_fraction=0.05, iteration_count=6, min_frequency=2,
+            max_bucket_size=60,
+        ),
+    )
+    return markers, kt, cand
+
+
+def main():
+    from shasta_tpu.ops.align import AlignParams, align_candidates
+
+    markers, kt, cand = build_workload()
+    params = AlignParams(
+        min_aligned_marker_count=20, max_skip=60, max_drift=60, max_trim=60
+    )
+    ds_table = kt.downsampling_hash_table()
+
+    def run():
+        return align_candidates(
+            markers, cand.read_id0, cand.read_id1, cand.same_strand, params, ds_table
+        )
+
+    # Warmup (compilation; cached persistently across runs).
+    run()
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.monotonic()
+        al = run()
+        dt = time.monotonic() - t0
+        best = max(best, cand.count / dt)
+
+    print(
+        json.dumps(
+            {
+                "metric": "marker_alignments_per_sec_per_chip",
+                "value": round(best, 1),
+                "unit": "alignments/s",
+                "vs_baseline": round(best / REFERENCE_ALIGNMENTS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

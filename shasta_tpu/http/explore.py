@@ -1,0 +1,232 @@
+"""Interactive HTTP explorer over a persisted run directory.
+
+TPU-era counterpart of the reference's explore command (reference:
+srcMain/main.cpp:1288-1370, src/HttpServer.cpp:40, endpoint table at
+src/AssemblerHttpServer.cpp:209-250). Reattaches to the stage store
+(the reference reattaches to its mmapped Data/ via accessAllSoft,
+src/Assembler.hpp:2341) and serves exploration pages:
+
+- /                     assembly summary
+- /read?readId=&strand= read sequence, markers
+- /alignments?readId=   alignment table entries for a read
+- /readGraph?readId=    read graph neighborhood
+- /markerGraph?vertexId= local marker graph info
+- /assemblySummary.json the summary JSON
+"""
+
+from __future__ import annotations
+
+import html
+import json
+import os
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_STYLE = """
+<style>
+body { font-family: sans-serif; margin: 2em; }
+table { border-collapse: collapse; }
+td, th { border: 1px solid #999; padding: 2px 8px; }
+h1 { color: #205080; }
+code { background: #eee; }
+</style>
+"""
+
+
+class Explorer:
+    def __init__(self, run_dir: str):
+        from shasta_tpu.data.store import RunStore
+        from shasta_tpu.data.reads import ReadStore
+        from shasta_tpu.data.markers import MarkerStore
+        from shasta_tpu.graph.read_graph import ReadGraph
+        from shasta_tpu.graph.marker_graph import MarkerGraph
+        from shasta_tpu.ops.align import AlignmentStore
+
+        self.run_dir = run_dir
+        self.store = RunStore(run_dir, create=False)
+        # Tolerant stage access, like accessAllSoft.
+        self.reads = self._soft(lambda: ReadStore.from_arrays(self.store.load_stage("Reads")))
+        self.markers = self._soft(lambda: MarkerStore.from_arrays(self.store.load_stage("Markers")))
+        self.alignments = self._soft(lambda: AlignmentStore.from_arrays(self.store.load_stage("Alignments")))
+        self.read_graph = self._soft(lambda: ReadGraph.from_arrays(self.store.load_stage("ReadGraph")))
+        self.marker_graph = self._soft(lambda: MarkerGraph.from_arrays(self.store.load_stage("MarkerGraph")))
+
+    @staticmethod
+    def _soft(fn):
+        try:
+            return fn()
+        except Exception:
+            return None
+
+    # ----- pages -----
+
+    def page_index(self, q) -> str:
+        parts = [f"<h1>shasta_tpu assembly: {html.escape(self.run_dir)}</h1>"]
+        summary_path = os.path.join(self.run_dir, "AssemblySummary.json")
+        if os.path.exists(summary_path):
+            with open(summary_path) as f:
+                summary = json.load(f)
+            parts.append("<table>")
+            for k, v in summary.items():
+                if isinstance(v, dict):
+                    continue
+                parts.append(f"<tr><th>{html.escape(str(k))}</th><td>{html.escape(str(v))}</td></tr>")
+            parts.append("</table>")
+        parts.append(
+            "<p>Endpoints: "
+            '<a href="/read?readId=0&strand=0">/read</a>, '
+            '<a href="/alignments?readId=0">/alignments</a>, '
+            '<a href="/readGraph?readId=0">/readGraph</a>, '
+            '<a href="/markerGraph?vertexId=0">/markerGraph</a>, '
+            '<a href="/assemblySummary.json">/assemblySummary.json</a></p>'
+        )
+        return "".join(parts)
+
+    def page_read(self, q) -> str:
+        if self.reads is None:
+            return "<p>Reads not available.</p>"
+        rid = int(q.get("readId", ["0"])[0])
+        strand = int(q.get("strand", ["0"])[0])
+        if not (0 <= rid < self.reads.read_count):
+            return f"<p>Invalid read id {rid}.</p>"
+        from shasta_tpu.data import bases as B
+
+        rle = self.reads.read_rle(rid, strand)
+        counts = self.reads.read_repeat_counts(rid, strand)
+        raw = self.reads.read_raw(rid, strand)
+        out = [f"<h1>Read {rid}-{strand}</h1>"]
+        name = self.reads.names[rid] if rid < len(self.reads.names) else ""
+        out.append(f"<p>Name: <code>{html.escape(name)}</code></p>")
+        out.append(
+            f"<p>Raw length {raw.shape[0]}, RLE length {rle.shape[0]}, "
+            f"palindromic={bool(self.reads.is_palindromic[rid])}, "
+            f"chimeric={bool(self.reads.is_chimeric[rid])}</p>"
+        )
+        if self.markers is not None:
+            kk, pp = self.markers.get(2 * rid + strand)
+            out.append(f"<p>{kk.shape[0]} markers.</p>")
+        seq = B.decode_to_str(raw[:5000])
+        out.append(f"<p>Raw sequence (first 5000):</p><pre>{seq}</pre>")
+        return "".join(out)
+
+    def page_alignments(self, q) -> str:
+        if self.alignments is None:
+            return "<p>Alignments not available.</p>"
+        rid = int(q.get("readId", ["0"])[0])
+        al = self.alignments
+        sel = np.flatnonzero((al.read_id0 == rid) | (al.read_id1 == rid))
+        out = [f"<h1>Alignments of read {rid}</h1>", "<table>",
+               "<tr><th>id</th><th>read0</th><th>read1</th><th>sameStrand</th>"
+               "<th>markers</th><th>range0</th><th>range1</th></tr>"]
+        for i in sel:
+            out.append(
+                f"<tr><td>{i}</td><td>{al.read_id0[i]}</td><td>{al.read_id1[i]}</td>"
+                f"<td>{bool(al.same_strand[i])}</td><td>{al.marker_count[i]}</td>"
+                f"<td>{al.first0[i]}-{al.last0[i]}</td>"
+                f"<td>{al.first1[i]}-{al.last1[i]}</td></tr>"
+            )
+        out.append("</table>")
+        return "".join(out)
+
+    def page_read_graph(self, q) -> str:
+        if self.read_graph is None:
+            return "<p>Read graph not available.</p>"
+        rid = int(q.get("readId", ["0"])[0])
+        strand = int(q.get("strand", ["0"])[0])
+        orid = 2 * rid + strand
+        if not (0 <= orid < self.read_graph.n_oriented_reads):
+            return f"<p>Invalid oriented read {rid}-{strand}.</p>"
+        eids, others = self.read_graph.neighbors(orid)
+        out = [f"<h1>Read graph neighborhood of {rid}-{strand}</h1>", "<table>",
+               "<tr><th>edge</th><th>neighbor</th><th>alignmentId</th></tr>"]
+        for e, o in zip(eids, others):
+            out.append(
+                f"<tr><td>{e}</td><td>{o >> 1}-{o & 1}</td>"
+                f"<td>{self.read_graph.alignment_id[e]}</td></tr>"
+            )
+        out.append("</table>")
+        return "".join(out)
+
+    def page_marker_graph(self, q) -> str:
+        if self.marker_graph is None:
+            return "<p>Marker graph not available.</p>"
+        vid = int(q.get("vertexId", ["0"])[0])
+        mg = self.marker_graph
+        if not (0 <= vid < mg.vertex_count):
+            return f"<p>Invalid vertex id {vid}.</p>"
+        markers = mg.vertex_marker_ids(vid)
+        out = [f"<h1>Marker graph vertex {vid}</h1>"]
+        out.append(
+            f"<p>Coverage {markers.shape[0]}, reverse complement vertex "
+            f"{mg.rc_vertex[vid]}</p>"
+        )
+        if mg.source is not None:
+            outgoing = np.flatnonzero(mg.source == vid)
+            incoming = np.flatnonzero(mg.target == vid)
+            out.append("<h2>Edges</h2><table><tr><th>edge</th><th>dir</th>"
+                       "<th>other</th><th>coverage</th><th>alive</th></tr>")
+            alive = mg.alive()
+            for e in outgoing:
+                out.append(f"<tr><td>{e}</td><td>out</td><td>{mg.target[e]}</td>"
+                           f"<td>{mg.coverage[e]}</td><td>{bool(alive[e])}</td></tr>")
+            for e in incoming:
+                out.append(f"<tr><td>{e}</td><td>in</td><td>{mg.source[e]}</td>"
+                           f"<td>{mg.coverage[e]}</td><td>{bool(alive[e])}</td></tr>")
+            out.append("</table>")
+        return "".join(out)
+
+
+def make_handler(explorer: Explorer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            try:
+                if url.path == "/assemblySummary.json":
+                    p = os.path.join(explorer.run_dir, "AssemblySummary.json")
+                    with open(p, "rb") as f:
+                        body = f.read()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                pages = {
+                    "/": explorer.page_index,
+                    "/read": explorer.page_read,
+                    "/alignments": explorer.page_alignments,
+                    "/readGraph": explorer.page_read_graph,
+                    "/markerGraph": explorer.page_marker_graph,
+                }
+                fn = pages.get(url.path)
+                if fn is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    self.wfile.write(b"Not found")
+                    return
+                body = ("<html><head>" + _STYLE + "</head><body>" + fn(q) + "</body></html>").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(body)
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # show errors in the page, like the reference
+                body = f"<pre>Error: {html.escape(repr(e))}</pre>".encode()
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(body)
+
+    return Handler
+
+
+def run_explorer(run_dir: str, port: int = 17100, bind: str = "127.0.0.1"):
+    explorer = Explorer(run_dir)
+    server = HTTPServer((bind, port), make_handler(explorer))
+    print(f"Exploring {run_dir} at http://{bind}:{port}/")
+    server.serve_forever()

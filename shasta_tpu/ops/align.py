@@ -38,6 +38,7 @@ cached and tiles aligned.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -46,6 +47,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from shasta_tpu.utils import jaxsetup  # noqa: F401  (persistent XLA cache)
+
+_PALLAS_ENV = os.environ.get("SHASTA_TPU_USE_PALLAS", "auto")
+
+
+@functools.lru_cache(None)
+def _pallas_available() -> bool:
+    """Use the Pallas kernel on TPU backends (it is compiled, not
+    interpreted, only there); the jnp scan path remains the CPU/test
+    implementation and the fallback for oversized shapes."""
+    if _PALLAS_ENV == "0":
+        return False
+    if _PALLAS_ENV == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
 
 NEG_INF = np.int32(-(2**30))
 
@@ -401,7 +417,12 @@ def _run_bucket(
     n = len(a_rows)
     results: List[Tuple[np.ndarray, np.ndarray]] = []
 
-    max_b = max(1, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
+    from shasta_tpu.ops import align_pallas
+
+    use_pallas = _pallas_available() and align_pallas.supported(LA, W)
+
+    max_b = max(8, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
+    max_b -= max_b % 8
     for lo in range(0, n, max_b):
         hi = min(lo + max_b, n)
         B = _bucket(hi - lo, _BATCH_BUCKETS) if hi - lo < max_b else hi - lo
@@ -415,6 +436,29 @@ def _run_bucket(
             [r.shape[0] for r in b_rows[lo:hi]] + [0] * pad, np.int32
         )
         bm = np.concatenate([band_mins[lo:hi], np.zeros(pad)]).astype(np.int32)
+
+        if use_pallas:
+            packed, metrics, _best = align_pallas.banded_align_pairs(
+                a,
+                a_len,
+                b,
+                b_len,
+                bm,
+                LA=LA,
+                LB=LB,
+                W=W,
+                match=params.match_score,
+                mismatch=params.mismatch_score,
+                gap=params.gap_score,
+            )
+            packed = np.asarray(packed)
+            counts = np.asarray(metrics[:, 0])
+            for t in range(hi - lo):
+                c = int(counts[t])
+                o0 = (packed[t, :c] >> 16).astype(np.uint32)
+                o1 = (packed[t, :c] & 0xFFFF).astype(np.uint32)
+                results.append((o0, o1))
+            continue
 
         dirs, best_i, best_d, best_val = banded_forward(
             a,

@@ -75,6 +75,7 @@ class MarkerGraphOptions:
     edge_marker_skip_threshold: int = 100
     prune_iteration_count: int = 6
     simplify_max_length: str = "10,100,1000"
+    cross_edge_coverage_threshold: int = 0
 
 
 @dataclass
@@ -82,6 +83,7 @@ class AssemblyOptions:
     mode: int = 0
     consensus_caller: str = "Modal"
     marker_graph_edge_length_threshold_for_consensus: int = 1000
+    detangle_method: int = 0
 
 
 @dataclass
@@ -132,10 +134,15 @@ class AssemblyConfig:
 
     @classmethod
     def from_conf_file(cls, path: str) -> "AssemblyConfig":
+        with open(path) as f:
+            return cls.from_conf_text(f.read())
+
+    @classmethod
+    def from_conf_text(cls, text: str) -> "AssemblyConfig":
         cfg = cls()
         parser = configparser.ConfigParser()
         parser.optionxform = str  # keep camelCase keys intact
-        parser.read(path)
+        parser.read_string(text)
         for section in parser.sections():
             for key, value in parser.items(section):
                 try:

@@ -1,0 +1,211 @@
+"""Built-in configuration table.
+
+The reference compiles curated conf files into the binary and lets
+``--config`` take either a name or a file path (reference:
+src/ConfigurationTable.{hpp,cpp}, generated from conf/ by
+scripts/CreateConfigurationTable.py). Same idea here: a name -> conf
+text mapping covering the BASELINE.json target configurations, with
+values carried over from the reference's conf files (reference:
+conf/Nanopore-May2022.conf, conf/HiFi-Oct2021.conf,
+conf/Nanopore-UL-May2022.conf, conf/Nanopore-Human-SingleFlowcell-
+May2022.conf, conf/Nanopore-Phased-May2022.conf). Keys not yet
+understood by this implementation are tolerated and ignored by the
+config parser.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+CONFIGURATIONS: Dict[str, str] = {
+    "Nanopore-May2022": """
+[Reads]
+minReadLength = 10000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+
+[MarkerGraph]
+simplifyMaxLength = 10,100,1000,10000,100000
+crossEdgeCoverageThreshold = 3
+minCoverage = 0
+
+[Assembly]
+consensusCaller = Bayesian:guppy-5.0.7-b
+detangleMethod = 2
+""",
+    "HiFi-Oct2021": """
+[Reads]
+minReadLength = 8000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+hashFraction = 0.05
+minHashIterationCount = 100
+minFrequency = 3
+minBucketSize = 10
+maxBucketSize = 60
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+minAlignedFraction = 0.97
+minAlignedMarkerCount = 200
+maxSkip = 6
+maxDrift = 4
+maxTrim = 2
+
+[ReadGraph]
+maxAlignmentCount = 30
+maxChimericReadDistance = 2
+
+[MarkerGraph]
+minCoverage = 6
+simplifyMaxLength = 10,100,1000,10000,100000
+crossEdgeCoverageThreshold = 3
+
+[Assembly]
+consensusCaller = Modal
+detangleMethod = 2
+""",
+    "Nanopore-UL-May2022": """
+[Reads]
+minReadLength = 50000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+
+[MarkerGraph]
+simplifyMaxLength = 10,100,1000,10000,100000
+crossEdgeCoverageThreshold = 3
+minCoverage = 0
+
+[Assembly]
+consensusCaller = Bayesian:guppy-5.0.7-b
+detangleMethod = 2
+""",
+    "Nanopore-Human-SingleFlowcell-May2022": """
+[Reads]
+minReadLength = 10000
+desiredCoverage = 60000000000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+
+[MarkerGraph]
+simplifyMaxLength = 10,100,1000,10000,100000
+crossEdgeCoverageThreshold = 3
+minCoverage = 0
+
+[Assembly]
+consensusCaller = Bayesian:guppy-5.0.7-b
+detangleMethod = 2
+""",
+    "Nanopore-Phased-May2022": """
+[Reads]
+minReadLength = 10000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+strandSeparationMethod = 2
+
+[MarkerGraph]
+simplifyMaxLength = 10,100,1000,10000,100000
+crossEdgeCoverageThreshold = 3
+minCoverage = 0
+minCoveragePerStrand = 1
+
+[Assembly]
+mode = 2
+consensusCaller = Bayesian:guppy-5.0.7-b
+""",
+}
+
+
+def get_configuration(name_or_path: str) -> str:
+    """Conf text by built-in name, else treat as a file path
+    (reference: ConfigurationTable.hpp:13-27)."""
+    if name_or_path in CONFIGURATIONS:
+        return CONFIGURATIONS[name_or_path]
+    with open(name_or_path) as f:
+        return f.read()

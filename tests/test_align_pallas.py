@@ -1,0 +1,87 @@
+"""Pallas banded-alignment kernel vs the jnp reference (interpret mode)."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+import shasta_tpu.ops.align as A
+import shasta_tpu.ops.align_pallas as AP
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(
+        AP.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    AP.banded_align_pairs.clear_cache()
+    yield
+    AP.banded_align_pairs.clear_cache()
+
+
+def make_batch(seed, B=8, LA=128, LB=128, W=128, alpha=50):
+    rng = np.random.default_rng(seed)
+    a = np.full((B, LA), -1, np.int32)
+    b = np.full((B, LB), -2, np.int32)
+    a_len = np.zeros(B, np.int32)
+    b_len = np.zeros(B, np.int32)
+    bm = np.zeros(B, np.int32)
+    for t in range(B):
+        g = rng.integers(0, alpha, 400).astype(np.int32)
+        la = int(rng.integers(20, LA))
+        lb = int(rng.integers(20, LB))
+        sa = int(rng.integers(0, 100))
+        sb = max(0, sa + int(rng.integers(-20, 20)))
+        a[t, :la] = g[sa : sa + la]
+        b[t, :lb] = g[sb : sb + lb]
+        a_len[t] = la
+        b_len[t] = lb
+        bm[t] = -W // 2
+    return a, a_len, b, b_len, bm
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_jnp_kernel(seed):
+    LA = LB = W = 128
+    a, a_len, b, b_len, bm = make_batch(seed, LA=LA, LB=LB, W=W)
+    packed, metrics, bestp = AP.banded_align_pairs(
+        jnp.asarray(a),
+        jnp.asarray(a_len),
+        jnp.asarray(b),
+        jnp.asarray(b_len),
+        jnp.asarray(bm),
+        LA=LA,
+        LB=LB,
+        W=W,
+        match=6,
+        mismatch=-1,
+        gap=-1,
+    )
+    dirs, bi, bd, bv = A.banded_forward(
+        a, a_len, b, b_len, bm, W=W, match=6, mismatch=-1, gap=-1
+    )
+    m0r, m1r = A.traceback(dirs, a, b, bm, bi, bd, n_steps=LA + LB)
+    packed, metrics, bestp = map(np.asarray, (packed, metrics, bestp))
+    m0r, m1r, bv = map(np.asarray, (m0r, m1r, bv))
+    for t in range(a.shape[0]):
+        count = metrics[t, 0]
+        o0 = packed[t, :count] >> 16
+        o1 = packed[t, :count] & 0xFFFF
+        pp = list(zip(o0, o1))
+        rr = list(zip(m0r[m0r[:, t] >= 0, t][::-1], m1r[m1r[:, t] >= 0, t][::-1]))
+        assert pp == rr, t
+        assert bestp[t] == bv[t], t
+        # Metrics agree with the host metric computation.
+        if count:
+            ms, md, omin, omax = A._metrics_from_ordinals(
+                o0.astype(np.uint32), o1.astype(np.uint32)
+            )
+            assert metrics[t, 1] == o0[0] and metrics[t, 2] == o0[-1]
+            assert metrics[t, 3] == o1[0] and metrics[t, 4] == o1[-1]
+            assert metrics[t, 5] == omin and metrics[t, 6] == omax
+            assert metrics[t, 7] == ms and metrics[t, 8] == md
+            assert metrics[t, 9] == bestp[t]

@@ -1,0 +1,102 @@
+"""CLI command surface: assemble end-to-end, list/config commands,
+explorer pages over the finished run."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from shasta_tpu.__main__ import main
+
+from tests import synth
+
+
+def test_list_commands(capsys):
+    assert main(["--command", "listCommands"]) == 0
+    out = capsys.readouterr().out
+    assert "assemble" in out and "explore" in out
+
+
+def test_list_configurations(capsys):
+    assert main(["--command", "listConfigurations"]) == 0
+    out = capsys.readouterr().out.split()
+    assert "Nanopore-May2022" in out
+    assert "HiFi-Oct2021" in out
+    assert len(out) >= 5
+
+
+def test_list_configuration(capsys):
+    assert main(["--command", "listConfiguration", "--config", "HiFi-Oct2021"]) == 0
+    out = capsys.readouterr().out
+    assert "consensusCaller = Modal" in out
+
+
+def test_assemble_requires_config(tmp_path, capsys):
+    fa = os.path.join(tmp_path, "r.fasta")
+    synth.write_fasta(fa, [np.zeros(10, np.uint8)])
+    assert main(["--command", "assemble", "--input", fa,
+                 "--assemblyDirectory", os.path.join(tmp_path, "run")]) == 1
+    assert "config" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_assemble_cli_end_to_end(tmp_path, capsys):
+    genome = synth.random_genome(20000, seed=3)
+    reads = synth.sample_reads(genome, 100, 3000, seed=4, both_strands=True)
+    fa = os.path.join(tmp_path, "reads.fasta")
+    synth.write_fasta(fa, reads)
+    run_dir = os.path.join(tmp_path, "run")
+
+    rc = main([
+        "--command", "assemble",
+        "--input", fa,
+        "--config", "HiFi-Oct2021",
+        "--assemblyDirectory", run_dir,
+        # Overrides for the tiny synthetic test set.
+        "--Reads.minReadLength", "500",
+        "--Kmers.k", "8",
+        "--MinHash.hashFraction", "0.05",
+        "--MinHash.minHashIterationCount", "6",
+        "--MinHash.minFrequency", "2",
+        "--Align.minAlignedMarkerCount", "20",
+        "--Align.minAlignedFraction", "0.5",
+        "--Align.maxSkip", "60",
+        "--Align.maxDrift", "60",
+        "--Align.maxTrim", "60",
+        "--ReadGraph.maxAlignmentCount", "8",
+        "--MarkerGraph.minCoverage", "3",
+        "--Assembly.consensusCaller", "Modal",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["assembledSegmentCount"] >= 1
+    assert os.path.exists(os.path.join(run_dir, "Assembly.fasta"))
+
+    # Refuse to reuse a non-empty directory (reference behavior).
+    rc2 = main([
+        "--command", "assemble", "--input", fa, "--config", "HiFi-Oct2021",
+        "--assemblyDirectory", run_dir,
+    ])
+    assert rc2 == 1
+
+    # Explorer over the finished run.
+    from shasta_tpu.http.explore import Explorer, make_handler
+    from http.server import HTTPServer
+
+    server = HTTPServer(("127.0.0.1", 0), make_handler(Explorer(run_dir)))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        for path in ("/", "/read?readId=0&strand=0", "/alignments?readId=0",
+                     "/readGraph?readId=0", "/markerGraph?vertexId=0",
+                     "/assemblySummary.json"):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                assert r.status == 200
+                body = r.read()
+                assert len(body) > 0
+    finally:
+        server.shutdown()
