@@ -1,0 +1,192 @@
+"""Bayesian repeat-count consensus caller.
+
+TPU-native counterpart of the reference SimpleBayesianConsensusCaller
+(reference: src/SimpleBayesianConsensusCaller.{hpp,cpp}): per MSA
+column, pick the consensus base by plurality, then choose the true
+repeat length y maximizing
+
+    prior[AT|GC][y] + sum_observations c_x * log10 P(x | y, base)
+
+over y in [0, max_output_runlength] (predictRunlength at
+src/SimpleBayesianConsensusCaller.cpp:374-430). Observations are
+factored per (strand, repeat) with counts; observed lengths above the
+matrix bound are capped; by default only observations matching the
+consensus base contribute (ignoreNonConsensusBaseRepeats, :136).
+
+Model sources:
+- a CSV file in the reference's format (sections ">AT prior",
+  ">GC prior", ">A likelihood" ... — conf/SimpleBayesianConsensusCaller-*.csv);
+- a built-in parametric model ("default") with a geometric-tailed
+  error profile, for use when no trained model file is given. Built-in
+  names from reference configs (e.g. "guppy-5.0.7-b") fall back to the
+  parametric model with a warning unless a file with that name is
+  found in SHASTA_TPU_BAYESIAN_MODEL_DIR.
+
+The argmax over y for a whole batch of columns is one matrix product:
+scores[y] = prior[y] + counts . L[base] — MXU-friendly when called
+through ``repeat_counts_batch``.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Dict, List, Optional
+
+import numpy as np
+
+GAP = 4
+
+_BASE_NAMES = "ACGT"
+
+
+class BayesianModel:
+    """priors: (2, n_y) log10; likelihood: (4, n_y, n_x) log10."""
+
+    def __init__(self, name: str, priors: np.ndarray, likelihood: np.ndarray):
+        self.name = name
+        self.priors = priors
+        self.likelihood = likelihood
+
+    @property
+    def max_output_runlength(self) -> int:
+        return self.priors.shape[1] - 1
+
+    @property
+    def max_input_runlength(self) -> int:
+        return self.likelihood.shape[2] - 1
+
+
+def load_model_csv(path: str) -> BayesianModel:
+    """Parse the reference's model CSV format."""
+    sections: Dict[str, List[str]] = {}
+    current: Optional[str] = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                current = line[1:].strip()
+                sections[current] = []
+            elif current is not None:
+                sections[current].append(line)
+
+    def rows(name) -> np.ndarray:
+        return np.array(
+            [[float(x) for x in r.split(",") if x] for r in sections[name]]
+        )
+
+    at_prior = rows("AT prior")[0]
+    gc_prior = rows("GC prior")[0]
+    priors = np.stack([at_prior, gc_prior])
+    like = np.stack([rows(f"{b} likelihood") for b in _BASE_NAMES])
+    name = sections.get("Name", [os.path.basename(path)])[0]
+    return BayesianModel(name, priors, like)
+
+
+def parametric_model(
+    max_len: int = 50, error: float = 0.12, decay: float = 0.55
+) -> BayesianModel:
+    """A smooth analytic stand-in for a basecaller-trained model:
+    P(x | y) concentrates at x == y with geometric tails whose width
+    grows with y (homopolymer undercall bias included)."""
+    y = np.arange(max_len + 1)[:, None]
+    x = np.arange(max_len + 1)[None, :]
+    d = x - y
+    # Asymmetric geometric tails: undercalls (d<0) slightly more likely.
+    tail = np.where(d < 0, decay ** (np.abs(d) / (1 + 0.15 * y)), (decay * 0.8) ** (np.abs(d) / (1 + 0.1 * y)))
+    p = np.where(d == 0, 1.0 - error, error * tail)
+    p = p / p.sum(axis=1, keepdims=True)
+    loglike = np.log10(np.maximum(p, 1e-12))
+    # Priors: empirical run-length distribution ~ power law.
+    prior = 1.0 / np.maximum(np.arange(max_len + 1), 1) ** 2.5
+    prior[0] = 1e-9
+    prior = prior / prior.sum()
+    logprior = np.log10(prior)
+    priors = np.stack([logprior, logprior])
+    like = np.stack([loglike] * 4)
+    return BayesianModel("parametric-default", priors, like)
+
+
+def resolve_model(name: str) -> BayesianModel:
+    """Name resolution: file path, $SHASTA_TPU_BAYESIAN_MODEL_DIR/name.csv,
+    or the parametric fallback."""
+    if os.path.exists(name):
+        return load_model_csv(name)
+    model_dir = os.environ.get("SHASTA_TPU_BAYESIAN_MODEL_DIR", "")
+    if model_dir:
+        p = os.path.join(model_dir, f"{name}.csv")
+        if os.path.exists(p):
+            return load_model_csv(p)
+        p = os.path.join(model_dir, f"SimpleBayesianConsensusCaller-{name}.csv")
+        if os.path.exists(p):
+            return load_model_csv(p)
+    if name not in ("default", "parametric"):
+        warnings.warn(
+            f"Bayesian model {name!r} not found; using the parametric "
+            "default model (set SHASTA_TPU_BAYESIAN_MODEL_DIR to use "
+            "trained models)."
+        )
+    return parametric_model()
+
+
+class BayesianConsensusCaller:
+    name = "Bayesian"
+
+    def __init__(self, model_name: str = "default"):
+        self.model = resolve_model(model_name)
+        self.ignore_non_consensus_base_repeats = True
+        self.predict_gap_runlengths = False
+
+    def __call__(self, bases: np.ndarray, repeats: np.ndarray):
+        from shasta_tpu.consensus.caller import most_frequent_base
+
+        b = most_frequent_base(bases)
+        if b == GAP and not self.predict_gap_runlengths:
+            return GAP, 0
+        return b, self.predict_runlength(bases, repeats, b)
+
+    def predict_runlength(
+        self, bases: np.ndarray, repeats: np.ndarray, base: int
+    ) -> int:
+        m = self.model
+        if self.ignore_non_consensus_base_repeats and base != GAP:
+            sel = bases == base
+            obs = repeats[sel]
+        else:
+            obs = repeats[bases != GAP]
+        if obs.shape[0] == 0:
+            return 0
+        obs = np.minimum(obs, m.max_input_runlength)
+        counts = np.bincount(obs, minlength=m.max_input_runlength + 1).astype(
+            np.float64
+        )
+        prior_idx = 0 if base in (0, 3) else 1  # A/T vs C/G
+        scores = m.priors[prior_idx] + m.likelihood[min(base, 3)] @ counts
+        return int(np.argmax(scores))
+
+    def repeat_count(self, repeats: np.ndarray) -> int:
+        """Fixed-base variant (vertex assembly)."""
+        if repeats.shape[0] == 0:
+            return 0
+        return self.predict_runlength(
+            np.zeros(repeats.shape[0], np.int64), repeats, 0
+        )
+
+    def repeat_counts_batch(
+        self, count_matrix: np.ndarray, prior_idx: np.ndarray, base: np.ndarray
+    ) -> np.ndarray:
+        """Batched argmax: count_matrix (n, n_x) observation histograms,
+        prior_idx (n,), base (n,). One matmul per base value."""
+        m = self.model
+        n = count_matrix.shape[0]
+        out = np.zeros(n, dtype=np.int32)
+        for b in range(4):
+            sel = np.flatnonzero(base == b)
+            if sel.shape[0] == 0:
+                continue
+            scores = count_matrix[sel] @ m.likelihood[b].T  # (k, n_y)
+            scores += m.priors[prior_idx[sel]]
+            out[sel] = np.argmax(scores, axis=1)
+        return out

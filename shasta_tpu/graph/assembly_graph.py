@@ -473,6 +473,46 @@ def create_assembly_graph(mg: MarkerGraph) -> AssemblyGraph:
     )
 
 
+def remove_low_coverage_cross_edges(
+    ag: AssemblyGraph, mg: MarkerGraph, threshold: int
+) -> int:
+    """Remove low-coverage cross edges (reference:
+    removeLowCoverageCrossEdges, src/AssemblerAssemblyGraph.cpp:458):
+    assembly edges with average coverage <= threshold whose source has
+    out-degree > 1 and target in-degree > 1, in increasing coverage
+    order; their marker-graph edges get the isLowCoverageCrossEdge
+    flag. The caller rebuilds the assembly graph afterwards. Returns
+    the number of assembly edges removed."""
+    n_e = ag.edge_count
+    if n_e == 0 or threshold <= 0:
+        return 0
+    avg_cov = np.zeros(n_e, dtype=np.int64)
+    for e in range(n_e):
+        chain = ag.chain(e)
+        if chain.shape[0]:
+            avg_cov[e] = int(mg.coverage[chain].sum()) // chain.shape[0]
+
+    removed = np.zeros(n_e, dtype=bool)
+
+    def out_deg(v):
+        return int(((ag.source_v == v) & ~removed).sum())
+
+    def in_deg(v):
+        return int(((ag.target_v == v) & ~removed).sum())
+
+    count = 0
+    order = np.argsort(avg_cov, kind="stable")
+    for e in order:
+        if avg_cov[e] > threshold:
+            break
+        if out_deg(ag.source_v[e]) <= 1 or in_deg(ag.target_v[e]) <= 1:
+            continue
+        removed[e] = True
+        mg.low_coverage_cross[ag.chain(e)] = True
+        count += 1
+    return count
+
+
 # ---------------------------------------------------------------------------
 # Segment stitching
 # ---------------------------------------------------------------------------

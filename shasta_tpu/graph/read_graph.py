@@ -172,6 +172,128 @@ def create_read_graph(
     return build_read_graph(alignments, n_reads, keep), keep
 
 
+def _histogram_threshold(
+    values: np.ndarray, start: float, stop: float, bins: int, fraction: float
+) -> float:
+    """Reference Histogram2.thresholdByCumulativeProportion
+    (src/Histogram.cpp:122-140): the center of the first bin where the
+    cumulative fraction reaches ``fraction``; values beyond ``stop``
+    land in the last (unbounded-right) bin."""
+    if values.shape[0] == 0:
+        return start
+    bin_size = (stop - start) / bins
+    idx = np.clip(((values - start) / bin_size).astype(np.int64), 0, bins - 1)
+    hist = np.bincount(idx, minlength=bins)
+    cum = np.cumsum(hist) / hist.sum()
+    i = int(np.searchsorted(cum, fraction))
+    i = min(i, bins - 1)
+    return start + bin_size * i + bin_size / 2
+
+
+def compute_read_graph2_criteria(
+    alignments: AlignmentStore,
+    marker_count_percentile: float = 0.015,
+    aligned_fraction_percentile: float = 0.12,
+    max_skip_percentile: float = 0.12,
+    max_drift_percentile: float = 0.12,
+    max_trim_percentile: float = 0.015,
+) -> Dict[str, float]:
+    """Adaptive alignment criteria from the observed distributions
+    (reference: setReadGraph2Criteria, src/AssemblerReadGraph2.cpp:94):
+    histograms with the reference's exact bin layouts; minimum
+    thresholds use the percentile, maximums use 1 - percentile."""
+    trim = np.maximum(alignments.left_trim(), alignments.right_trim())
+    return {
+        "min_aligned_fraction": _histogram_threshold(
+            alignments.aligned_fraction_min(), 0, 1, 100, aligned_fraction_percentile
+        ),
+        "min_aligned_marker_count": round(
+            _histogram_threshold(
+                alignments.marker_count.astype(np.float64),
+                0,
+                3000,
+                300,
+                marker_count_percentile,
+            )
+        ),
+        "max_drift": round(
+            _histogram_threshold(
+                alignments.max_drift_v.astype(np.float64),
+                0,
+                100,
+                100,
+                1 - max_drift_percentile,
+            )
+        ),
+        "max_skip": round(
+            _histogram_threshold(
+                alignments.max_skip_v.astype(np.float64),
+                0,
+                100,
+                100,
+                1 - max_skip_percentile,
+            )
+        ),
+        "max_trim": round(
+            _histogram_threshold(
+                trim.astype(np.float64), 0, 100, 100, 1 - max_trim_percentile
+            )
+        ),
+    }
+
+
+def create_read_graph2(
+    alignments: AlignmentStore,
+    n_reads: int,
+    max_alignment_count: int = 6,
+    marker_count_percentile: float = 0.015,
+    aligned_fraction_percentile: float = 0.12,
+    max_skip_percentile: float = 0.12,
+    max_drift_percentile: float = 0.12,
+    max_trim_percentile: float = 0.015,
+) -> Tuple[ReadGraph, np.ndarray, Dict[str, float]]:
+    """Method-2 read graph creation (reference: createReadGraph2,
+    src/AssemblerReadGraph2.cpp:182): filter alignments by the
+    adaptive criteria, then per-read kNN like method 0."""
+    criteria = compute_read_graph2_criteria(
+        alignments,
+        marker_count_percentile,
+        aligned_fraction_percentile,
+        max_skip_percentile,
+        max_drift_percentile,
+        max_trim_percentile,
+    )
+    trim = np.maximum(alignments.left_trim(), alignments.right_trim())
+    passes = (
+        (alignments.aligned_fraction_min() >= criteria["min_aligned_fraction"])
+        & (alignments.marker_count >= criteria["min_aligned_marker_count"])
+        & (alignments.max_drift_v <= criteria["max_drift"])
+        & (alignments.max_skip_v <= criteria["max_skip"])
+        & (trim <= criteria["max_trim"])
+    )
+
+    # kNN over the passing alignments only.
+    n = alignments.count
+    inc_read = np.concatenate([alignments.read_id0, alignments.read_id1])
+    inc_aid = np.concatenate([np.arange(n, dtype=np.int64)] * 2)
+    inc_mc = np.concatenate([alignments.marker_count] * 2)
+    ok = passes[inc_aid]
+    inc_read, inc_aid, inc_mc = inc_read[ok], inc_aid[ok], inc_mc[ok]
+
+    keep = np.zeros(n, dtype=bool)
+    if inc_aid.shape[0]:
+        order = np.lexsort((inc_aid, -inc_mc.astype(np.int64), inc_read))
+        sread = inc_read[order]
+        read_start_idx = np.concatenate(
+            ([0], np.cumsum(np.bincount(sread, minlength=n_reads)))
+        )
+        rank = np.arange(sread.shape[0], dtype=np.int64) - read_start_idx[sread]
+        keep_inc = rank < max_alignment_count
+        keep[inc_aid[order][keep_inc]] = True
+
+    return build_read_graph(alignments, n_reads, keep), keep, criteria
+
+
 # ---------------------------------------------------------------------------
 # Chimera flagging
 # ---------------------------------------------------------------------------

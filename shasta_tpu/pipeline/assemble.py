@@ -98,6 +98,12 @@ class Assembler:
             self.markers = find_markers(self.reads, self.kmer_table)
             self.store.save_stage("Markers", self.markers.arrays())
 
+    def flag_palindromic_reads(self) -> None:
+        from shasta_tpu.ops.palindrome import flag_palindromic_reads
+
+        with self.log.stage("flagPalindromicReads"):
+            self.reads.is_palindromic = flag_palindromic_reads(self.markers)
+
     def find_alignment_candidates(self) -> None:
         cm = self.config.min_hash
         with self.log.stage("findAlignmentCandidatesLowHash"):
@@ -144,11 +150,19 @@ class Assembler:
     def create_read_graph(self) -> None:
         cr = self.config.read_graph
         with self.log.stage("createReadGraph"):
-            self.read_graph, _ = RG.create_read_graph(
-                self.alignments,
-                self.reads.read_count,
-                max_alignment_count=cr.max_alignment_count,
-            )
+            if cr.creation_method == 2:
+                self.read_graph, _, criteria = RG.create_read_graph2(
+                    self.alignments,
+                    self.reads.read_count,
+                    max_alignment_count=cr.max_alignment_count,
+                )
+                self.log.line(f"Adaptive alignment criteria: {criteria}")
+            else:
+                self.read_graph, _ = RG.create_read_graph(
+                    self.alignments,
+                    self.reads.read_count,
+                    max_alignment_count=cr.max_alignment_count,
+                )
             self.store.save_stage("ReadGraph", self.read_graph.arrays())
         with self.log.stage("flagChimericReads"):
             self.reads.is_chimeric = RG.flag_chimeric_reads(
@@ -196,13 +210,30 @@ class Assembler:
             )
         with self.log.stage("pruneMarkerGraphStrongSubgraph"):
             MG.prune(self.marker_graph, iteration_count=cm.prune_iteration_count)
+        with self.log.stage("simplifyMarkerGraph"):
+            from shasta_tpu.graph.simplify import simplify_marker_graph
+
+            max_lengths = [
+                int(x) for x in str(cm.simplify_max_length).split(",") if x
+            ]
+            simplify_marker_graph(self.marker_graph, max_lengths)
         self.store.save_stage("MarkerGraph", self.marker_graph.arrays())
 
     def assemble_mode0(self) -> None:
         ca = self.config.assembly
+        cm = self.config.marker_graph
         mg = self.marker_graph
         with self.log.stage("createAssemblyGraphEdges"):
             self.assembly_graph = AG.create_assembly_graph(mg)
+        if cm.cross_edge_coverage_threshold > 0:
+            with self.log.stage("removeLowCoverageCrossEdges"):
+                n_removed = AG.remove_low_coverage_cross_edges(
+                    self.assembly_graph, mg, cm.cross_edge_coverage_threshold
+                )
+                if n_removed:
+                    # Rebuild after removal (reference:
+                    # srcMain/main.cpp:973-979).
+                    self.assembly_graph = AG.create_assembly_graph(mg)
         with self.log.stage("assembleMarkerGraphVertices"):
             self.vertex_repeats = AG.assemble_marker_graph_vertices(
                 self.reads, self.markers, mg, caller=_vertex_caller_name(ca.consensus_caller)
@@ -249,6 +280,7 @@ class Assembler:
                 "alignmentCandidateCount": int(self.candidates.count),
                 "alignmentCount": int(self.alignments.count),
                 "chimericReadCount": int(self.reads.is_chimeric.sum()),
+                "palindromicReadCount": int(self.reads.is_palindromic.sum()),
                 "markerGraphVertexCount": self.marker_graph.vertex_count,
                 "markerGraphEdgeCount": self.marker_graph.edge_count,
                 "markerGraphMinCoverageUsed": self.min_coverage_used,
@@ -280,6 +312,7 @@ def run_assembly(
     a.add_reads(input_files)
     a.select_kmers()
     a.find_markers()
+    a.flag_palindromic_reads()
     a.find_alignment_candidates()
     a.compute_alignments()
     a.create_read_graph()

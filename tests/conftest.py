@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Separate compilation cache from TPU runs: entries AOT-compiled via the
+# remote TPU-era toolchain can carry CPU features this host lacks.
+os.environ.setdefault(
+    "SHASTA_TPU_JAX_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "shasta_tpu_jax_cpu"),
+)
 
 import jax
 

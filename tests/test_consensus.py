@@ -1,0 +1,105 @@
+"""Consensus callers: Modal/Median tie-breaking, Bayesian model."""
+
+import numpy as np
+import pytest
+
+from shasta_tpu.consensus.caller import (
+    GAP,
+    MedianConsensusCaller,
+    ModalConsensusCaller,
+    get_consensus_caller,
+    most_frequent_base,
+)
+from shasta_tpu.consensus.bayesian import (
+    BayesianConsensusCaller,
+    load_model_csv,
+    parametric_model,
+)
+from shasta_tpu.consensus import msa as MSA
+
+
+def test_most_frequent_base_tie_break():
+    # Tie between C(1) and T(3): smaller base value wins (reference
+    # scans ascending with strictly-greater).
+    assert most_frequent_base(np.array([1, 3, 3, 1])) == 1
+    # Gap can win.
+    assert most_frequent_base(np.array([4, 4, 0])) == GAP
+
+
+def test_modal_caller():
+    c = ModalConsensusCaller()
+    b, r = c(np.array([0, 0, 1]), np.array([3, 3, 2]))
+    assert (b, r) == (0, 3)
+    # Repeat tie -> smaller count.
+    b, r = c(np.array([0, 0]), np.array([2, 5]))
+    assert (b, r) == (0, 2)
+
+
+def test_median_caller():
+    c = MedianConsensusCaller()
+    b, r = c(np.array([0, 0, 0]), np.array([1, 2, 9]))
+    assert (b, r) == (0, 2)
+
+
+def test_bayesian_parametric():
+    c = BayesianConsensusCaller("default")
+    # Clean observations: prediction equals the observation.
+    for true_len in (1, 3, 7, 12):
+        bases = np.zeros(10, np.int64)
+        reps = np.full(10, true_len)
+        b, r = c(bases, reps)
+        assert b == 0
+        assert r == true_len, (true_len, r)
+    # Noisy observations around 5 -> 5.
+    bases = np.zeros(9, np.int64)
+    reps = np.array([5, 5, 5, 4, 5, 6, 5, 4, 5])
+    assert c(bases, reps)[1] == 5
+    # Non-consensus-base repeats are ignored.
+    bases = np.array([0, 0, 0, 2, 2])
+    reps = np.array([4, 4, 4, 30, 30])
+    assert c(bases, reps) == (0, 4)
+
+
+def test_bayesian_csv_round_trip(tmp_path):
+    m = parametric_model(max_len=10)
+    p = tmp_path / "model.csv"
+    with open(p, "w") as f:
+        f.write(">Name\ntest-model\n\n")
+        f.write(">AT prior\n" + ",".join(map(str, m.priors[0])) + "\n\n")
+        f.write(">GC prior\n" + ",".join(map(str, m.priors[1])) + "\n\n")
+        for i, b in enumerate("ACGT"):
+            f.write(f">{b} likelihood\n")
+            for row in m.likelihood[i]:
+                f.write(",".join(map(str, row)) + "\n")
+            f.write("\n")
+    m2 = load_model_csv(str(p))
+    assert m2.name == "test-model"
+    np.testing.assert_allclose(m2.priors, m.priors)
+    np.testing.assert_allclose(m2.likelihood, m.likelihood)
+
+
+def test_get_consensus_caller_specs():
+    assert get_consensus_caller("Modal").name == "Modal"
+    assert get_consensus_caller("Median").name == "Median"
+    with pytest.warns(UserWarning):
+        c = get_consensus_caller("Bayesian:guppy-5.0.7-b")
+    assert c.name == "Bayesian"
+    with pytest.raises(ValueError):
+        get_consensus_caller("Nope")
+
+
+def test_center_star_msa_identical():
+    s = np.array([0, 1, 2, 3], np.uint8)
+    rows = MSA.center_star_msa([s, s.copy(), s.copy()])
+    for r in rows:
+        assert np.array_equal(r, s)
+
+
+def test_center_star_msa_indel():
+    a = np.array([0, 1, 2, 3, 0, 1], np.uint8)
+    b = np.array([0, 1, 3, 0, 1], np.uint8)  # deletion of '2'
+    rows = MSA.center_star_msa([a, b])
+    assert rows[0].shape == rows[1].shape
+    # Reconstruct originals by dropping gaps.
+    assert np.array_equal(rows[0][rows[0] != 4], a)
+    assert np.array_equal(rows[1][rows[1] != 4], b)
