@@ -281,7 +281,8 @@ def _dot_diag_range(a, b):
     """Per-pair min/max diagonal (i - j) over exact k-mer matches of the
     padded downsampled sequences. Pads (-1 / -2) never match.
 
-    Returns (dmin, dmax, n_dots)."""
+    Returns one int32 (B, 3) array [dmin, dmax, n_dots] — fused into a
+    single output so the caller pays one device->host fetch."""
     B, LA = a.shape
     LB = b.shape[1]
     eq = a[:, :, None] == b[:, None, :]  # (B, LA, LB)
@@ -292,7 +293,7 @@ def _dot_diag_range(a, b):
     dmin = jnp.min(jnp.where(eq, diag, big), axis=(1, 2))
     dmax = jnp.max(jnp.where(eq, diag, -big), axis=(1, 2))
     n_dots = jnp.sum(eq, axis=(1, 2)).astype(jnp.int32)
-    return dmin, dmax, n_dots
+    return jnp.stack([dmin, dmax, n_dots], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -400,27 +401,27 @@ def _pad_rows(rows: List[np.ndarray], width: int, pad: int) -> np.ndarray:
     return out
 
 
-def _run_bucket(
+def _dispatch_bucket(
     a_rows: List[np.ndarray],
     b_rows: List[np.ndarray],
     band_mins: np.ndarray,
     W: int,
     params: AlignParams,
-) -> List[Tuple[np.ndarray, np.ndarray]]:
-    """Run forward+traceback for same-shape-bucket pairs.
+):
+    """Launch forward+traceback kernels for same-shape-bucket pairs.
 
-    Returns per pair the matched (ord0, ord1) arrays in increasing
-    ordinal order.
+    Returns a list of (device_future, batch_meta) — fetching is
+    deferred so that all buckets/batches overlap on device and each
+    batch costs exactly one device->host round trip.
     """
+    from shasta_tpu.ops import align_pallas
+
     LA = _bucket(max(r.shape[0] for r in a_rows), _LEN_BUCKETS)
     LB = _bucket(max(r.shape[0] for r in b_rows), _LEN_BUCKETS)
     n = len(a_rows)
-    results: List[Tuple[np.ndarray, np.ndarray]] = []
-
-    from shasta_tpu.ops import align_pallas
-
     use_pallas = _pallas_available() and align_pallas.supported(LA, W)
 
+    pending = []
     max_b = max(8, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
     max_b -= max_b % 8
     for lo in range(0, n, max_b):
@@ -438,7 +439,7 @@ def _run_bucket(
         bm = np.concatenate([band_mins[lo:hi], np.zeros(pad)]).astype(np.int32)
 
         if use_pallas:
-            packed, metrics, _best = align_pallas.banded_align_pairs(
+            fused = align_pallas.banded_align_pairs(
                 a,
                 a_len,
                 b,
@@ -451,36 +452,57 @@ def _run_bucket(
                 mismatch=params.mismatch_score,
                 gap=params.gap_score,
             )
-            packed = np.asarray(packed)
-            counts = np.asarray(metrics[:, 0])
-            for t in range(hi - lo):
+            pending.append(("pallas", fused, hi - lo))
+        else:
+            dirs, best_i, best_d, best_val = banded_forward(
+                a,
+                a_len,
+                b,
+                b_len,
+                bm,
+                W=W,
+                match=params.match_score,
+                mismatch=params.mismatch_score,
+                gap=params.gap_score,
+            )
+            n_steps = int(LA + LB)
+            m0, m1 = traceback(dirs, a, b, bm, best_i, best_d, n_steps=n_steps)
+            pending.append(("jnp", (m0, m1), hi - lo))
+    return pending
+
+
+def _collect_bucket(pending) -> List[Tuple[np.ndarray, np.ndarray]]:
+    results: List[Tuple[np.ndarray, np.ndarray]] = []
+    for kind, payload, n_real in pending:
+        if kind == "pallas":
+            fused = np.asarray(payload)
+            counts = fused[:, 0]
+            packed = fused[:, 16:]
+            for t in range(n_real):
                 c = int(counts[t])
                 o0 = (packed[t, :c] >> 16).astype(np.uint32)
                 o1 = (packed[t, :c] & 0xFFFF).astype(np.uint32)
                 results.append((o0, o1))
-            continue
-
-        dirs, best_i, best_d, best_val = banded_forward(
-            a,
-            a_len,
-            b,
-            b_len,
-            bm,
-            W=W,
-            match=params.match_score,
-            mismatch=params.mismatch_score,
-            gap=params.gap_score,
-        )
-        n_steps = int(LA + LB)
-        m0, m1 = traceback(dirs, a, b, bm, best_i, best_d, n_steps=n_steps)
-        m0 = np.asarray(m0)  # (n_steps, B)
-        m1 = np.asarray(m1)
-        for t in range(hi - lo):
-            sel = m0[:, t] >= 0
-            o0 = m0[sel, t][::-1].astype(np.uint32)
-            o1 = m1[sel, t][::-1].astype(np.uint32)
-            results.append((o0, o1))
+        else:
+            m0, m1 = payload
+            m0 = np.asarray(m0)  # (n_steps, B)
+            m1 = np.asarray(m1)
+            for t in range(n_real):
+                sel = m0[:, t] >= 0
+                o0 = m0[sel, t][::-1].astype(np.uint32)
+                o1 = m1[sel, t][::-1].astype(np.uint32)
+                results.append((o0, o1))
     return results
+
+
+def _run_bucket(
+    a_rows: List[np.ndarray],
+    b_rows: List[np.ndarray],
+    band_mins: np.ndarray,
+    W: int,
+    params: AlignParams,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    return _collect_bucket(_dispatch_bucket(a_rows, b_rows, band_mins, W, params))
 
 
 def _grouped_run(
@@ -503,15 +525,19 @@ def _grouped_run(
         order.setdefault(k, []).append(i)
 
     results: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * n
+    dispatched = []
     for (la, lb, w), idxs in sorted(order.items()):
         # Centre each pair's band inside the padded width.
         bm = np.empty(len(idxs), np.int32)
         for t, i in enumerate(idxs):
             extra = w - int(widths[i])
             bm[t] = int(band_mins[i]) - extra // 2
-        res = _run_bucket(
+        pending = _dispatch_bucket(
             [a_rows[i] for i in idxs], [b_rows[i] for i in idxs], bm, w, params
         )
+        dispatched.append((idxs, pending))
+    for idxs, pending in dispatched:
+        res = _collect_bucket(pending)
         for t, i in enumerate(idxs):
             results[i] = res[t]
     return results  # type: ignore[return-value]
@@ -588,10 +614,10 @@ def align_candidates(
             )
             a = _pad_rows([ds_a[i] for i in part] + [np.zeros(0, np.int32)] * pad, la, -1)
             b = _pad_rows([ds_b[i] for i in part] + [np.zeros(0, np.int32)] * pad, lb, -2)
-            mn, mx, nd = _dot_diag_range(a, b)
-            dmin[part] = np.asarray(mn)[: len(part)]
-            dmax[part] = np.asarray(mx)[: len(part)]
-            ndots[part] = np.asarray(nd)[: len(part)]
+            dd = np.asarray(_dot_diag_range(a, b))
+            dmin[part] = dd[: len(part), 0]
+            dmax[part] = dd[: len(part), 1]
+            ndots[part] = dd[: len(part), 2]
 
     # Downsampled banded DP where dots exist.
     cand_idx = np.flatnonzero(ndots > 0)

@@ -60,13 +60,13 @@ def supported(LA: int, W: int) -> bool:
 
 def _kernel(
     sub_ref,  # (BB, LA, W) int32: match/mismatch score per band cell
-    a_len_ref,  # (BB, 1) int32
-    b_len_ref,  # (BB, 1) int32
-    band_min_ref,  # (BB, 1) int32
+    a_len_ref,  # (1, BB, 1) int32
+    b_len_ref,  # (1, BB, 1) int32
+    band_min_ref,  # (1, BB, 1) int32
     m0_ref,  # (1, NSTEPS, BB) int32 out
     m1_ref,  # (1, NSTEPS, BB) int32 out
-    best_ref,  # (BB, 1) int32 out
-    metrics_ref,  # (BB, 16) int32 out: AlignmentInfo computed in-kernel
+    best_ref,  # (1, BB, 1) int32 out
+    metrics_ref,  # (1, BB, 16) int32 out: AlignmentInfo computed in-kernel
     dirs_ref,  # (BB, LA, W) int32 scratch
     *,
     LA: int,
@@ -79,9 +79,9 @@ def _kernel(
     d_idx = jax.lax.broadcasted_iota(jnp.int32, (BB, W), 1)
     neg = jnp.full((BB, W), NEG_INF, jnp.int32)
     gap_i = jnp.int32(gap)
-    a_len = a_len_ref[...][:, :1]
-    b_len = b_len_ref[...][:, :1]
-    band_min = band_min_ref[...][:, :1]
+    a_len = a_len_ref[0, :, :]
+    b_len = b_len_ref[0, :, :]
+    band_min = band_min_ref[0, :, :]
 
     # Row 0: V[0][j] = 0 for 0 <= j <= b_len inside the band.
     j0 = band_min + d_idx
@@ -150,7 +150,7 @@ def _kernel(
     zero1 = jnp.zeros((BB, 1), jnp.int32)
     init = (prev0, jnp.full((BB, 1), NEG_INF, jnp.int32), zero1, zero1)
     V, best_val, best_i, best_d = jax.lax.fori_loop(1, LA + 1, forward_row, init)
-    best_ref[:, :] = best_val
+    best_ref[0, :, :] = best_val
 
     # ---- Traceback ----
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
@@ -225,7 +225,7 @@ def _kernel(
          z, z, z, z, z, z],
         axis=1,
     )
-    metrics_ref[:, :] = metrics
+    metrics_ref[0, :, :] = metrics
 
 
 @functools.partial(
@@ -237,14 +237,12 @@ def banded_align_pairs(
     """Forward + traceback for a batch of candidate pairs.
 
     a: (B, LA) int32 (pad -1), b: (B, LB) int32 (pad -2).
-    Returns (packed, metrics, best):
-    - packed (B, min(LA,LB)) int32: matched ordinal pairs
-      (ord0 << 16) | ord1 in path order; entries beyond the match
-      count are INT32_MAX;
-    - metrics (B, 16) int32: [count, min_o0, max_o0, min_o1, max_o1,
+    Returns one int32 array (B, 16 + min(LA, LB)):
+    - columns 0..15: metrics [count, min_o0, max_o0, min_o1, max_o1,
       min_offset, max_offset, max_skip, max_drift, best_score, 0...]
       (the reference AlignmentInfo fields, src/Alignment.hpp);
-    - best (B,) int32 scores.
+    - columns 16..: matched ordinal pairs (ord0 << 16) | ord1 in path
+      order; entries beyond the match count are INT32_MAX.
     """
     B = a.shape[0]
     BB = _block_pairs(LA, W)
@@ -279,9 +277,9 @@ def banded_align_pairs(
         grid=grid,
         in_specs=[
             pl.BlockSpec((BB, LA, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -290,22 +288,31 @@ def banded_align_pairs(
             pl.BlockSpec(
                 (1, NSTEPS, BB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((BB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B // BB, NSTEPS, BB), jnp.int32),
             jax.ShapeDtypeStruct((B // BB, NSTEPS, BB), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 16), jnp.int32),
+            jax.ShapeDtypeStruct((B // BB, BB, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B // BB, BB, 16), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((BB, LA, W), jnp.int32)],
-    )(sub, a_len[:, None], b_len[:, None], band_min[:, None])
+    )(
+        sub,
+        a_len.reshape(B // BB, BB, 1),
+        b_len.reshape(B // BB, BB, 1),
+        band_min.reshape(B // BB, BB, 1),
+    )
     m0, m1, best, metrics = out
+    metrics = metrics.reshape(B, 16)
     # (nblocks, NSTEPS, BB) -> (B, NSTEPS); pack pairs into one int32
     # (ordinals < 2^15) and sort ascending: strictly increasing
     # ordinals mean sorted packed values ARE the path order, with pads
-    # (INT32 max) at the end. Transfer only the first MAXM columns.
+    # (INT32 max) at the end. Only the first MAXM columns can hold
+    # matches. Metrics and packed ordinals are fused into ONE output
+    # array: device->host round-trips through a tunneled TPU have
+    # ~150 ms latency each, so one fetch per batch, not three.
     m0 = jnp.transpose(m0, (0, 2, 1)).reshape(B, NSTEPS)
     m1 = jnp.transpose(m1, (0, 2, 1)).reshape(B, NSTEPS)
     packed = jnp.where(
@@ -313,4 +320,4 @@ def banded_align_pairs(
     )
     packed = jnp.sort(packed, axis=1)
     MAXM = min(LA, LB)
-    return packed[:, :MAXM], metrics, best[:, 0]
+    return jnp.concatenate([metrics, packed[:, :MAXM]], axis=1)

@@ -234,6 +234,13 @@ class Assembler:
                     # Rebuild after removal (reference:
                     # srcMain/main.cpp:973-979).
                     self.assembly_graph = AG.create_assembly_graph(mg)
+        if ca.detangle_method != 0:
+            from shasta_tpu.graph.detangle import detangle_assembly_graph
+
+            with self.log.stage("detangle"):
+                self.assembly_graph = detangle_assembly_graph(
+                    self.assembly_graph, mg
+                )
         with self.log.stage("assembleMarkerGraphVertices"):
             self.vertex_repeats = AG.assemble_marker_graph_vertices(
                 self.reads, self.markers, mg, caller=_vertex_caller_name(ca.consensus_caller)

@@ -48,7 +48,7 @@ def make_batch(seed, B=8, LA=128, LB=128, W=128, alpha=50):
 def test_matches_jnp_kernel(seed):
     LA = LB = W = 128
     a, a_len, b, b_len, bm = make_batch(seed, LA=LA, LB=LB, W=W)
-    packed, metrics, bestp = AP.banded_align_pairs(
+    fused = AP.banded_align_pairs(
         jnp.asarray(a),
         jnp.asarray(a_len),
         jnp.asarray(b),
@@ -65,7 +65,10 @@ def test_matches_jnp_kernel(seed):
         a, a_len, b, b_len, bm, W=W, match=6, mismatch=-1, gap=-1
     )
     m0r, m1r = A.traceback(dirs, a, b, bm, bi, bd, n_steps=LA + LB)
-    packed, metrics, bestp = map(np.asarray, (packed, metrics, bestp))
+    fused = np.asarray(fused)
+    metrics = fused[:, :16]
+    packed = fused[:, 16:]
+    bestp = metrics[:, 9]
     m0r, m1r, bv = map(np.asarray, (m0r, m1r, bv))
     for t in range(a.shape[0]):
         count = metrics[t, 0]
