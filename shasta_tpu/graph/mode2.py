@@ -1,0 +1,434 @@
+"""Mode 2 assembly: phased diploid via bubbles + Bayesian phasing.
+
+TPU-era counterpart of the reference's mode-2 pipeline
+(reference: srcMain/main.cpp:1049-1110, src/AssemblyGraph2.cpp:44-233,
+src/PhasingGraph.{hpp,cpp}, src/diploidBayesianPhase.cpp,
+src/AssemblerMarkerGraphEdges.cpp:31 for strict edges):
+
+1. *Strict* marker graph edges: marker intervals grouped by
+   (source vertex, target vertex) are split by their exact intervening
+   RLE sequence — heterozygous loci become pairs of parallel edges
+   (bubbles) instead of being collapsed; minEdgeCoverage and
+   minEdgeCoveragePerStrand are enforced per distinct sequence.
+2. The assembly graph is condensed as usual; a bubble is a vertex pair
+   joined by exactly two parallel assembly edges.
+3. Each pair of bubbles sharing enough reads gets a 2x2 matrix
+   (side of bubble A x side of bubble B over common oriented reads);
+   the 3-hypothesis Bayesian model (random / in phase / out of phase,
+   diploidBayesianPhase) scores relative phase in decibels.
+4. The phasing graph (vertices = bubbles, edges = confident relative
+   phases) is phased along a maximum-weight spanning forest.
+5. Output: phased haplotype paths per phased component plus a haploid
+   squashed assembly.
+
+The pair scoring is a dense matrix computation (read-by-bubble-side
+incidence -> one matmul per side pair), MXU-shaped by construction.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from shasta_tpu.data.markers import MarkerStore
+from shasta_tpu.data.reads import ReadStore
+from shasta_tpu.graph.assembly_graph import AssemblyGraph, create_assembly_graph
+from shasta_tpu.graph.marker_graph import MarkerGraph, _set_empty_edges
+
+
+# ---------------------------------------------------------------------------
+# Strict marker graph edges
+# ---------------------------------------------------------------------------
+
+
+def create_marker_graph_edges_strict(
+    reads: ReadStore,
+    markers: MarkerStore,
+    mg: MarkerGraph,
+    min_edge_coverage: int = 4,
+    min_edge_coverage_per_strand: int = 1,
+) -> None:
+    """Strict edge creation (reference: createMarkerGraphEdgesStrict,
+    src/AssemblerMarkerGraphEdges.cpp:31-360): consecutive in-vertex
+    markers per oriented read generate marker intervals; intervals with
+    the same (source, target) split into one edge per distinct
+    intervening RLE sequence; coverage thresholds apply per edge."""
+    moff = markers.offsets
+    vt = mg.vertex_table
+    valid = np.flatnonzero(vt >= 0)
+    if valid.shape[0] == 0:
+        _set_empty_edges(mg)
+        return
+    orid_of_valid = np.searchsorted(moff, valid, side="right") - 1
+
+    same = orid_of_valid[1:] == orid_of_valid[:-1]
+    i0 = valid[:-1][same]
+    i1 = valid[1:][same]
+    orid = orid_of_valid[:-1][same]
+    src = vt[i0]
+    tgt = vt[i1]
+    ord0 = (i0 - moff[orid]).astype(np.int32)
+    ord1 = (i1 - moff[orid]).astype(np.int32)
+
+    # Intervening RLE sequence key per interval.
+    k = markers.k
+    pos0 = markers.positions[i0].astype(np.int64)
+    pos1 = markers.positions[i1].astype(np.int64)
+    seq_keys = np.empty(i0.shape[0], dtype=object)
+    from shasta_tpu.graph.assembly_graph import oriented_base_repeat
+
+    for t in range(i0.shape[0]):
+        lo = pos0[t] + k
+        hi = pos1[t]
+        if hi > lo:
+            b, _ = oriented_base_repeat(
+                reads, int(orid[t]), np.arange(lo, hi, dtype=np.int64)
+            )
+            seq_keys[t] = b.tobytes()
+        else:
+            # Overlapping markers: the offset defines the sequence.
+            seq_keys[t] = bytes([255, int(hi - lo + 256) % 256])
+
+    # Group by (src, tgt, sequence).
+    order = np.lexsort((ord0, orid, np.array([hash(x) for x in seq_keys]), tgt, src))
+    src, tgt, orid, ord0, ord1 = (
+        src[order], tgt[order], orid[order], ord0[order], ord1[order]
+    )
+    seq_keys = seq_keys[order]
+
+    new_edge = np.empty(src.shape[0], dtype=bool)
+    new_edge[0] = True
+    for t in range(1, src.shape[0]):
+        new_edge[t] = (
+            src[t] != src[t - 1]
+            or tgt[t] != tgt[t - 1]
+            or seq_keys[t] != seq_keys[t - 1]
+        )
+    group = np.cumsum(new_edge) - 1
+    n_groups = int(group[-1]) + 1
+    cov = np.bincount(group, minlength=n_groups)
+    strand1 = np.bincount(group, weights=(orid & 1), minlength=n_groups)
+    strand0 = cov - strand1
+
+    keep = (
+        (cov >= min_edge_coverage)
+        & (strand0 >= min_edge_coverage_per_strand)
+        & (strand1 >= min_edge_coverage_per_strand)
+    )
+    keep_interval = keep[group]
+
+    src, tgt, orid, ord0, ord1, group = (
+        src[keep_interval],
+        tgt[keep_interval],
+        orid[keep_interval],
+        ord0[keep_interval],
+        ord1[keep_interval],
+        group[keep_interval],
+    )
+    # Renumber groups -> edge ids, ordered by (src, tgt, first interval).
+    uniq, edge_of_interval = np.unique(group, return_inverse=True)
+    n_edges = uniq.shape[0]
+
+    e_src = np.zeros(n_edges, np.int64)
+    e_tgt = np.zeros(n_edges, np.int64)
+    e_src[edge_of_interval] = src
+    e_tgt[edge_of_interval] = tgt
+    e_cov = np.bincount(edge_of_interval, minlength=n_edges).astype(np.int32)
+    interval_offsets = np.zeros(n_edges + 1, np.int64)
+    np.cumsum(e_cov, out=interval_offsets[1:])
+    # Intervals are already sorted by edge then (orid, ord0).
+    order2 = np.argsort(edge_of_interval, kind="stable")
+
+    # RC edges: (s, t) -> (rc t, rc s); with parallel edges, pair by
+    # coverage rank among parallels between the same rc vertex pair.
+    key = e_src * np.int64(mg.vertex_count) + e_tgt
+    rc_key = mg.rc_vertex[e_tgt] * np.int64(mg.vertex_count) + mg.rc_vertex[e_src]
+    order_k = np.argsort(key, kind="stable")
+    sorted_keys = key[order_k]
+    rc_edge = np.full(n_edges, -1, np.int64)
+    for e in range(n_edges):
+        lo = np.searchsorted(sorted_keys, rc_key[e], side="left")
+        hi = np.searchsorted(sorted_keys, rc_key[e], side="right")
+        cands = order_k[lo:hi]
+        if cands.shape[0] == 1:
+            rc_edge[e] = cands[0]
+        elif cands.shape[0] > 1:
+            # match by coverage (rc branches have identical coverage)
+            same_cov = cands[e_cov[cands] == e_cov[e]]
+            rc_edge[e] = same_cov[0] if same_cov.shape[0] else cands[0]
+
+    mg.source = e_src
+    mg.target = e_tgt
+    mg.coverage = e_cov
+    mg.rc_edge = rc_edge
+    mg.removed_tr = np.zeros(n_edges, bool)
+    mg.pruned = np.zeros(n_edges, bool)
+    mg.superbubble = np.zeros(n_edges, bool)
+    mg.low_coverage_cross = np.zeros(n_edges, bool)
+    mg.interval_offsets = interval_offsets
+    mg.interval_orid = orid[order2]
+    mg.interval_ord0 = ord0[order2]
+    mg.interval_ord1 = ord1[order2]
+    mg.build_adjacency()
+
+
+# ---------------------------------------------------------------------------
+# Bayesian relative phase of two bubbles
+# ---------------------------------------------------------------------------
+
+
+def diploid_bayesian_phase(
+    matrix: np.ndarray, epsilon: float = 0.1
+) -> Tuple[float, float]:
+    """The reference's 3-hypothesis model
+    (reference: src/diploidBayesianPhase.cpp:25-126). matrix[s0][s1]
+    counts common reads on side s0 of bubble A and side s1 of bubble B.
+    Returns (logPin, logPout) in decibels relative to the random
+    hypothesis."""
+    m = matrix.astype(np.float64)
+    n0 = m.sum(axis=1)
+    n1 = m.sum(axis=0)
+    n = m.sum()
+    if n == 0 or n0.min() < 0:
+        return 0.0, 0.0
+    Prandom = np.outer(n0, n1) / (n * n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        Pin = epsilon * Prandom
+        d_in = n0[0] * n1[0] + n0[1] * n1[1]
+        if d_in > 0:
+            f = (1.0 - epsilon) / d_in
+            Pin[0, 0] += f * n0[0] * n1[0]
+            Pin[1, 1] += f * n0[1] * n1[1]
+        Pout = epsilon * Prandom
+        d_out = n0[0] * n1[1] + n0[1] * n1[0]
+        if d_out > 0:
+            f = (1.0 - epsilon) / d_out
+            Pout[0, 1] += f * n0[0] * n1[1]
+            Pout[1, 0] += f * n0[1] * n1[0]
+        ratio_in = np.where(Prandom > 0, Pin / np.maximum(Prandom, 1e-300), 1.0)
+        ratio_out = np.where(Prandom > 0, Pout / np.maximum(Prandom, 1e-300), 1.0)
+        log_pin = float((m * 10.0 * np.log10(np.maximum(ratio_in, 1e-300))).sum())
+        log_pout = float((m * 10.0 * np.log10(np.maximum(ratio_out, 1e-300))).sum())
+    return log_pin, log_pout
+
+
+# ---------------------------------------------------------------------------
+# Bubbles + phasing
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Bubble:
+    v0: int  # source marker-graph vertex
+    v1: int  # target marker-graph vertex
+    branch_edges: Tuple[int, int]  # assembly edge ids of the two branches
+    # Oriented reads on each branch (sorted).
+    reads0: np.ndarray = None
+    reads1: np.ndarray = None
+    # Phasing results.
+    component: int = -1
+    phase: int = 0  # +1 / -1 once phased
+
+
+def find_bubbles(ag: AssemblyGraph, mg: MarkerGraph) -> List[Bubble]:
+    """Vertex pairs joined by exactly two parallel assembly edges."""
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for e in range(ag.edge_count):
+        groups.setdefault((int(ag.source_v[e]), int(ag.target_v[e])), []).append(e)
+
+    from shasta_tpu.graph.detangle import _edge_oriented_reads
+
+    bubbles = []
+    for (v0, v1), es in sorted(groups.items()):
+        if len(es) != 2:
+            continue
+        b = Bubble(v0=v0, v1=v1, branch_edges=(es[0], es[1]))
+        b.reads0 = _edge_oriented_reads(ag, mg, es[0])
+        b.reads1 = _edge_oriented_reads(ag, mg, es[1])
+        # Reads seen on both sides are uninformative; drop them.
+        common = np.intersect1d(b.reads0, b.reads1)
+        b.reads0 = np.setdiff1d(b.reads0, common)
+        b.reads1 = np.setdiff1d(b.reads1, common)
+        bubbles.append(b)
+    return bubbles
+
+
+def phase_bubbles(
+    bubbles: List[Bubble],
+    min_log_p: float = 30.0,
+    epsilon: float = 0.1,
+    min_common_reads: int = 3,
+) -> int:
+    """Relative phases via the Bayesian model over all informative
+    bubble pairs; absolute phases via a maximum-weight spanning forest
+    (reference: PhasingGraph + hierarchical phasing,
+    src/AssemblyGraph2.cpp:44-233). Returns component count.
+
+    The bubble-pair read counts come from one incidence-matrix product:
+    side (2B, R) x (R, 2B) — batched for the MXU when run on device.
+    """
+    nb = len(bubbles)
+    if nb == 0:
+        return 0
+    # Build read index.
+    all_reads = np.unique(
+        np.concatenate([np.concatenate([b.reads0, b.reads1]) for b in bubbles])
+    )
+    R = all_reads.shape[0]
+    inc = np.zeros((2 * nb, R), dtype=np.float32)
+    for i, b in enumerate(bubbles):
+        inc[2 * i, np.searchsorted(all_reads, b.reads0)] = 1
+        inc[2 * i + 1, np.searchsorted(all_reads, b.reads1)] = 1
+    # counts[x, y] = |reads on side x AND side y| for all side pairs.
+    counts = inc @ inc.T  # (2B, 2B) — the MXU-shaped core
+
+    # Candidate edges.
+    edges = []  # (weight, i, j, relative_phase)
+    for i in range(nb):
+        for j in range(i + 1, nb):
+            m = np.array(
+                [
+                    [counts[2 * i, 2 * j], counts[2 * i, 2 * j + 1]],
+                    [counts[2 * i + 1, 2 * j], counts[2 * i + 1, 2 * j + 1]],
+                ]
+            )
+            if m.sum() < min_common_reads:
+                continue
+            log_pin, log_pout = diploid_bayesian_phase(m, epsilon)
+            if max(log_pin, log_pout) < min_log_p:
+                continue
+            rel = 1 if log_pin >= log_pout else -1
+            edges.append((max(log_pin, log_pout), i, j, rel))
+
+    # Maximum-weight spanning forest (Kruskal).
+    edges.sort(key=lambda t: -t[0])
+    parent = list(range(nb))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    tree: List[Tuple[int, int, int]] = []
+    for w, i, j, rel in edges:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+            tree.append((i, j, rel))
+
+    # Assign phases by BFS over the forest.
+    adj: Dict[int, List[Tuple[int, int]]] = {}
+    for i, j, rel in tree:
+        adj.setdefault(i, []).append((j, rel))
+        adj.setdefault(j, []).append((i, rel))
+    comp = 0
+    visited = [False] * nb
+    for s in range(nb):
+        if visited[s]:
+            continue
+        stack = [s]
+        visited[s] = True
+        bubbles[s].phase = 1
+        bubbles[s].component = comp
+        while stack:
+            u = stack.pop()
+            for v, rel in adj.get(u, ()):
+                if not visited[v]:
+                    visited[v] = True
+                    bubbles[v].phase = bubbles[u].phase * rel
+                    bubbles[v].component = comp
+                    stack.append(v)
+        comp += 1
+    return comp
+
+
+# ---------------------------------------------------------------------------
+# Output: haplotype selection
+# ---------------------------------------------------------------------------
+
+
+def haplotype_branch_choice(bubbles: List[Bubble], ag: AssemblyGraph) -> Dict[int, int]:
+    """For each bubble branch edge, which haplotype(s) it belongs to:
+    returns {assembly_edge_id: hap} with hap 0/1 per the bubble's
+    phase (phase +1: branch0 -> hap0; phase -1: branch0 -> hap1)."""
+    out: Dict[int, int] = {}
+    for b in bubbles:
+        if b.phase >= 0:
+            out[b.branch_edges[0]] = 0
+            out[b.branch_edges[1]] = 1
+        else:
+            out[b.branch_edges[0]] = 1
+            out[b.branch_edges[1]] = 0
+    return out
+
+
+def write_mode2_outputs(
+    run_dir: str,
+    ag: AssemblyGraph,
+    bubbles: List[Bubble],
+    k: int,
+    vertex_repeats,
+) -> Dict[str, int]:
+    """Write the phased output set (a compact version of the
+    reference's Detailed/Phased/Haploid file family,
+    src/AssemblyGraph2.cpp writeDetailed/writePhased/writeHaploid)."""
+    import os
+    from shasta_tpu.graph.assembly_graph import _seq_str
+
+    hap_of = haplotype_branch_choice(bubbles, ag)
+    branch_component = {}
+    for b in bubbles:
+        for e in b.branch_edges:
+            branch_component[e] = b.component
+
+    stats = {"phasedBubbleCount": len(bubbles), "phasedComponentCount": 0}
+    if bubbles:
+        stats["phasedComponentCount"] = (
+            max(b.component for b in bubbles) + 1 if bubbles else 0
+        )
+
+    # Detailed: every assembled edge with haplotype/bubble annotation.
+    with open(os.path.join(run_dir, "Assembly-Detailed.gfa"), "w") as f:
+        f.write("H\tVN:Z:1.0\n")
+        for e in range(ag.edge_count):
+            if not ag.is_assembled_edge(e):
+                continue
+            s = ag.raw_sequence(e)
+            if s.shape[0] == 0:
+                continue
+            tags = ""
+            if e in hap_of:
+                tags = f"\tHP:i:{hap_of[e] + 1}\tPC:i:{branch_component[e]}"
+            f.write(f"S\t{e}\t{_seq_str(s)}{tags}\n")
+
+    # Phased: both haplotype branches written, named hap0/hap1.
+    with open(os.path.join(run_dir, "Assembly-Phased.fasta"), "w") as f:
+        for e in range(ag.edge_count):
+            s = ag.raw_sequence(e)
+            if s.shape[0] == 0:
+                continue
+            if e in hap_of:
+                f.write(
+                    f">PR.{branch_component.get(e, 0)}.{e} haplotype "
+                    f"{hap_of[e]} length {s.shape[0]}\n{_seq_str(s)}\n"
+                )
+
+    # Haploid: for each bubble keep the stronger branch; everything
+    # else written as is.
+    drop = set()
+    for b in bubbles:
+        e0, e1 = b.branch_edges
+        drop.add(e1 if b.reads0.shape[0] >= b.reads1.shape[0] else e0)
+    with open(os.path.join(run_dir, "Assembly-Haploid.fasta"), "w") as f:
+        for e in range(ag.edge_count):
+            if not ag.is_assembled_edge(e) or e in drop:
+                continue
+            s = ag.raw_sequence(e)
+            if s.shape[0] == 0:
+                continue
+            f.write(f">{e} length {s.shape[0]}\n{_seq_str(s)}\n")
+    return stats

@@ -198,6 +198,25 @@ class Assembler:
 
     def create_marker_graph_edges(self) -> None:
         cm = self.config.marker_graph
+        if self.config.assembly.mode == 2:
+            # Strict edges preserve heterozygous bubbles (reference:
+            # createMarkerGraphEdgesStrict); no transitive reduction.
+            from shasta_tpu.graph.mode2 import create_marker_graph_edges_strict
+
+            with self.log.stage("createMarkerGraphEdgesStrict"):
+                create_marker_graph_edges_strict(
+                    self.reads,
+                    self.markers,
+                    self.marker_graph,
+                    min_edge_coverage=cm.min_edge_coverage,
+                    min_edge_coverage_per_strand=cm.min_edge_coverage_per_strand,
+                )
+            with self.log.stage("pruneMarkerGraphStrongSubgraph"):
+                MG.prune(
+                    self.marker_graph, iteration_count=cm.prune_iteration_count
+                )
+            self.store.save_stage("MarkerGraph", self.marker_graph.arrays())
+            return
         with self.log.stage("createMarkerGraphEdges"):
             MG.create_marker_graph_edges(self.markers, self.marker_graph)
         with self.log.stage("transitiveReduction"):
@@ -269,6 +288,56 @@ class Assembler:
             )
         self.store.save_stage("AssemblyGraph", self.assembly_graph.arrays())
 
+    def assemble_mode2(self) -> Dict:
+        """Mode 2: bubbles + phasing on top of the strict-edge graph
+        (reference: mode2Assembly, srcMain/main.cpp:1049)."""
+        from shasta_tpu.graph import mode2 as M2
+
+        ca = self.config.assembly
+        mg = self.marker_graph
+        with self.log.stage("createAssemblyGraphEdges"):
+            self.assembly_graph = AG.create_assembly_graph(mg)
+        with self.log.stage("findBubbles"):
+            self.bubbles = M2.find_bubbles(self.assembly_graph, mg)
+        with self.log.stage("phaseBubbles"):
+            n_components = M2.phase_bubbles(
+                self.bubbles,
+                min_log_p=ca.phasing_min_log_p,
+                epsilon=ca.phasing_epsilon,
+            )
+            self.log.line(
+                f"Phased {len(self.bubbles)} bubbles into "
+                f"{n_components} components."
+            )
+        with self.log.stage("assembleMarkerGraphVertices"):
+            self.vertex_repeats = AG.assemble_marker_graph_vertices(
+                self.reads, self.markers, mg,
+                caller=_vertex_caller_name(ca.consensus_caller),
+            )
+        with self.log.stage("assembleMarkerGraphEdges"):
+            needed = np.zeros(mg.edge_count, dtype=bool)
+            for a in range(self.assembly_graph.edge_count):
+                if self.assembly_graph.is_assembled_edge(a):
+                    needed[self.assembly_graph.chain(a)] = True
+            self.edge_consensus = AG.assemble_marker_graph_edges(
+                self.reads, self.markers, mg,
+                needed=needed,
+                caller=get_consensus_caller(ca.consensus_caller),
+                length_threshold_markers=ca.marker_graph_edge_length_threshold_for_consensus,
+            )
+        with self.log.stage("assemble"):
+            AG.assemble_segments(
+                self.assembly_graph, mg, self.markers,
+                self.vertex_repeats, self.edge_consensus,
+            )
+        with self.log.stage("writeMode2Outputs"):
+            stats = M2.write_mode2_outputs(
+                self.run_dir, self.assembly_graph, self.bubbles,
+                self.markers.k, self.vertex_repeats,
+            )
+        self.store.save_stage("AssemblyGraph", self.assembly_graph.arrays())
+        return stats
+
     def write_output(self) -> Dict:
         stats = AG.assembly_statistics(self.assembly_graph)
         with self.log.stage("writeOutput"):
@@ -325,8 +394,13 @@ def run_assembly(
     a.create_read_graph()
     a.create_marker_graph_vertices()
     a.create_marker_graph_edges()
-    a.assemble_mode0()
-    summary = a.write_output()
+    if a.config.assembly.mode == 2:
+        mode2_stats = a.assemble_mode2()
+        summary = a.write_output()
+        summary.update(mode2_stats)
+    else:
+        a.assemble_mode0()
+        summary = a.write_output()
     summary["elapsedSeconds"] = time.monotonic() - t0
     a.log.line(f"Assembly done in {summary['elapsedSeconds']:.3f} s.")
     a.log.close()

@@ -76,6 +76,9 @@ class MarkerGraphOptions:
     prune_iteration_count: int = 6
     simplify_max_length: str = "10,100,1000"
     cross_edge_coverage_threshold: int = 0
+    # Strict edges (mode 2).
+    min_edge_coverage: int = 4
+    min_edge_coverage_per_strand: int = 1
 
 
 @dataclass
@@ -84,6 +87,9 @@ class AssemblyOptions:
     consensus_caller: str = "Modal"
     marker_graph_edge_length_threshold_for_consensus: int = 1000
     detangle_method: int = 0
+    # Mode 2 phasing.
+    phasing_epsilon: float = 0.1
+    phasing_min_log_p: float = 30.0
 
 
 @dataclass

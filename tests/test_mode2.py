@@ -1,0 +1,121 @@
+"""Mode 2: strict edges, bubble phasing, phased output."""
+
+import os
+
+import numpy as np
+import pytest
+
+from shasta_tpu.data import bases as B
+from shasta_tpu.graph.mode2 import diploid_bayesian_phase, phase_bubbles, Bubble
+from shasta_tpu.pipeline.assemble import run_assembly
+
+from tests import synth
+from tests.test_assembly_e2e import small_config
+
+
+def test_diploid_bayesian_phase_in_phase():
+    # Perfectly in-phase matrix.
+    m = np.array([[10, 0], [0, 10]])
+    log_pin, log_pout = diploid_bayesian_phase(m)
+    assert log_pin > 30
+    assert log_pin > log_pout
+    # Out of phase.
+    m2 = np.array([[0, 10], [10, 0]])
+    li2, lo2 = diploid_bayesian_phase(m2)
+    assert lo2 > 30 and lo2 > li2
+    # Random: no signal.
+    m3 = np.array([[5, 5], [5, 5]])
+    li3, lo3 = diploid_bayesian_phase(m3)
+    assert li3 < 5 and lo3 < 5
+
+
+def test_phase_bubbles_chain():
+    # 3 bubbles in a chain: reads 0-9 on haplotype A, 10-19 on B.
+    hapA = np.arange(0, 10)
+    hapB = np.arange(10, 20)
+    bubbles = []
+    for i in range(3):
+        b = Bubble(v0=2 * i, v1=2 * i + 1, branch_edges=(10 * i, 10 * i + 1))
+        if i == 1:
+            # Flip branch order in the middle bubble.
+            b.reads0, b.reads1 = hapB.copy(), hapA.copy()
+        else:
+            b.reads0, b.reads1 = hapA.copy(), hapB.copy()
+        bubbles.append(b)
+    n_comp = phase_bubbles(bubbles, min_log_p=20, min_common_reads=3)
+    assert n_comp == 1
+    # Bubble 1 must be phase-flipped relative to 0 and 2.
+    assert bubbles[0].phase == bubbles[2].phase
+    assert bubbles[1].phase == -bubbles[0].phase
+
+
+@pytest.mark.slow
+def test_mode2_end_to_end(tmp_path):
+    # Diploid genome: haplotype B = A with a SNP every ~700 bases.
+    rng = np.random.default_rng(55)
+    hapA = synth.random_genome(15000, seed=56)
+    hapB = hapA.copy()
+    snp_positions = np.arange(350, 15000, 700)
+    for p in snp_positions:
+        hapB[p] = (hapB[p] + 1 + rng.integers(0, 3)) % 4
+
+    reads = []
+    reads += synth.sample_reads(hapA, 90, 2500, seed=57, both_strands=True)
+    reads += synth.sample_reads(hapB, 90, 2500, seed=58, both_strands=True)
+    fa = os.path.join(tmp_path, "r.fasta")
+    synth.write_fasta(fa, reads)
+
+    cfg = small_config()
+    cfg.assembly.mode = 2
+    cfg.marker_graph.min_edge_coverage = 3
+    cfg.marker_graph.min_edge_coverage_per_strand = 0
+    cfg.assembly.phasing_min_log_p = 10.0
+    run_dir = os.path.join(tmp_path, "run")
+    summary = run_assembly([fa], run_dir, cfg)
+
+    assert summary["phasedBubbleCount"] >= 3
+    for f in ("Assembly-Detailed.gfa", "Assembly-Phased.fasta", "Assembly-Haploid.fasta"):
+        assert os.path.exists(os.path.join(run_dir, f)), f
+
+    # Check phasing quality: parse phased branches; for each component
+    # and haplotype, sequences should consistently match one haplotype.
+    phased = {}
+    name = None
+    with open(os.path.join(run_dir, "Assembly-Phased.fasta")) as f:
+        for line in f:
+            if line.startswith(">"):
+                parts = line[1:].split()
+                name = (parts[0], int(parts[2]))  # (PR id, haplotype)
+            else:
+                phased.setdefault(name, []).append(line.strip())
+    assert len(phased) >= 4  # at least 2 bubbles x 2 branches
+
+    gsA = B.decode_to_str(hapA)
+    gsB = B.decode_to_str(hapB)
+
+    def which_hap(seq):
+        # A branch containing a SNP matches exactly one haplotype.
+        in_a = seq in gsA or B.decode_to_str(
+            B.reverse_complement(B.encode_str(seq))
+        ) in gsA
+        in_b = seq in gsB or B.decode_to_str(
+            B.reverse_complement(B.encode_str(seq))
+        ) in gsB
+        if in_a and not in_b:
+            return 0
+        if in_b and not in_a:
+            return 1
+        return None
+
+    # Group by (component, haplotype label); informative branches in
+    # the same group must agree on the true haplotype.
+    by_group = {}
+    for (nm, hap), seqs in phased.items():
+        comp = nm.split(".")[1]
+        h = which_hap("".join(seqs))
+        if h is not None:
+            by_group.setdefault((comp, hap), []).append(h)
+    informative = [v for v in by_group.values() if v]
+    assert informative, "no informative phased branches"
+    consistent = sum(1 for v in informative if len(set(v)) == 1)
+    assert consistent / len(informative) > 0.8
