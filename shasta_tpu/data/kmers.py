@@ -140,6 +140,157 @@ def select_kmers_random(k: int, probability: float, seed: int = 231) -> KmerTabl
     return KmerTable(k=k, is_marker=selected)
 
 
+def _global_kmer_frequency(reads, k: int) -> np.ndarray:
+    """Occurrences of every k-mer over all reads, strand 0 + strand 1
+    (reference counts oriented reads; the RC of each occurrence counts
+    for the RC k-mer)."""
+    from shasta_tpu.data.markers import rolling_kmers_flat
+
+    count = 1 << (2 * k)
+    kv = rolling_kmers_flat(reads.rle_bases, k)
+    lens = np.diff(reads.offsets)
+    read_of_p = np.repeat(np.arange(reads.read_count, dtype=np.int64), lens)[
+        : kv.shape[0]
+    ]
+    pos_in_read = np.arange(kv.shape[0], dtype=np.int64) - reads.offsets[read_of_p]
+    valid = pos_in_read <= (lens[read_of_p] - k)
+    kv = kv[valid]
+    freq = np.bincount(kv, minlength=count).astype(np.int64)
+    rc = reverse_complement_kmers(np.arange(count, dtype=np.uint64), k)
+    return freq + freq[rc]
+
+
+def _select_to_density(
+    k: int, eligible: np.ndarray, freq: np.ndarray, density: float, seed: int
+) -> KmerTable:
+    """Select random (kmer, rc) pairs among the eligible until the
+    cumulative frequency reaches the requested marker density
+    (reference: the random-selection loops of selectKmersBasedOnFrequency
+    / selectKmers2, src/AssemblerKmers.cpp:219,580)."""
+    count = 1 << (2 * k)
+    ids = np.arange(count, dtype=np.uint64)
+    rc = reverse_complement_kmers(ids, k).astype(np.uint64)
+    canonical = np.minimum(ids, rc)
+    is_canonical = canonical == ids
+    cand = np.flatnonzero(eligible & eligible[rc.astype(np.int64)] & is_canonical)
+    total = max(1, int(freq.sum()) // 2)  # per-strand positions
+
+    # Deterministic shuffle by hash (seeded).
+    h = hashing.murmur64_features(
+        np.stack(
+            [
+                (cand & 0xFFFFFFFF).astype(np.uint32),
+                (cand >> 32).astype(np.uint32),
+            ],
+            axis=1,
+        ),
+        seed,
+    )
+    order = np.argsort(h, kind="stable")
+    cand = cand[order]
+    pair_freq = freq[cand] + np.where(
+        rc[cand] != cand.astype(np.uint64), freq[rc[cand].astype(np.int64)], 0
+    )
+    cum = np.cumsum(pair_freq) / (2 * total)
+    n_sel = int(np.searchsorted(cum, density)) + 1
+    chosen = cand[:n_sel]
+
+    is_marker = np.zeros(count, dtype=bool)
+    is_marker[chosen] = True
+    is_marker[rc[chosen].astype(np.int64)] = True
+    return KmerTable(k=k, is_marker=is_marker)
+
+
+def select_kmers_frequency(
+    reads, k: int, density: float, seed: int = 231, enrichment_threshold: float = 10.0
+) -> KmerTable:
+    """Marker selection method 1 (reference: selectKmersBasedOnFrequency,
+    src/AssemblerKmers.cpp:219): exclude k-mers whose global frequency
+    exceeds enrichment_threshold times the random expectation, then
+    select randomly to the requested density."""
+    count = 1 << (2 * k)
+    freq = _global_kmer_frequency(reads, k)
+    rle = is_rle_kmer(np.arange(count, dtype=np.uint64), k)
+    n_rle = max(1, int(rle.sum()))
+    expected = freq[rle].sum() / n_rle
+    eligible = rle & (freq <= enrichment_threshold * max(expected, 1e-12))
+    return _select_to_density(k, eligible, freq, density, seed)
+
+
+def select_kmers_2(
+    reads, k: int, density: float, seed: int = 231, enrichment_threshold: float = 10.0
+) -> KmerTable:
+    """Marker selection method 2 (reference: selectKmers2,
+    src/AssemblerKmers.cpp:580): additionally exclude k-mers
+    over-enriched within any single read."""
+    from shasta_tpu.data.markers import rolling_kmers_flat
+
+    count = 1 << (2 * k)
+    freq = _global_kmer_frequency(reads, k)
+    rle = is_rle_kmer(np.arange(count, dtype=np.uint64), k)
+    n_rle = max(1, int(rle.sum()))
+    expected_global = freq[rle].sum() / n_rle
+    eligible = rle & (freq <= enrichment_threshold * max(expected_global, 1e-12))
+
+    # Per-read over-enrichment.
+    kv = rolling_kmers_flat(reads.rle_bases, k)
+    lens = np.diff(reads.offsets)
+    read_of_p = np.repeat(np.arange(reads.read_count, dtype=np.int64), lens)[
+        : kv.shape[0]
+    ]
+    pos_in_read = np.arange(kv.shape[0], dtype=np.int64) - reads.offsets[read_of_p]
+    valid = pos_in_read <= (lens[read_of_p] - k)
+    kv2 = kv[valid].astype(np.int64)
+    rr = read_of_p[valid]
+    key = rr * count + kv2
+    uniq, cnt = np.unique(key, return_counts=True)
+    u_read = uniq // count
+    u_kmer = uniq % count
+    read_positions = np.maximum(lens - k + 1, 1)
+    # count / positions > threshold / n_rle  <=>  over-enriched in read
+    over = cnt * n_rle > enrichment_threshold * read_positions[u_read]
+    bad = np.unique(u_kmer[over])
+    eligible[bad] = False
+    rc_bad = reverse_complement_kmers(bad.astype(np.uint64), k)
+    eligible[rc_bad.astype(np.int64)] = False
+    return _select_to_density(k, eligible, freq, density, seed)
+
+
+def select_kmers_4(
+    reads, k: int, density: float, seed: int = 231, distance_threshold: int = 1000
+) -> KmerTable:
+    """Marker selection method 4 (reference: selectKmers4,
+    src/AssemblerKmers.cpp:900): exclude k-mers that occur twice within
+    distance_threshold RLE bases in any read."""
+    from shasta_tpu.data.markers import rolling_kmers_flat
+
+    count = 1 << (2 * k)
+    freq = _global_kmer_frequency(reads, k)
+    rle = is_rle_kmer(np.arange(count, dtype=np.uint64), k)
+
+    kv = rolling_kmers_flat(reads.rle_bases, k)
+    lens = np.diff(reads.offsets)
+    read_of_p = np.repeat(np.arange(reads.read_count, dtype=np.int64), lens)[
+        : kv.shape[0]
+    ]
+    pos_in_read = np.arange(kv.shape[0], dtype=np.int64) - reads.offsets[read_of_p]
+    valid = pos_in_read <= (lens[read_of_p] - k)
+    kv2 = kv[valid].astype(np.int64)
+    rr = read_of_p[valid]
+    pp = pos_in_read[valid]
+    order = np.lexsort((pp, kv2, rr))
+    rrs, kvs, pps = rr[order], kv2[order], pp[order]
+    same = (rrs[1:] == rrs[:-1]) & (kvs[1:] == kvs[:-1])
+    d = pps[1:] - pps[:-1]
+    close = same & (d < distance_threshold)
+    bad = np.unique(kvs[1:][close])
+    eligible = rle.copy()
+    eligible[bad] = False
+    rc_bad = reverse_complement_kmers(bad.astype(np.uint64), k)
+    eligible[rc_bad.astype(np.int64)] = False
+    return _select_to_density(k, eligible, freq, density, seed)
+
+
 def select_kmers_from_ids(k: int, marker_ids: np.ndarray) -> KmerTable:
     """Marker selection method 3 equivalent: explicit k-mer id list
     (RC closure is enforced)."""

@@ -401,6 +401,86 @@ def flag_chimeric_reads(
     return is_chimeric
 
 
+def flag_cross_strand_edges2(
+    graph: ReadGraph,
+    alignments: AlignmentStore,
+    n_reads: int,
+    is_chimeric: Optional[np.ndarray] = None,
+) -> int:
+    """Strand separation method 2 (reference:
+    flagCrossStrandReadGraphEdges2, src/AssemblerReadGraph.cpp:1051):
+    process RC edge pairs in decreasing aligned-marker order over a
+    union-find of oriented reads; a pair whose addition would merge a
+    component with its own reverse complement is flagged cross-strand
+    and not added. Guarantees (for the used edges) that the two
+    strands of every read end up in different components.
+
+    Sets graph.crosses_strands in place; returns the flagged count.
+    """
+    n_or = graph.n_oriented_reads
+    parent = list(range(n_or))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    pairs = np.arange(0, graph.edge_count, 2, dtype=np.int64)
+    aids = graph.alignment_id[pairs]
+    mc = alignments.marker_count[aids]
+    ok = np.ones(pairs.shape[0], dtype=bool)
+    if is_chimeric is not None:
+        ok &= ~is_chimeric[alignments.read_id0[aids]]
+        ok &= ~is_chimeric[alignments.read_id1[aids]]
+    pairs, mc = pairs[ok], mc[ok]
+    # Decreasing marker count; ties by edge id ascending (matches the
+    # reference's per-bucket insertion order).
+    order = np.lexsort((pairs, -mc.astype(np.int64)))
+
+    flagged = 0
+    for e in pairs[order]:
+        A0, B0 = int(graph.orid0[e]), int(graph.orid1[e])
+        A1, B1 = int(graph.orid0[e + 1]), int(graph.orid1[e + 1])
+        if (A1 >> 1) != (A0 >> 1):  # normalization may have swapped
+            A1, B1 = B1, A1
+        a0, b0 = find(A0), find(B0)
+        a1, b1 = find(A1), find(B1)
+        if a0 == b0:
+            continue
+        if a0 == b1:
+            graph.crosses_strands[e] = True
+            graph.crosses_strands[e + 1] = True
+            flagged += 2
+            continue
+        union(a0, b0)
+        union(a1, b1)
+    return flagged
+
+
+def connected_components_excluding_cross(graph: ReadGraph) -> np.ndarray:
+    """Connected components over non-cross-strand edges only."""
+    n = graph.n_oriented_reads
+    keep = ~graph.crosses_strands
+    label = np.arange(n, dtype=np.int64)
+    a = graph.orid0[keep]
+    b = graph.orid1[keep]
+    while True:
+        m = np.minimum(label[a], label[b])
+        new = label.copy()
+        np.minimum.at(new, a, m)
+        np.minimum.at(new, b, m)
+        new = new[new]
+        if np.array_equal(new, label):
+            return label
+        label = new
+
+
 def connected_components(graph: ReadGraph) -> np.ndarray:
     """Connected components over oriented reads (informational, like
     reference computeReadGraphConnectedComponents). Returns component

@@ -422,7 +422,13 @@ def _dispatch_bucket(
     use_pallas = _pallas_available() and align_pallas.supported(LA, W)
 
     pending = []
-    max_b = max(8, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
+    if use_pallas:
+        # The Pallas kernel streams blocks through VMEM, so the batch
+        # is bounded by HBM for the sub matrix, not by a dirs slab;
+        # bigger batches mean fewer (high-latency) host round trips.
+        max_b = max(8, min(4096, (1 << 31) // max(1, LA * W * 4)))
+    else:
+        max_b = max(8, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
     max_b -= max_b % 8
     for lo in range(0, n, max_b):
         hi = min(lo + max_b, n)

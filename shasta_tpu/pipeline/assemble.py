@@ -90,7 +90,46 @@ class Assembler:
     def select_kmers(self) -> None:
         ck = self.config.kmers
         with self.log.stage("selectKmers"):
-            self.kmer_table = select_kmers_random(ck.k, ck.probability, seed=ck.seed)
+            method = ck.generation_method
+            if method == 0:
+                self.kmer_table = select_kmers_random(
+                    ck.k, ck.probability, seed=ck.seed
+                )
+            elif method == 1:
+                from shasta_tpu.data.kmers import select_kmers_frequency
+
+                self.kmer_table = select_kmers_frequency(
+                    self.reads, ck.k, ck.probability, seed=ck.seed
+                )
+            elif method == 2:
+                from shasta_tpu.data.kmers import select_kmers_2
+
+                self.kmer_table = select_kmers_2(
+                    self.reads, ck.k, ck.probability, seed=ck.seed
+                )
+            elif method == 3:
+                # K-mers from a file, one sequence per line
+                # (reference: --Kmers.file).
+                from shasta_tpu.data import bases as B2
+                from shasta_tpu.data.kmers import select_kmers_from_ids
+                from shasta_tpu.data.markers import rolling_kmers_flat
+
+                ids = []
+                with open(ck.file) as f:
+                    for line in f:
+                        seq = line.strip().upper()
+                        if len(seq) == ck.k:
+                            codes = B2.encode_str(seq)
+                            ids.append(int(rolling_kmers_flat(codes, ck.k)[0]))
+                self.kmer_table = select_kmers_from_ids(ck.k, np.array(ids))
+            elif method == 4:
+                from shasta_tpu.data.kmers import select_kmers_4
+
+                self.kmer_table = select_kmers_4(
+                    self.reads, ck.k, ck.probability, seed=ck.seed
+                )
+            else:
+                raise ValueError(f"Unsupported Kmers.generationMethod {method}")
             self.store.save_stage("Kmers", self.kmer_table.arrays())
 
     def find_markers(self) -> None:
@@ -170,6 +209,15 @@ class Assembler:
                 self.reads.read_count,
                 max_distance=cr.max_chimeric_read_distance,
             )
+        if cr.strand_separation_method == 2:
+            with self.log.stage("flagCrossStrandReadGraphEdges2"):
+                flagged = RG.flag_cross_strand_edges2(
+                    self.read_graph,
+                    self.alignments,
+                    self.reads.read_count,
+                    self.reads.is_chimeric,
+                )
+                self.log.line(f"Flagged {flagged} cross-strand edges.")
 
     def create_marker_graph_vertices(self) -> None:
         cm = self.config.marker_graph

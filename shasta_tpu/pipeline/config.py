@@ -25,6 +25,7 @@ class KmersOptions:
     probability: float = 0.1
     generation_method: int = 0
     seed: int = 231  # reference: srcMain/main.cpp:598 (mt19937 seed 231)
+    file: str = ""  # generation method 3: one k-mer per line
 
 
 @dataclass

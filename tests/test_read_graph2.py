@@ -94,3 +94,27 @@ def test_remove_low_coverage_cross_edges():
     # Just assert no crash and the flags stay consistent.
     assert n >= 0
     assert mg.low_coverage_cross.dtype == bool
+
+
+def test_flag_cross_strand_edges2():
+    # A palindromic-ish situation: read 2 aligns to read 0 AND to the
+    # reverse complement of read 0 through read 1; strand separation
+    # must flag the weaker bridge that would merge a component with
+    # its own reverse complement.
+    from tests.test_read_graph import make_alignments
+
+    rows = [
+        (0, 1, True, 100),   # strong same-strand
+        (1, 2, True, 90),    # strong same-strand
+        (0, 2, False, 10),   # weak opposite-strand: closes the loop
+    ]
+    al = make_alignments(rows)
+    g, _ = RG.create_read_graph(al, n_reads=3, max_alignment_count=6)
+    flagged = RG.flag_cross_strand_edges2(g, al, n_reads=3)
+    assert flagged == 2
+    # The flagged pair is the weak alignment's edge pair.
+    bad = np.flatnonzero(g.crosses_strands)
+    assert g.alignment_id[bad[0]] == 2
+    # With the cross edges excluded, (0,0) and (0,1) are disconnected.
+    label = RG.connected_components_excluding_cross(g)
+    assert label[0] != label[1]
