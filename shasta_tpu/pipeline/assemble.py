@@ -386,6 +386,50 @@ class Assembler:
         self.store.save_stage("AssemblyGraph", self.assembly_graph.arrays())
         return stats
 
+    def assemble_mode3(self) -> Dict:
+        """Mode 3: segments/journeys/links (reference: mode3Assembly,
+        srcMain/main.cpp:1116, src/mode3.cpp)."""
+        from shasta_tpu.graph import mode3 as M3
+
+        ca = self.config.assembly
+        mg = self.marker_graph
+        with self.log.stage("createMode3AssemblyGraph"):
+            m3 = M3.create_mode3_graph(self.markers, mg)
+            self.assembly_graph = m3.ag
+        with self.log.stage("assembleMarkerGraphVertices"):
+            self.vertex_repeats = AG.assemble_marker_graph_vertices(
+                self.reads, self.markers, mg,
+                caller=_vertex_caller_name(ca.consensus_caller),
+            )
+        with self.log.stage("assembleMarkerGraphEdges"):
+            needed = np.zeros(mg.edge_count, dtype=bool)
+            for a in range(m3.ag.edge_count):
+                if m3.ag.is_assembled_edge(a):
+                    needed[m3.ag.chain(a)] = True
+            self.edge_consensus = AG.assemble_marker_graph_edges(
+                self.reads, self.markers, mg,
+                needed=needed,
+                caller=get_consensus_caller(ca.consensus_caller),
+                length_threshold_markers=ca.marker_graph_edge_length_threshold_for_consensus,
+            )
+        with self.log.stage("assemble"):
+            AG.assemble_segments(
+                m3.ag, mg, self.markers, self.vertex_repeats, self.edge_consensus
+            )
+        with self.log.stage("writeMode3Outputs"):
+            import os as _os
+
+            M3.write_mode3_gfa(
+                _os.path.join(self.run_dir, "Mode3-Assembly.gfa"), m3
+            )
+            paths = M3.find_assembly_paths(m3)
+        self.store.save_stage("Mode3", m3.arrays())
+        return {
+            "mode3SegmentCount": m3.segment_count,
+            "mode3LinkCount": m3.link_count,
+            "mode3PathCount": len(paths),
+        }
+
     def write_output(self) -> Dict:
         stats = AG.assembly_statistics(self.assembly_graph)
         with self.log.stage("writeOutput"):
@@ -446,6 +490,10 @@ def run_assembly(
         mode2_stats = a.assemble_mode2()
         summary = a.write_output()
         summary.update(mode2_stats)
+    elif a.config.assembly.mode == 3:
+        mode3_stats = a.assemble_mode3()
+        summary = a.write_output()
+        summary.update(mode3_stats)
     else:
         a.assemble_mode0()
         summary = a.write_output()

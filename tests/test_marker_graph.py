@@ -110,7 +110,15 @@ def full_pipeline_to_marker_graph(
     markers = find_markers(store, kt)
     cand = LH.find_candidates_lowhash(
         markers,
-        LH.LowHashParams(m=4, hash_fraction=0.05, iteration_count=6, min_frequency=2),
+        LH.LowHashParams(
+            m=4,
+            hash_fraction=0.05,
+            iteration_count=6,
+            min_frequency=2,
+            # Error-free reads give identical features; the bucket-size
+            # cap must exceed coverage or candidates vanish.
+            max_bucket_size=60,
+        ),
     )
     params = AlignParams(min_aligned_marker_count=20, max_skip=60, max_drift=60, max_trim=60)
     al = align_candidates(
