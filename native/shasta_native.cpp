@@ -1,0 +1,281 @@
+// Native runtime components for shasta_tpu.
+//
+// The reference implements its data loader and graph passes in
+// multithreaded C++ (reference: src/ReadLoader.cpp, the transitive
+// reduction BFS at src/AssemblerMarkerGraph.cpp:2279, the chimera BFS
+// at src/AssemblerReadGraph.cpp:355). The TPU build keeps the compute
+// path on the device; these host-side passes are the pieces that
+// remain CPU-bound, so they get native implementations here, exposed
+// through a plain C ABI consumed via ctypes
+// (shasta_tpu/native.py). Semantics match the Python implementations
+// bit for bit; tests assert equality.
+
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// FASTA parsing: two-call protocol (measure, then fill).
+// Returns 0 on success.
+// ---------------------------------------------------------------------------
+
+// Pass 1: count sequences and total bases.
+int fasta_measure(const char* data, int64_t n, int64_t* n_seqs, int64_t* n_bases)
+{
+    int64_t seqs = 0;
+    int64_t bases = 0;
+    int64_t i = 0;
+    while (i < n) {
+        if (data[i] == '>') {
+            ++seqs;
+            while (i < n && data[i] != '\n') ++i;  // skip header
+            ++i;
+        } else {
+            for (; i < n && data[i] != '>'; ++i) {
+                const char c = data[i];
+                if (c != '\n' && c != '\r') ++bases;
+            }
+        }
+    }
+    *n_seqs = seqs;
+    *n_bases = bases;
+    return 0;
+}
+
+// Pass 2: fill 2-bit codes (255 = invalid), offsets, and header
+// spans (byte offsets of each header line, excluding '>').
+int fasta_fill(
+    const char* data, int64_t n,
+    uint8_t* codes,          // [n_bases]
+    int64_t* offsets,        // [n_seqs + 1]
+    int64_t* header_begin,   // [n_seqs]
+    int64_t* header_end)     // [n_seqs]
+{
+    static uint8_t lut[256];
+    static bool lut_init = false;
+    if (!lut_init) {
+        memset(lut, 255, sizeof(lut));
+        lut[(int)'A'] = 0; lut[(int)'a'] = 0;
+        lut[(int)'C'] = 1; lut[(int)'c'] = 1;
+        lut[(int)'G'] = 2; lut[(int)'g'] = 2;
+        lut[(int)'T'] = 3; lut[(int)'t'] = 3;
+        lut_init = true;
+    }
+    int64_t seq = -1;
+    int64_t w = 0;
+    int64_t i = 0;
+    offsets[0] = 0;
+    while (i < n) {
+        if (data[i] == '>') {
+            if (seq >= 0) offsets[seq + 1] = w;
+            ++seq;
+            ++i;
+            header_begin[seq] = i;
+            while (i < n && data[i] != '\n') ++i;
+            header_end[seq] = i;
+            ++i;
+        } else {
+            for (; i < n && data[i] != '>'; ++i) {
+                const char c = data[i];
+                if (c != '\n' && c != '\r') codes[w++] = lut[(unsigned char)c];
+            }
+        }
+    }
+    if (seq >= 0) offsets[seq + 1] = w;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Run-length encoding of a flat base array partitioned by offsets.
+// Two-call protocol again.
+// ---------------------------------------------------------------------------
+
+int rle_measure(
+    const uint8_t* codes, const int64_t* offsets, int64_t n_seqs,
+    int64_t* n_rle)
+{
+    int64_t total = 0;
+    for (int64_t s = 0; s < n_seqs; ++s) {
+        int64_t lo = offsets[s], hi = offsets[s + 1];
+        if (lo == hi) continue;
+        ++total;
+        for (int64_t i = lo + 1; i < hi; ++i)
+            if (codes[i] != codes[i - 1]) ++total;
+    }
+    *n_rle = total;
+    return 0;
+}
+
+int rle_fill(
+    const uint8_t* codes, const int64_t* offsets, int64_t n_seqs,
+    uint8_t* rle, int64_t* counts, int64_t* rle_offsets)
+{
+    int64_t w = 0;
+    rle_offsets[0] = 0;
+    for (int64_t s = 0; s < n_seqs; ++s) {
+        int64_t lo = offsets[s], hi = offsets[s + 1];
+        int64_t i = lo;
+        while (i < hi) {
+            const uint8_t c = codes[i];
+            int64_t run = 1;
+            while (i + run < hi && codes[i + run] == c) ++run;
+            rle[w] = c;
+            counts[w] = run;
+            ++w;
+            i += run;
+        }
+        rle_offsets[s + 1] = w;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Transitive reduction phase 3: per-edge BFS in increasing coverage
+// order (reference: src/AssemblerMarkerGraph.cpp:2400-2470). The
+// low-coverage and long-skip phases stay in (vectorized) Python.
+// `removed` carries the phase-1/2 flags in and the final flags out.
+// ---------------------------------------------------------------------------
+
+int transitive_reduction_bfs(
+    int64_t n_vertices,
+    int64_t n_edges,
+    const int64_t* source,
+    const int64_t* target,
+    const int64_t* rc_edge,
+    const int64_t* by_source_off,   // [n_vertices + 1]
+    const int64_t* by_source,       // CSR of out-edge ids
+    const int64_t* candidates,      // edge ids, increasing coverage
+    int64_t n_candidates,
+    int64_t max_distance,
+    uint8_t* removed)               // [n_edges] in/out
+{
+    std::vector<int64_t> dist(n_vertices, -1);
+    std::vector<int64_t> seen;
+    std::deque<int64_t> q;
+
+    for (int64_t ci = 0; ci < n_candidates; ++ci) {
+        const int64_t e = candidates[ci];
+        if (removed[e]) continue;
+        const int64_t u0 = source[e];
+        const int64_t u1 = target[e];
+
+        q.clear();
+        seen.clear();
+        q.push_back(u0);
+        dist[u0] = 0;
+        seen.push_back(u0);
+        bool found = false;
+        while (!q.empty() && !found) {
+            const int64_t v0 = q.front();
+            q.pop_front();
+            const int64_t d1 = dist[v0] + 1;
+            for (int64_t t = by_source_off[v0]; t < by_source_off[v0 + 1]; ++t) {
+                const int64_t ei = by_source[t];
+                if (ei == e || removed[ei]) continue;
+                const int64_t v1 = target[ei];
+                if (dist[v1] >= 0) continue;
+                if (v1 == u1) { found = true; break; }
+                dist[v1] = d1;
+                seen.push_back(v1);
+                if (d1 < max_distance) q.push_back(v1);
+            }
+        }
+        if (found) {
+            removed[e] = 1;
+            const int64_t rc = rc_edge[e];
+            if (rc >= 0) removed[rc] = 1;
+        }
+        for (const int64_t v : seen) dist[v] = -1;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Chimera flagging (reference: src/AssemblerReadGraph.cpp:355-580).
+// ---------------------------------------------------------------------------
+
+int flag_chimeric_reads(
+    int64_t n_reads,
+    int64_t n_edges,
+    const int64_t* orid0,
+    const int64_t* orid1,
+    const uint8_t* crosses,
+    const int64_t* adj_off,    // [2*n_reads + 1]
+    const int64_t* adj_edges,  // CSR of incident edge ids
+    int64_t max_distance,
+    uint8_t* is_chimeric)      // [n_reads] out
+{
+    const int64_t n_or = 2 * n_reads;
+    std::vector<int64_t> local_id(n_or, -1);
+    std::vector<int64_t> verts, dists, parent;
+    std::deque<int64_t> frontier;
+
+    auto find = [&parent](int64_t x) {
+        while (parent[x] != x) { parent[x] = parent[parent[x]]; x = parent[x]; }
+        return x;
+    };
+
+    for (int64_t read = 0; read < n_reads; ++read) {
+        is_chimeric[read] = 0;
+        if (max_distance == 0) continue;
+        const int64_t start = 2 * read;
+        verts.clear();
+        dists.clear();
+        verts.push_back(start);
+        dists.push_back(0);
+        local_id[start] = 0;
+        frontier.clear();
+        frontier.push_back(start);
+        int64_t d = 0;
+        while (!frontier.empty() && d < max_distance) {
+            ++d;
+            const size_t level = frontier.size();
+            for (size_t t = 0; t < level; ++t) {
+                const int64_t v0 = frontier.front();
+                frontier.pop_front();
+                for (int64_t a = adj_off[v0]; a < adj_off[v0 + 1]; ++a) {
+                    const int64_t ei = adj_edges[a];
+                    if (crosses[ei]) continue;
+                    const int64_t v1 = (orid0[ei] == v0) ? orid1[ei] : orid0[ei];
+                    if (local_id[v1] >= 0) continue;
+                    local_id[v1] = (int64_t)verts.size();
+                    verts.push_back(v1);
+                    dists.push_back(d);
+                    frontier.push_back(v1);
+                }
+            }
+        }
+
+        parent.resize(verts.size());
+        for (size_t i = 0; i < verts.size(); ++i) parent[i] = (int64_t)i;
+        for (size_t u = 0; u < verts.size(); ++u) {
+            const int64_t v0 = verts[u];
+            if ((v0 >> 1) == read) continue;
+            for (int64_t a = adj_off[v0]; a < adj_off[v0 + 1]; ++a) {
+                const int64_t ei = adj_edges[a];
+                if (crosses[ei]) continue;
+                const int64_t v1 = (orid0[ei] == v0) ? orid1[ei] : orid0[ei];
+                if ((v1 >> 1) == read) continue;
+                if (local_id[v1] >= 0) {
+                    int64_t ra = find((int64_t)u), rb = find(local_id[v1]);
+                    if (ra != rb) parent[ra > rb ? ra : rb] = (ra > rb ? rb : ra);
+                }
+            }
+        }
+
+        int64_t component = -1;
+        for (size_t u = 0; u < verts.size(); ++u) {
+            if (dists[u] != max_distance || (verts[u] >> 1) == read) continue;
+            const int64_t c = find((int64_t)u);
+            if (component == -1) component = c;
+            else if (c != component) { is_chimeric[read] = 1; break; }
+        }
+        for (const int64_t v : verts) local_id[v] = -1;
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -530,6 +530,11 @@ def transitive_reduction(
     order = np.argsort(cov[candidates], kind="stable")
     candidates = candidates[order]
 
+    from shasta_tpu import native
+
+    if native.transitive_reduction_bfs_native(mg, candidates, max_distance):
+        return
+
     dist = np.full(mg.vertex_count, -1, dtype=np.int64)
     for e in candidates:
         if removed[e]:

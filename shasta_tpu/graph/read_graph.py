@@ -336,6 +336,12 @@ def flag_chimeric_reads(
     if max_distance == 0:
         return is_chimeric
 
+    from shasta_tpu import native
+
+    native_result = native.flag_chimeric_native(graph, n_reads, max_distance)
+    if native_result is not None:
+        return native_result
+
     adj_off = graph.adj_offsets
     adj_e = graph.adj_edges
     orid0 = graph.orid0

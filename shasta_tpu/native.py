@@ -1,0 +1,176 @@
+"""ctypes bindings for the native C++ runtime components.
+
+Compiles native/shasta_native.cpp on first use (g++ -O3 -shared) and
+caches the shared object next to the source; every entry point has a
+pure-Python fallback, so the package works without a toolchain.
+Semantics of the native paths match the Python implementations exactly
+(tests assert equality).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO_ROOT, "native", "shasta_native.cpp")
+_SO = os.path.join(_REPO_ROOT, "native", "build", "libshasta_native.so")
+
+_lib = None
+_lock = threading.Lock()
+_build_failed = False
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed or os.environ.get("SHASTA_TPU_NO_NATIVE") == "1":
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                os.makedirs(os.path.dirname(_SO), exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-std=c++17", _SRC, "-o", _SO],
+                    check=True,
+                    capture_output=True,
+                )
+            _lib = ctypes.CDLL(_SO)
+        except Exception:
+            _build_failed = True
+            return None
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# ---------------------------------------------------------------------------
+# FASTA parse
+# ---------------------------------------------------------------------------
+
+
+def parse_fasta_native(data: bytes):
+    """Parse FASTA bytes -> (codes uint8, offsets int64, names, metadata)
+    or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    n_seqs = ctypes.c_int64()
+    n_bases = ctypes.c_int64()
+    buf = ctypes.create_string_buffer(data, n)
+    lib.fasta_measure(buf, ctypes.c_int64(n), ctypes.byref(n_seqs), ctypes.byref(n_bases))
+    ns, nb = n_seqs.value, n_bases.value
+    codes = np.empty(nb, np.uint8)
+    offsets = np.empty(ns + 1, np.int64)
+    hb = np.empty(max(ns, 1), np.int64)
+    he = np.empty(max(ns, 1), np.int64)
+    lib.fasta_fill(buf, ctypes.c_int64(n), _u8p(codes), _i64p(offsets), _i64p(hb), _i64p(he))
+    names = []
+    metadata = []
+    for i in range(ns):
+        header = data[hb[i] : he[i]].decode(errors="replace").strip()
+        name, _, meta = header.partition(" ")
+        names.append(name)
+        metadata.append(meta)
+    return codes, offsets, names, metadata
+
+
+# ---------------------------------------------------------------------------
+# RLE
+# ---------------------------------------------------------------------------
+
+
+def rle_encode_native(codes: np.ndarray, offsets: np.ndarray):
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    ns = offsets.shape[0] - 1
+    n_rle = ctypes.c_int64()
+    lib.rle_measure(_u8p(codes), _i64p(offsets), ctypes.c_int64(ns), ctypes.byref(n_rle))
+    total = n_rle.value
+    rle = np.empty(total, np.uint8)
+    counts = np.empty(total, np.int64)
+    rle_offsets = np.empty(ns + 1, np.int64)
+    lib.rle_fill(
+        _u8p(codes), _i64p(offsets), ctypes.c_int64(ns),
+        _u8p(rle), _i64p(counts), _i64p(rle_offsets),
+    )
+    return rle, counts, rle_offsets
+
+
+# ---------------------------------------------------------------------------
+# Transitive reduction BFS phase
+# ---------------------------------------------------------------------------
+
+
+def transitive_reduction_bfs_native(mg, candidates: np.ndarray, max_distance: int) -> bool:
+    """Run the BFS phase natively over mg.removed_tr (in place).
+    Returns False if unavailable (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    removed = mg.removed_tr.astype(np.uint8)
+    src = np.ascontiguousarray(mg.source, np.int64)
+    tgt = np.ascontiguousarray(mg.target, np.int64)
+    rc = np.ascontiguousarray(mg.rc_edge, np.int64)
+    off = np.ascontiguousarray(mg._by_source_off, np.int64)
+    bys = np.ascontiguousarray(mg._by_source, np.int64)
+    cand = np.ascontiguousarray(candidates, np.int64)
+    lib.transitive_reduction_bfs(
+        ctypes.c_int64(mg.vertex_count),
+        ctypes.c_int64(mg.edge_count),
+        _i64p(src), _i64p(tgt), _i64p(rc), _i64p(off), _i64p(bys),
+        _i64p(cand), ctypes.c_int64(cand.shape[0]),
+        ctypes.c_int64(max_distance), _u8p(removed),
+    )
+    mg.removed_tr[:] = removed.astype(bool)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Chimera flagging
+# ---------------------------------------------------------------------------
+
+
+def flag_chimeric_native(graph, n_reads: int, max_distance: int):
+    """Returns is_chimeric bool array or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(n_reads, np.uint8)
+    orid0 = np.ascontiguousarray(graph.orid0, np.int64)
+    orid1 = np.ascontiguousarray(graph.orid1, np.int64)
+    crosses = np.ascontiguousarray(graph.crosses_strands, np.uint8)
+    adj_off = np.ascontiguousarray(graph.adj_offsets, np.int64)
+    adj_e = np.ascontiguousarray(graph.adj_edges, np.int64)
+    lib.flag_chimeric_reads(
+        ctypes.c_int64(n_reads),
+        ctypes.c_int64(graph.edge_count),
+        _i64p(orid0), _i64p(orid1), _u8p(crosses),
+        _i64p(adj_off), _i64p(adj_e),
+        ctypes.c_int64(max_distance), _u8p(out),
+    )
+    return out.astype(bool)

@@ -1,0 +1,95 @@
+"""Native C++ components vs Python implementations: exact equality."""
+
+import os
+
+import numpy as np
+import pytest
+
+from shasta_tpu import native
+from shasta_tpu.data import bases as B
+from shasta_tpu.data import rle as R
+from shasta_tpu.io.fasta import parse_fasta_bytes
+
+from tests import synth
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def test_native_builds():
+    assert native.available()
+
+
+def test_fasta_parse_matches_python():
+    reads = [synth.random_genome(997, seed=i) for i in range(7)]
+    fasta = b"".join(
+        b">read-%d some meta here\n%s\n" % (i, B.decode_to_str(r).encode())
+        for i, r in enumerate(reads)
+    )
+    # Multi-line sequences too.
+    fasta += b">wrapped x\nACGT\nACGT\nACG\n"
+    ref = parse_fasta_bytes(fasta)
+    res = native.parse_fasta_native(fasta)
+    codes, offsets, names, metadata = res
+    assert names == ref.names
+    assert metadata == ref.metadata
+    assert np.array_equal(offsets, ref.offsets)
+    ref_codes = B.encode_ascii(ref.seq_ascii)
+    assert np.array_equal(codes, ref_codes)
+
+
+def test_rle_matches_python():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 5000).astype(np.uint8)
+    # create runs
+    codes[100:140] = 2
+    offsets = np.array([0, 2000, 2000, 5000], np.int64)  # incl. empty seq
+    rle, counts, rle_offsets = native.rle_encode_native(codes, offsets)
+    ref_rle, ref_counts, ref_off = R.rle_encode_flat(codes, offsets)
+    assert np.array_equal(rle, ref_rle)
+    assert np.array_equal(counts, ref_counts.astype(np.int64))
+    assert np.array_equal(rle_offsets, ref_off)
+
+
+def test_chimera_native_matches_python(monkeypatch):
+    from tests.test_read_graph import make_alignments
+    from shasta_tpu.graph import read_graph as RG
+
+    rows = []
+    for a in range(4):
+        for b in range(a + 1, 4):
+            rows.append((a, b, True, 50))
+    for a in range(4, 8):
+        for b in range(a + 1, 8):
+            rows.append((a, b, True, 50))
+    rows.append((0, 8, True, 50))
+    rows.append((4, 8, True, 50))
+    al = make_alignments(rows)
+    g, _ = RG.create_read_graph(al, n_reads=9, max_alignment_count=10)
+
+    nat = RG.flag_chimeric_reads(g, n_reads=9, max_distance=2)
+    # Force the python path.
+    monkeypatch.setattr(native, "flag_chimeric_native", lambda *a, **k: None)
+    py = RG.flag_chimeric_reads(g, n_reads=9, max_distance=2)
+    assert np.array_equal(nat, py)
+    assert nat[8] and not nat[:8].any()
+
+
+def test_transitive_reduction_native_matches_python(monkeypatch):
+    from tests.test_marker_graph import full_pipeline_to_marker_graph
+    from shasta_tpu.graph import marker_graph as MG
+    import copy
+
+    store, markers, mg = full_pipeline_to_marker_graph()
+    mg2 = MG.MarkerGraph.from_arrays(
+        {k: np.copy(v) for k, v in mg.arrays().items()}
+    )
+    mg2.build_adjacency()
+
+    MG.transitive_reduction(mg, low_coverage_threshold=1, max_distance=30)
+    monkeypatch.setattr(
+        native, "transitive_reduction_bfs_native", lambda *a, **k: False
+    )
+    MG.transitive_reduction(mg2, low_coverage_threshold=1, max_distance=30)
+    assert np.array_equal(mg.removed_tr, mg2.removed_tr)
