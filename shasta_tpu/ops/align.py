@@ -423,16 +423,27 @@ def _dispatch_bucket(
 
     pending = []
     if use_pallas:
-        # The Pallas kernel streams blocks through VMEM, so the batch
-        # is bounded by HBM for the sub matrix, not by a dirs slab;
-        # bigger batches mean fewer (high-latency) host round trips.
-        max_b = max(8, min(4096, (1 << 31) // max(1, LA * W * 4)))
+        # The Pallas kernel streams blocks through VMEM, so HBM would
+        # allow much larger batches — but every distinct batch size is
+        # a separate (slow) kernel compilation, so stick to the same
+        # _MAX_BATCH the jnp path uses and rely on the persistent
+        # compilation cache.
+        max_b = _MAX_BATCH
     else:
         max_b = max(8, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
     max_b -= max_b % 8
     for lo in range(0, n, max_b):
         hi = min(lo + max_b, n)
-        B = _bucket(hi - lo, _BATCH_BUCKETS) if hi - lo < max_b else hi - lo
+        if hi - lo == max_b:
+            B = max_b
+        elif lo == 0:
+            # Single partial batch: bucket to limit padding waste.
+            B = _bucket(hi - lo, _BATCH_BUCKETS)
+        else:
+            # Trailing partial batch: pad to the full batch size so it
+            # reuses the SAME compiled kernel as the full batches —
+            # each new (B, LA, LB, W) shape costs a fresh compilation.
+            B = max_b
         pad = B - (hi - lo)
         a = _pad_rows(a_rows[lo:hi] + [np.zeros(0, np.int32)] * pad, LA, -1)
         b = _pad_rows(b_rows[lo:hi] + [np.zeros(0, np.int32)] * pad, LB, -2)

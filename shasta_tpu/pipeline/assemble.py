@@ -35,21 +35,17 @@ from shasta_tpu.consensus.caller import get_consensus_caller
 
 def auto_min_coverage(coverage_histogram: np.ndarray, fallback: int = 5) -> int:
     """Pick MarkerGraph.minCoverage from the disjoint-sets coverage
-    histogram when the configured value is 0 (reference: PeakFinder,
-    src/PeakFinder.cpp, used at src/AssemblerMarkerGraph.cpp:230-250).
+    histogram when the configured value is 0 (reference: PeakFinder
+    topographic prominence, src/PeakFinder.cpp, used at
+    src/AssemblerMarkerGraph.cpp:230-250); falls back to 5 like the
+    reference when no significant peak exists."""
+    from shasta_tpu.utils.peakfinder import PeakFinderException, find_x_cutoff
 
-    Simplified criterion: the main peak is the histogram argmax for
-    coverage >= 3; the cutoff is the lowest point of the valley
-    between the low-coverage error peak and the main peak.
-    """
     h = np.asarray(coverage_histogram, dtype=np.float64)
-    if h.shape[0] < 5:
+    try:
+        return max(2, find_x_cutoff(h, min_area_fraction=0.08))
+    except PeakFinderException:
         return fallback
-    main_peak = int(np.argmax(h[3:]) + 3)
-    if main_peak <= 2:
-        return fallback
-    valley = int(np.argmin(h[1:main_peak]) + 1)
-    return max(2, valley)
 
 
 class Assembler:
@@ -486,6 +482,24 @@ def run_assembly(
     a.create_read_graph()
     a.create_marker_graph_vertices()
     a.create_marker_graph_edges()
+    if a.config.assembly.iterative and a.config.assembly.mode == 0:
+        # Iterative refinement (reference: srcMain/main.cpp:851-906).
+        from shasta_tpu.pipeline.iterative import (
+            refine_read_graph_with_pseudo_paths,
+        )
+
+        for it in range(a.config.assembly.iterative_iteration_count):
+            with a.log.stage(f"iterativeAssembly-{it}"):
+                kept, dropped = refine_read_graph_with_pseudo_paths(
+                    a,
+                    min_score=a.config.assembly.iterative_pseudo_path_align_min_score,
+                )
+                a.log.line(
+                    f"Iteration {it}: kept {kept} alignments, "
+                    f"dropped {dropped} discordant."
+                )
+                if dropped == 0:
+                    break
     if a.config.assembly.mode == 2:
         mode2_stats = a.assemble_mode2()
         summary = a.write_output()

@@ -91,6 +91,10 @@ class AssemblyOptions:
     # Mode 2 phasing.
     phasing_epsilon: float = 0.1
     phasing_min_log_p: float = 30.0
+    # Iterative assembly (mode 0).
+    iterative: bool = False
+    iterative_iteration_count: int = 3
+    iterative_pseudo_path_align_min_score: float = 1.0
 
 
 @dataclass
