@@ -218,6 +218,79 @@ def find_candidates_lowhash(
     )
 
 
+def get_read_meta_field(metadata: str, key: str) -> str:
+    """Extract a key=value field from a read's metadata string
+    (reference: Reads::getMetaData)."""
+    for token in metadata.split():
+        if token.startswith(key + "="):
+            return token[len(key) + 1 :]
+    return ""
+
+
+def suppress_alignment_candidates(
+    read_metadata, candidates: CandidatePairs, delta: int
+) -> CandidatePairs:
+    """Suppress candidates between reads from the same nanopore channel
+    whose 'read=' numbers differ by less than delta — likely re-reads
+    of the same molecule (reference: Assembler::suppressAlignment,
+    src/AssemblerAlign.cpp:1079-1161: requires matching ch, sampleid
+    and runid fields, then |read0 - read1| < delta)."""
+    if delta <= 0 or candidates.count == 0:
+        return candidates
+
+    def fields(i: int):
+        m = read_metadata[i] if i < len(read_metadata) else ""
+        return (
+            get_read_meta_field(m, "ch"),
+            get_read_meta_field(m, "sampleid"),
+            get_read_meta_field(m, "runid"),
+            get_read_meta_field(m, "read"),
+        )
+
+    keep = np.ones(candidates.count, dtype=bool)
+    cache = {}
+    for i in range(candidates.count):
+        r0, r1 = int(candidates.read_id0[i]), int(candidates.read_id1[i])
+        f0 = cache.get(r0)
+        if f0 is None:
+            f0 = cache[r0] = fields(r0)
+        f1 = cache.get(r1)
+        if f1 is None:
+            f1 = cache[r1] = fields(r1)
+        if any(not a or not b for a, b in zip(f0[:3], f1[:3])):
+            continue
+        if f0[0] != f1[0] or f0[1] != f1[1] or f0[2] != f1[2]:
+            continue
+        if not f0[3] or not f1[3]:
+            continue
+        try:
+            if abs(int(f0[3]) - int(f1[3])) < delta:
+                keep[i] = False
+        except ValueError:
+            pass
+
+    return CandidatePairs(
+        read_id0=candidates.read_id0[keep],
+        read_id1=candidates.read_id1[keep],
+        same_strand=candidates.same_strand[keep],
+        frequency=candidates.frequency[keep],
+    )
+
+
+def candidate_table(candidates: CandidatePairs, n_reads: int):
+    """Per-read CSR of candidate indices (reference:
+    computeCandidateTable, used by the explorer and alignment driver).
+    Returns (offsets int64 [n_reads+1], candidate_ids int64)."""
+    inc_read = np.concatenate([candidates.read_id0, candidates.read_id1])
+    inc_cid = np.concatenate(
+        [np.arange(candidates.count, dtype=np.int64)] * 2
+    )
+    order = np.lexsort((inc_cid, inc_read))
+    offsets = np.zeros(n_reads + 1, np.int64)
+    np.cumsum(np.bincount(inc_read, minlength=n_reads), out=offsets[1:])
+    return offsets, inc_cid[order]
+
+
 def _pairs_within_groups(
     orids: np.ndarray, group_id: np.ndarray, group_sizes: np.ndarray
 ) -> Optional[np.ndarray]:

@@ -154,6 +154,16 @@ class Assembler:
             self.candidates = LH.find_candidates_lowhash(
                 self.markers, params, self.reads.is_palindromic
             )
+            delta = self.config.align.same_channel_read_alignment_suppress_delta_threshold
+            if delta > 0:
+                before = self.candidates.count
+                self.candidates = LH.suppress_alignment_candidates(
+                    self.reads.metadata, self.candidates, delta
+                )
+                self.log.line(
+                    f"Suppressed {before - self.candidates.count} "
+                    "same-channel candidates."
+                )
             self.store.save_stage("AlignmentCandidates", self.candidates.arrays())
 
     def compute_alignments(self) -> None:
@@ -457,7 +467,35 @@ class Assembler:
             with open(os.path.join(self.run_dir, "AssemblySummary.json"), "w") as f:
                 json.dump(summary, f, indent=2)
             self.config.write_conf(os.path.join(self.run_dir, "shasta.conf"))
+            self._write_html_summary(summary)
         return summary
+
+    def _write_html_summary(self, summary: Dict) -> None:
+        """AssemblySummary.html + index.html (reference:
+        srcMain/main.cpp:822-830)."""
+        rows = "".join(
+            f"<tr><th>{k}</th><td>{v}</td></tr>"
+            for k, v in summary.items()
+            if not isinstance(v, dict)
+        )
+        html = (
+            "<html><head><style>body{font-family:sans-serif;margin:2em}"
+            "table{border-collapse:collapse}td,th{border:1px solid #999;"
+            "padding:2px 8px;text-align:left}</style></head><body>"
+            "<h1>shasta_tpu assembly summary</h1>"
+            f"<table>{rows}</table></body></html>"
+        )
+        with open(os.path.join(self.run_dir, "AssemblySummary.html"), "w") as f:
+            f.write(html)
+        with open(os.path.join(self.run_dir, "index.html"), "w") as f:
+            f.write(
+                "<html><body><h1>shasta_tpu run</h1><ul>"
+                '<li><a href="AssemblySummary.html">Assembly summary</a></li>'
+                '<li><a href="AssemblySummary.json">Assembly summary (JSON)</a></li>'
+                "</ul><p>Run <code>python -m shasta_tpu --command explore "
+                "--assemblyDirectory .</code> for interactive exploration."
+                "</p></body></html>"
+            )
 
 
 def _vertex_caller_name(spec: str) -> str:

@@ -53,6 +53,7 @@ class AlignOptions:
     max_trim: int = 30
     min_aligned_marker_count: int = 100
     min_aligned_fraction: float = 0.0
+    same_channel_read_alignment_suppress_delta_threshold: int = 0
 
 
 @dataclass
@@ -174,6 +175,11 @@ class AssemblyConfig:
 
 
 def _to_snake(key: str) -> str:
+    # Keys like "sameChannelReadAlignment.suppressDeltaThreshold" fold
+    # their inner dot away (reference: AssemblerOptions nested names).
+    if "." in key:
+        parts = key.split(".")
+        key = parts[0] + "".join(p[:1].upper() + p[1:] for p in parts[1:])
     out = []
     for c in key:
         if c.isupper():

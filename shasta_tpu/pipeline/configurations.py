@@ -35,6 +35,7 @@ minFrequency = 5
 alignMethod = 3
 downsamplingFactor = 0.05
 matchScore = 6
+sameChannelReadAlignment.suppressDeltaThreshold = 30
 maxSkip = 100
 maxDrift = 100
 maxTrim = 100
