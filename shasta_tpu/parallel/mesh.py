@@ -127,6 +127,159 @@ def sharded_lowhash_step(
     return jax.jit(fn)(features)
 
 
+def sharded_find_candidates(
+    mesh: Mesh,
+    markers,
+    params,
+    is_palindromic: Optional[np.ndarray] = None,
+):
+    """Full LowHash candidate generation with the bucket exchange
+    expressed as a device all_to_all over the mesh — the multi-host
+    skeleton BASELINE.json names ("LowHash buckets exchanged via
+    all-to-all").
+
+    Division of labor per iteration:
+    - feature hashing runs per-shard on host (MurmurHash64A needs
+      uint64, which TPUs lack; the hash is a trivial fraction of the
+      work) — each shard hashes only its own reads;
+    - bucket routing runs on device: entries are binned by owner
+      device (bucket id modulo mesh size) into fixed-size padded
+      buffers and exchanged with ``lax.all_to_all``;
+    - pair expansion runs per-destination-shard on the now-local
+      buckets (same sort/group code as the host path).
+
+    Produces exactly the same CandidatePairs as the single-host
+    implementation (tests assert equality on a virtual mesh).
+    """
+    from shasta_tpu.ops import lowhash as LH
+
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
+    n_or = markers.oriented_read_count
+
+    log2_buckets = params.log2_bucket_count
+    if log2_buckets == 0:
+        log2_buckets = LH._auto_log2_bucket_count(
+            markers.total_count, params.hash_fraction
+        )
+    mask = np.uint64((1 << log2_buckets) - 1)
+    hash_threshold = np.uint64(
+        min(int(params.hash_fraction * float(2**64)), 2**64 - 1)
+    )
+    exclude = None
+    if is_palindromic is not None:
+        exclude = np.repeat(is_palindromic, 2)
+    min_bucket = max(2, params.min_bucket_size)
+
+    # Static all_to_all exchange over buf (D_src, D_dest, CAP, 4):
+    # device s holds buf[s]; after the exchange device d holds
+    # out[d, s] = the entries source s sent to destination d.
+    def exchange(buf):
+        def local(b):  # local block (1, D, cap, 4)
+            x = b[0]
+            x = jax.lax.all_to_all(x, axis, 0, 0, tiled=False)
+            return x[None]
+
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=P(axis),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+        return fn(buf)
+
+    pair_keys = []
+    for it in range(params.iteration_count):
+        orids, hashes = LH.compute_feature_hashes(
+            markers, params.m, it * 37, exclude
+        )
+        low = hashes < hash_threshold
+        orids, hashes = orids[low], hashes[low]
+        if orids.shape[0] == 0:
+            continue
+        buckets = (hashes & mask).astype(np.int64)
+        hash_high = (hashes >> np.uint64(32)).astype(np.int64)
+
+        # Host-side shard by source device (reads data-parallel).
+        src_dev = (orids * D) // (n_or if n_or else 1)
+        src_dev = np.clip(src_dev, 0, D - 1)
+        dest_dev = buckets % D
+
+        counts = np.bincount(src_dev * D + dest_dev, minlength=D * D)
+        cap = max(8, int(counts.max()))
+        # Fields: orid, bucket, hash_high lo16, hash_high hi16 — the
+        # full 32 collision-filter bits survive int32 transport.
+        buf = np.full((D, D, cap, 4), -1, np.int32)
+        fill = np.zeros((D, D), np.int64)
+        for t in range(orids.shape[0]):
+            s, d = int(src_dev[t]), int(dest_dev[t])
+            w = fill[s, d]
+            buf[s, d, w, 0] = orids[t]
+            buf[s, d, w, 1] = buckets[t] & 0x7FFFFFFF
+            buf[s, d, w, 2] = hash_high[t] & 0xFFFF
+            buf[s, d, w, 3] = (hash_high[t] >> 16) & 0xFFFF
+            fill[s, d] = w + 1
+
+        # Device all_to_all: buf[s] lives on device s; after the
+        # exchange device d holds buf[:, d] (all entries destined to
+        # its bucket range).
+        out = np.asarray(exchange(jnp.asarray(buf)))
+
+        # Per-destination-shard pair expansion (host, per device).
+        for d in range(D):
+            entries = out[d].reshape(-1, 4)
+            entries = entries[entries[:, 0] >= 0]
+            if entries.shape[0] == 0:
+                continue
+            o = entries[:, 0].astype(np.int64)
+            b = entries[:, 1].astype(np.uint64)
+            hh = entries[:, 2].astype(np.uint64) | (
+                entries[:, 3].astype(np.uint64) << np.uint64(16)
+            )
+            order = np.argsort(b, kind="stable")
+            b, o, hh = b[order], o[order], hh[order]
+            is_new = np.empty(b.shape[0], dtype=bool)
+            is_new[0] = True
+            np.not_equal(b[1:], b[:-1], out=is_new[1:])
+            gid = np.cumsum(is_new) - 1
+            gsize = np.bincount(gid)
+            ebs = gsize[gid]
+            usable = (ebs >= min_bucket) & (ebs <= params.max_bucket_size)
+            if not usable.any():
+                continue
+            ub, uo, uh = b[usable], o[usable], hh[usable]
+            key = (ub << np.uint64(32)) | uh
+            order2 = np.argsort(key, kind="stable")
+            key, uo = key[order2], uo[order2]
+            is_new2 = np.empty(key.shape[0], dtype=bool)
+            is_new2[0] = True
+            np.not_equal(key[1:], key[:-1], out=is_new2[1:])
+            gid2 = np.cumsum(is_new2) - 1
+            gsize2 = np.bincount(gid2)
+            pairs = LH._pairs_within_groups(uo, gid2, gsize2)
+            if pairs is not None:
+                pair_keys.append(pairs)
+
+    if not pair_keys:
+        return LH.CandidatePairs(
+            read_id0=np.zeros(0, np.int32),
+            read_id1=np.zeros(0, np.int32),
+            same_strand=np.zeros(0, bool),
+            frequency=np.zeros(0, np.int32),
+        )
+    all_keys = np.concatenate(pair_keys)
+    uniq, freq = np.unique(all_keys, return_counts=True)
+    keep = freq >= params.min_frequency
+    uniq, freq = uniq[keep], freq[keep]
+    return LH.CandidatePairs(
+        read_id0=(uniq >> np.uint64(33)).astype(np.int32),
+        read_id1=((uniq >> np.uint64(1)) & np.uint64(0xFFFFFFFF)).astype(np.int32),
+        same_strand=(uniq & np.uint64(1)).astype(bool),
+        frequency=freq.astype(np.int32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sharded union-find (min-hooking + pointer jumping)
 # ---------------------------------------------------------------------------
