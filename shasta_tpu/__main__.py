@@ -24,6 +24,7 @@ COMMANDS = [
     "listCommands",
     "listConfigurations",
     "listConfiguration",
+    "createBashCompletionScript",
 ]
 
 
@@ -46,6 +47,31 @@ def main(argv=None):
     if args.command == "listCommands":
         for c in COMMANDS:
             print(c)
+        return 0
+
+    if args.command == "createBashCompletionScript":
+        from shasta_tpu.pipeline.configurations import CONFIGURATIONS
+
+        # reference: srcMain/main.cpp:1390 (createBashCompletionScript)
+        script = (
+            "#!/bin/bash\n"
+            "_shasta_tpu_completion() {\n"
+            '    local cur="${COMP_WORDS[COMP_CWORD]}"\n'
+            '    local prev="${COMP_WORDS[COMP_CWORD-1]}"\n'
+            '    if [[ "$prev" == "--command" ]]; then\n'
+            f'        COMPREPLY=($(compgen -W "{" ".join(COMMANDS)}" -- "$cur"))\n'
+            '    elif [[ "$prev" == "--config" ]]; then\n'
+            f'        COMPREPLY=($(compgen -W "{" ".join(CONFIGURATIONS)}" -- "$cur"))\n'
+            "    else\n"
+            '        COMPREPLY=($(compgen -W "--command --input --config '
+            '--assemblyDirectory --port" -- "$cur"))\n'
+            "    fi\n"
+            "}\n"
+            "complete -F _shasta_tpu_completion shasta_tpu\n"
+        )
+        with open("shasta_tpuCompletion.sh", "w") as f:
+            f.write(script)
+        print("Wrote shasta_tpuCompletion.sh")
         return 0
 
     if args.command == "listConfigurations":

@@ -446,8 +446,12 @@ class Assembler:
                 self.markers.k,
                 self.vertex_repeats,
             )
+            import resource
+
+            peak_rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
             summary = {
                 "readCount": self.reads.read_count,
+                "peakMemoryUsageKB": int(peak_rss_kb),
                 "rawBaseCount": self.reads.total_raw_bases,
                 "rleBaseCount": self.reads.total_rle_bases,
                 "markerCount": self.markers.total_count,

@@ -157,3 +157,41 @@ def test_marker_graph_integration():
     alive = mg.alive()
     out_deg = np.bincount(mg.source[alive], minlength=mg.vertex_count)
     assert (out_deg <= 1).mean() > 0.95
+
+
+def test_union_find_stress_vs_sequential():
+    """Randomized union-find stress (the reference ships a similar
+    multithreaded DSU stress test, scripts/dset64Test.py)."""
+    rng = np.random.default_rng(12345)
+    n = 2000
+    u = rng.integers(0, n, 3000)
+    v = rng.integers(0, n, 3000)
+    label = MG.union_find_labels(n, u, v)
+
+    # Sequential oracle.
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(u, v):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    oracle = np.array([find(i) for i in range(n)])
+    # Min-label invariant: representative of each component is its
+    # minimum member.
+    roots = {}
+    for i in range(n):
+        r = oracle[i]
+        roots.setdefault(r, i)
+    # Compare component partitions (labels may differ, partition must match).
+    assert np.array_equal(label == label[None].T, oracle == oracle[None].T) or (
+        np.array_equal(
+            np.unique(label, return_inverse=True)[1],
+            np.unique(oracle, return_inverse=True)[1],
+        )
+    )
