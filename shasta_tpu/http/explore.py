@@ -178,6 +178,110 @@ class Explorer:
         return "".join(out)
 
 
+def _svg_layered_graph(levels, edges, label_of=str, highlight=None):
+    """Minimal layered SVG: BFS levels as columns (stand-in for the
+    reference's graphviz layouts, runCommandWithTimeout + dot)."""
+    pos = {}
+    for col, level in enumerate(levels):
+        for row, v in enumerate(sorted(level)):
+            pos[v] = (80 + col * 160, 40 + row * 48)
+    width = 160 * len(levels) + 80
+    height = 48 * max((len(l) for l in levels), default=1) + 60
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" height="{height}">'
+    ]
+    for u, v in edges:
+        if u in pos and v in pos:
+            (x1, y1), (x2, y2) = pos[u], pos[v]
+            parts.append(
+                f'<line x1="{x1}" y1="{y1}" x2="{x2}" y2="{y2}" '
+                'stroke="#888" stroke-width="1.5"/>'
+            )
+    for v, (x, y) in pos.items():
+        color = "#e33" if v == highlight else "#2a6"
+        parts.append(
+            f'<circle cx="{x}" cy="{y}" r="14" fill="{color}"/>'
+            f'<text x="{x}" y="{y + 4}" font-size="9" text-anchor="middle" '
+            f'fill="white">{label_of(v)}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _local_bfs(start, neighbors, max_distance):
+    levels = [[start]]
+    seen = {start}
+    edges = []
+    for d in range(max_distance):
+        nxt = []
+        for u in levels[-1]:
+            for v in neighbors(u):
+                edges.append((u, v))
+                if v not in seen:
+                    seen.add(v)
+                    nxt.append(v)
+        if not nxt:
+            break
+        levels.append(nxt)
+    return levels, edges
+
+
+class _LocalViews:
+    """Local subgraph pages mixed into the Explorer."""
+
+    def page_local_read_graph(self, q) -> str:
+        if self.read_graph is None:
+            return "<p>Read graph not available.</p>"
+        rid = int(q.get("readId", ["0"])[0])
+        strand = int(q.get("strand", ["0"])[0])
+        dist = int(q.get("maxDistance", ["2"])[0])
+        start = 2 * rid + strand
+        g = self.read_graph
+
+        def neighbors(v):
+            _, other = g.neighbors(v)
+            return [int(x) for x in other]
+
+        levels, edges = _local_bfs(start, neighbors, dist)
+        svg = _svg_layered_graph(
+            levels, edges, label_of=lambda v: f"{v >> 1}-{v & 1}",
+            highlight=start,
+        )
+        return (
+            f"<h1>Local read graph around {rid}-{strand} "
+            f"(distance {dist})</h1>" + svg
+        )
+
+    def page_local_marker_graph(self, q) -> str:
+        if self.marker_graph is None or self.marker_graph.source is None:
+            return "<p>Marker graph not available.</p>"
+        vid = int(q.get("vertexId", ["0"])[0])
+        dist = int(q.get("maxDistance", ["3"])[0])
+        mg = self.marker_graph
+        alive = mg.alive()
+        out_lists = {}
+
+        def neighbors(v):
+            if v not in out_lists:
+                outs = np.flatnonzero((mg.source == v) & alive)
+                ins = np.flatnonzero((mg.target == v) & alive)
+                out_lists[v] = [int(mg.target[e]) for e in outs] + [
+                    int(mg.source[e]) for e in ins
+                ]
+            return out_lists[v]
+
+        levels, edges = _local_bfs(vid, neighbors, dist)
+        svg = _svg_layered_graph(levels, edges, highlight=vid)
+        return (
+            f"<h1>Local marker graph around vertex {vid} "
+            f"(distance {dist})</h1>" + svg
+        )
+
+
+Explorer.page_local_read_graph = _LocalViews.page_local_read_graph
+Explorer.page_local_marker_graph = _LocalViews.page_local_marker_graph
+
+
 def make_handler(explorer: Explorer):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet

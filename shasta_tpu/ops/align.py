@@ -488,18 +488,24 @@ def _dispatch_bucket(
     return pending
 
 
-def _collect_bucket(pending) -> List[Tuple[np.ndarray, np.ndarray]]:
+def _collect_bucket(pending):
+    """Fetch dispatched batches. Returns (results, metrics):
+    results[i] = (ord0, ord1) matched ordinals; metrics (n, 10) int64
+    rows [count, first0, last0, first1, last1, min_off, max_off,
+    max_skip, max_drift, score] — straight from the kernel registers
+    on the pallas path, recomputed on host on the jnp path."""
     results: List[Tuple[np.ndarray, np.ndarray]] = []
+    mets: List[np.ndarray] = []
     for kind, payload, n_real in pending:
         if kind == "pallas":
             fused = np.asarray(payload)
-            counts = fused[:, 0]
-            packed = fused[:, 16:]
+            mjrows = fused[:, 16:]
             for t in range(n_real):
-                c = int(counts[t])
-                o0 = (packed[t, :c] >> 16).astype(np.uint32)
-                o1 = (packed[t, :c] & 0xFFFF).astype(np.uint32)
-                results.append((o0, o1))
+                sel = np.flatnonzero(mjrows[t] >= 0)
+                results.append(
+                    (sel.astype(np.uint32), mjrows[t, sel].astype(np.uint32))
+                )
+                mets.append(fused[t, :10].astype(np.int64))
         else:
             m0, m1 = payload
             m0 = np.asarray(m0)  # (n_steps, B)
@@ -509,7 +515,21 @@ def _collect_bucket(pending) -> List[Tuple[np.ndarray, np.ndarray]]:
                 o0 = m0[sel, t][::-1].astype(np.uint32)
                 o1 = m1[sel, t][::-1].astype(np.uint32)
                 results.append((o0, o1))
-    return results
+                if o0.shape[0]:
+                    ms, md, omin, omax = _metrics_from_ordinals(o0, o1)
+                    mets.append(
+                        np.array(
+                            [o0.shape[0], o0[0], o0[-1], o1[0], o1[-1],
+                             omin, omax, ms, md, 0],
+                            np.int64,
+                        )
+                    )
+                else:
+                    mets.append(np.zeros(10, np.int64))
+    metrics = (
+        np.stack(mets) if mets else np.zeros((0, 10), np.int64)
+    )
+    return results, metrics
 
 
 def _run_bucket(
@@ -518,7 +538,7 @@ def _run_bucket(
     band_mins: np.ndarray,
     W: int,
     params: AlignParams,
-) -> List[Tuple[np.ndarray, np.ndarray]]:
+):
     return _collect_bucket(_dispatch_bucket(a_rows, b_rows, band_mins, W, params))
 
 
@@ -542,6 +562,7 @@ def _grouped_run(
         order.setdefault(k, []).append(i)
 
     results: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * n
+    metrics = np.zeros((n, 10), np.int64)
     dispatched = []
     for (la, lb, w), idxs in sorted(order.items()):
         # Centre each pair's band inside the padded width.
@@ -554,10 +575,11 @@ def _grouped_run(
         )
         dispatched.append((idxs, pending))
     for idxs, pending in dispatched:
-        res = _collect_bucket(pending)
+        res, mets = _collect_bucket(pending)
         for t, i in enumerate(idxs):
             results[i] = res[t]
-    return results  # type: ignore[return-value]
+        metrics[np.asarray(idxs)] = mets
+    return results, metrics  # type: ignore[return-value]
 
 
 def align_candidates(
@@ -599,6 +621,10 @@ def align_candidates(
         return kmer_flat[lo:hi][sel], sel  # (kmers, original ordinals)
 
     # ---- Phase 1: band finding on downsampled sequences ----
+    # The reference aligns the downsampled sequences with full
+    # (unbanded) SeqAn (AssemblerAlign3.cpp:96-130); here the same DP
+    # kernel runs with a band wide enough to cover the whole matrix,
+    # so no separate dot-diagonal prepass is needed.
     ds_a: List[np.ndarray] = []
     ds_b: List[np.ndarray] = []
     ds_ord_a: List[np.ndarray] = []
@@ -611,54 +637,25 @@ def align_candidates(
         ds_ord_a.append(oa)
         ds_ord_b.append(ob)
 
-    # Diagonal range of exact matches (device, bucketed by shape).
-    dmin = np.zeros(n_pairs, np.int64)
-    dmax = np.zeros(n_pairs, np.int64)
-    ndots = np.zeros(n_pairs, np.int64)
-    buckets: Dict[Tuple[int, int], List[int]] = {}
-    for p in range(n_pairs):
-        la = _bucket(max(1, ds_a[p].shape[0]), _LEN_BUCKETS)
-        lb = _bucket(max(1, ds_b[p].shape[0]), _LEN_BUCKETS)
-        buckets.setdefault((la, lb), []).append(p)
-    for (la, lb), idxs in sorted(buckets.items()):
-        max_b = max(1, min(_MAX_BATCH, (1 << 25) // max(1, la * lb)))
-        for lo in range(0, len(idxs), max_b):
-            part = idxs[lo : lo + max_b]
-            pad = (
-                _bucket(len(part), _BATCH_BUCKETS) - len(part)
-                if len(part) < max_b
-                else 0
-            )
-            a = _pad_rows([ds_a[i] for i in part] + [np.zeros(0, np.int32)] * pad, la, -1)
-            b = _pad_rows([ds_b[i] for i in part] + [np.zeros(0, np.int32)] * pad, lb, -2)
-            dd = np.asarray(_dot_diag_range(a, b))
-            dmin[part] = dd[: len(part), 0]
-            dmax[part] = dd[: len(part), 1]
-            ndots[part] = dd[: len(part), 2]
-
-    # Downsampled banded DP where dots exist.
-    cand_idx = np.flatnonzero(ndots > 0)
-    ds_margin = 8
-    widths = np.zeros(n_pairs, np.int64)
-    bmins = np.zeros(n_pairs, np.int64)
-    run_idx = []
-    for p in cand_idx:
-        w = int(dmax[p] - dmin[p]) + 1 + 2 * ds_margin
-        if w > _W_BUCKETS[-1]:
-            continue  # hopeless band at downsampled level already
-        widths[p] = w
-        bmins[p] = dmin[p] - ds_margin
-        run_idx.append(p)
-
+    run_idx = [
+        p for p in range(n_pairs)
+        if ds_a[p].shape[0] > 0 and ds_b[p].shape[0] > 0
+    ]
     band_min_full = np.zeros(n_pairs, np.int64)
     band_max_full = np.zeros(n_pairs, np.int64)
     has_band = np.zeros(n_pairs, bool)
     if run_idx:
-        ds_results = _grouped_run(
+        # Full-matrix band: j - i ranges over [-LA, LB]; use each
+        # pair's bucketed width centred accordingly.
+        widths_ds = np.array(
+            [ds_a[p].shape[0] + ds_b[p].shape[0] + 1 for p in run_idx], np.int64
+        )
+        bmins_ds = np.array([-ds_a[p].shape[0] for p in run_idx], np.int64)
+        ds_results, _ds_mets = _grouped_run(
             [ds_a[i] for i in run_idx],
             [ds_b[i] for i in run_idx],
-            bmins[run_idx],
-            widths[run_idx],
+            bmins_ds,
+            widths_ds,
             params,
         )
         for t, p in enumerate(run_idx):
@@ -687,63 +684,56 @@ def align_candidates(
     j_band_min = -band_max_full[full_idx]
     j_widths = band_max_full[full_idx] - band_min_full[full_idx] + 1
 
-    results = _grouped_run(a_rows, b_rows, j_band_min, j_widths, params)
+    results, metrics = _grouped_run(a_rows, b_rows, j_band_min, j_widths, params)
 
-    # ---- Metrics + filters ----
-    keep_rows = []
-    for t, p in enumerate(full_idx):
-        o0, o1 = results[t]
-        mc = o0.shape[0]
-        if mc < params.min_aligned_marker_count:
-            continue
-        n0 = a_rows[t].shape[0]
-        n1 = b_rows[t].shape[0]
-        first0, last0 = int(o0[0]), int(o0[-1])
-        first1, last1 = int(o1[0]), int(o1[-1])
-        range0 = last0 + 1 - first0
-        range1 = last1 + 1 - first1
-        if min(mc / range0, mc / range1) < params.min_aligned_fraction:
-            continue
-        left_trim = min(first0, first1)
-        right_trim = min(n0 - 1 - last0, n1 - 1 - last1)
-        if left_trim > params.max_trim or right_trim > params.max_trim:
-            continue
-        max_skip, max_drift, omin, omax = _metrics_from_ordinals(o0, o1)
-        if max_skip > params.max_skip or max_drift > params.max_drift:
-            continue
-        keep_rows.append(
-            (p, mc, n0, n1, first0, last0, first1, last1, omin, omax, max_skip, max_drift, o0, o1)
-        )
+    # ---- Filters, vectorized over the in-kernel metrics ----
+    mc = metrics[:, 0]
+    first0, last0 = metrics[:, 1], metrics[:, 2]
+    first1, last1 = metrics[:, 3], metrics[:, 4]
+    omin, omax = metrics[:, 5], metrics[:, 6]
+    mskip, mdrift = metrics[:, 7], metrics[:, 8]
+    n0 = np.array([r.shape[0] for r in a_rows], np.int64)
+    n1 = np.array([r.shape[0] for r in b_rows], np.int64)
 
-    n_keep = len(keep_rows)
-    offs = np.zeros(n_keep + 1, np.int64)
-    for i, row in enumerate(keep_rows):
-        offs[i + 1] = offs[i] + row[1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        range0 = np.maximum(last0 + 1 - first0, 1)
+        range1 = np.maximum(last1 + 1 - first1, 1)
+        frac = np.minimum(mc / range0, mc / range1)
+    keep = (
+        (mc >= params.min_aligned_marker_count)
+        & (frac >= params.min_aligned_fraction)
+        & (np.minimum(first0, first1) <= params.max_trim)
+        & (np.minimum(n0 - 1 - last0, n1 - 1 - last1) <= params.max_trim)
+        & (mskip <= params.max_skip)
+        & (mdrift <= params.max_drift)
+    )
+    kept_t = np.flatnonzero(keep)
+    kept_p = full_idx[kept_t]
+
+    offs = np.zeros(kept_t.shape[0] + 1, np.int64)
+    np.cumsum(mc[kept_t], out=offs[1:])
     ord0 = np.empty(int(offs[-1]), np.uint32)
     ord1 = np.empty(int(offs[-1]), np.uint32)
-    for i, row in enumerate(keep_rows):
-        ord0[offs[i] : offs[i + 1]] = row[12]
-        ord1[offs[i] : offs[i + 1]] = row[13]
+    for i, t in enumerate(kept_t):
+        o0, o1 = results[t]
+        ord0[offs[i] : offs[i + 1]] = o0
+        ord1[offs[i] : offs[i + 1]] = o1
 
-    def col(j, dtype=np.int32):
-        return np.array([r[j] for r in keep_rows], dtype)
-
-    kept_p = col(0, np.int64)
     return AlignmentStore(
         read_id0=read_id0[kept_p].astype(np.int32),
         read_id1=read_id1[kept_p].astype(np.int32),
         same_strand=same_strand[kept_p].astype(bool),
-        marker_count=col(1),
-        n_markers0=col(2),
-        n_markers1=col(3),
-        first0=col(4),
-        last0=col(5),
-        first1=col(6),
-        last1=col(7),
-        min_offset=col(8),
-        max_offset=col(9),
-        max_skip_v=col(10),
-        max_drift_v=col(11),
+        marker_count=mc[kept_t].astype(np.int32),
+        n_markers0=n0[kept_t].astype(np.int32),
+        n_markers1=n1[kept_t].astype(np.int32),
+        first0=first0[kept_t].astype(np.int32),
+        last0=last0[kept_t].astype(np.int32),
+        first1=first1[kept_t].astype(np.int32),
+        last1=last1[kept_t].astype(np.int32),
+        min_offset=omin[kept_t].astype(np.int32),
+        max_offset=omax[kept_t].astype(np.int32),
+        max_skip_v=mskip[kept_t].astype(np.int32),
+        max_drift_v=mdrift[kept_t].astype(np.int32),
         ord0=ord0,
         ord1=ord1,
         offsets=offs,

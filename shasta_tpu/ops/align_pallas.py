@@ -7,12 +7,12 @@ alignment latency-bound (~150 ms per batch where the arithmetic is
 ~1 ms). This kernel keeps the entire DP in VMEM and loops over rows
 *inside* one kernel launch:
 
-- the substitution matrix in band coordinates, sub[p, i-1, d] =
-  match if a[p, i-1] == b[p, i-1+band_min[p]+d] else mismatch, is
-  precomputed OUTSIDE the kernel by one vectorized XLA gather+compare
-  (Mosaic cannot do lane-unaligned dynamic slices in-kernel, and this
-  also removes every gather from the hot loop); band masks are cheap
-  vector ops recomputed in-kernel from the per-pair scalars;
+- NO gathers anywhere: the banded b-window advances by exactly one
+  lane per row, so each pair keeps a (2W,) sliding window in VMEM that
+  shifts once per row and refills every min(W, LA) rows from an
+  ALIGNED slice (lane start rounded down to 128) followed by a
+  log-step masked shift — XLA's element gather for the same banded
+  extraction costs ~15x the whole DP;
 - grid over pair-blocks of BB pairs; the per-block direction matrix
   (BB, LA, W) lives in VMEM scratch;
 - the banded row update is pure VPU work on (BB, W) tiles: the in-row
@@ -47,8 +47,10 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _block_pairs(LA: int, W: int) -> int:
-    bb = _VMEM_BUDGET // max(1, 3 * LA * W * 4)
-    for cand in (8, 4, 2, 1):
+    # dirs scratch (1 byte/cell) dominates; keep headroom for the
+    # window, a/b blocks and double buffering.
+    bb = _VMEM_BUDGET // max(1, 2 * LA * W)
+    for cand in (32, 16, 8, 4, 2, 1):
         if bb >= cand:
             return cand
     return 0
@@ -59,38 +61,74 @@ def supported(LA: int, W: int) -> bool:
 
 
 def _kernel(
-    sub_ref,  # (BB, LA, W) int32: match/mismatch score per band cell
+    a_ref,  # (BB, LAP) int32: a right-padded to LA + R lanes
+    b_ref,  # (BB, LBP) int32: left-padded b (pad value -2)
     a_len_ref,  # (1, BB, 1) int32
     b_len_ref,  # (1, BB, 1) int32
-    band_min_ref,  # (1, BB, 1) int32
-    m0_ref,  # (1, NSTEPS, BB) int32 out
-    m1_ref,  # (1, NSTEPS, BB) int32 out
+    band_min_ref,  # (1, BB, 1) int32 (pre-clamped by the host)
+    mj_ref,  # (1, LA, BB) int32 out: per-row matched ordinal1 or -1
     best_ref,  # (1, BB, 1) int32 out
     metrics_ref,  # (1, BB, 16) int32 out: AlignmentInfo computed in-kernel
-    dirs_ref,  # (BB, LA, W) int32 scratch
+    dirs_ref,  # (LA, BB, W) int8 scratch: dir code | match bit
+    w_ref,  # (BB, 2W) int32 scratch: per-pair sliding b window
+    aw_ref,  # (BB, 2R) int32 scratch: sliding a window
     *,
     LA: int,
     W: int,
-    NSTEPS: int,
+    LEFTPAD: int,
     match: int,
+    mismatch: int,
     gap: int,
 ):
-    BB = sub_ref.shape[0]
+    BB = a_ref.shape[0]
     d_idx = jax.lax.broadcasted_iota(jnp.int32, (BB, W), 1)
     neg = jnp.full((BB, W), NEG_INF, jnp.int32)
     gap_i = jnp.int32(gap)
     a_len = a_len_ref[0, :, :]
     b_len = b_len_ref[0, :, :]
     band_min = band_min_ref[0, :, :]
+    CH = 2 * W + 128  # refill chunk width (aligned slice)
 
     # Row 0: V[0][j] = 0 for 0 <= j <= b_len inside the band.
     j0 = band_min + d_idx
     prev0 = jnp.where((j0 >= 0) & (j0 <= b_len), 0, NEG_INF).astype(jnp.int32)
 
+    def refill(i0, g, R):
+        """Load each pair's b window b_pad[base .. base + 2W) where
+        base = band_min + (i0 - 1) + LEFTPAD: one ALIGNED dynamic
+        slice per pair plus a log-step masked shift by base % 128.
+        The a window refills with one aligned slice for all pairs."""
+        aw_ref[...] = a_ref[:, pl.ds(pl.multiple_of(g * R, 128), 2 * R)]
+        for p in range(BB):
+            base = band_min_ref[0, p, 0] + (i0 - 1) + LEFTPAD
+            astart = (base // 128) * 128
+            sh = base - astart
+            chunk = b_ref[p, pl.ds(pl.multiple_of(astart, 128), CH)]
+            chunk = chunk.reshape(1, CH)
+            k = 64
+            while k >= 1:
+                shifted = jnp.concatenate(
+                    [chunk[:, k:], jnp.zeros((1, k), jnp.int32)], axis=1
+                )
+                chunk = jnp.where((sh & k) != 0, shifted, chunk)
+                k //= 2
+            w_ref[pl.ds(p, 1), :] = chunk[:, : 2 * W]
+
     def forward_row(i, carry):
         prev, best_val, best_i, best_d = carry
 
-        sub = sub_ref[:, i - 1, :]
+        win = w_ref[...]
+        bj = win[:, :W]  # b[j-1] for this row's band cells
+        aw = aw_ref[...]
+        av = aw[:, :1]  # a[i-1], first lane of the sliding a window
+        # Advance both windows one lane for the next row.
+        w_ref[...] = jnp.concatenate(
+            [win[:, 1:], jnp.full((BB, 1), -2, jnp.int32)], axis=1
+        )
+        aw_ref[...] = jnp.concatenate(
+            [aw[:, 1:], jnp.full((BB, 1), -1, jnp.int32)], axis=1
+        )
+        sub = jnp.where(bj == av, jnp.int32(match), jnp.int32(mismatch))
         j = i + band_min + d_idx  # (BB, W)
         valid = (j >= 0) & (j <= b_len) & (i <= a_len)
         at_j0 = j == 0
@@ -119,7 +157,10 @@ def _kernel(
         )
         dirs = jnp.where(at_j0 & (V == 0), jnp.int32(STOP), dirs)
         dirs = jnp.where(valid, dirs, jnp.int32(STOP))
-        dirs_ref[:, i - 1, :] = dirs
+        # Pack the cell's match flag into bit 2 so the traceback needs
+        # a single memory read per step.
+        dirs = dirs | jnp.where(sub == jnp.int32(match), jnp.int32(4), 0)
+        dirs_ref[i - 1] = dirs.astype(jnp.int8)
 
         # Best end over the last column (j == b_len)...
         in_last_col = (j == b_len) & valid
@@ -149,46 +190,89 @@ def _kernel(
 
     zero1 = jnp.zeros((BB, 1), jnp.int32)
     init = (prev0, jnp.full((BB, 1), NEG_INF, jnp.int32), zero1, zero1)
-    V, best_val, best_i, best_d = jax.lax.fori_loop(1, LA + 1, forward_row, init)
+
+    # Group structure: refill the window every R rows; rows run with a
+    # manual 8x unroll (per-iteration scalar/control overhead is
+    # significant at this row size).
+    R = min(W, LA)
+    assert LA % R == 0 and R % 8 == 0 and R % 128 == 0
+
+    def group(g, carry):
+        i0 = g * R + 1
+        refill(i0, g, R)
+
+        def rows8(t8, carry):
+            base_i = i0 + t8 * 8
+            for t in range(8):
+                carry = forward_row(base_i + t, carry)
+            return carry
+
+        return jax.lax.fori_loop(0, R // 8, rows8, carry)
+
+    V, best_val, best_i, best_d = jax.lax.fori_loop(0, LA // R, group, init)
     best_ref[0, :, :] = best_val
 
-    # ---- Traceback ----
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    match_i = jnp.int32(match)
-
+    # ---- Traceback: vectorized backward row sweep ----
+    # The optimal path crosses each row boundary exactly once, so each
+    # row holds at most one DIAG step (one match). Sweeping rows from
+    # the bottom, the path's cells inside a row are the entry cell
+    # plus its LEFT-run, resolved with log-step propagation — all
+    # (BB, W) vector ops, no per-pair scalar walks.
     BIG = jnp.int32(1 << 29)
+    zcol = jnp.zeros((BB, 1), jnp.int32)
 
-    def tb_step(step, carry):
-        (ii, dd, active_i, count, mn0, mx0, mn1, mx1, mnoff, mxoff,
+    def shift_down(x, k):
+        # y[d] = x[d + k] (toward lower lanes), zero-filled.
+        return jnp.concatenate(
+            [x[:, k:], jnp.zeros((BB, k), x.dtype)], axis=1
+        )
+
+    def shift_up(x, k):
+        # y[d] = x[d - k].
+        return jnp.concatenate(
+            [jnp.zeros((BB, k), x.dtype), x[:, :-k]], axis=1
+        )
+
+    def tb_row(t, carry):
+        (entry, count, mn0, mx0, mn1, mx1, mnoff, mxoff,
          mxskip, mxdrift, l0, l1, loff) = carry
-        active = active_i != 0
-        jj = ii + band_min + dd
+        i = LA - t  # row index, LA down to 1
+        row = dirs_ref[i - 1].astype(jnp.int32)  # (BB, W)
+        j_row = i + band_min + d_idx
 
-        dcodes = []
-        subs = []
-        for p in range(BB):
-            row_i = jnp.clip(ii[p, 0] - 1, 0, LA - 1)
-            drow = dirs_ref[p, row_i, :][None, :]
-            srow = sub_ref[p, row_i, :][None, :]
-            sel = lane == dd[p, 0]
-            dcodes.append(jnp.max(jnp.where(sel, drow, 0), axis=1, keepdims=True))
-            subs.append(
-                jnp.max(jnp.where(sel, srow, NEG_INF), axis=1, keepdims=True)
-            )
-        dcode = jnp.concatenate(dcodes, axis=0)  # (BB, 1)
-        subv = jnp.concatenate(subs, axis=0)
+        # Activate pairs whose best end is in this row.
+        entry = entry | ((d_idx == best_d) & (i == best_i)).astype(jnp.int32)
 
-        active = active & (ii > 0) & (jj > 0) & (dcode != STOP)
-        is_match = active & (dcode == DIAG) & (subv == match_i)
+        # Cells with j == 0 are terminal (the walk stops there).
+        row = jnp.where(j_row == 0, 0, row)
+        code = row & 3
+        is_left = (code == LEFT).astype(jnp.int32)
 
-        m0_ref[0, pl.ds(step, 1), :] = jnp.where(is_match, ii - 1, -1).reshape(1, BB)
-        m1_ref[0, pl.ds(step, 1), :] = jnp.where(is_match, jj - 1, -1).reshape(1, BB)
+        # Propagate the entry through LEFT runs (pointer doubling).
+        v = entry
+        run = shift_down(is_left, 1)  # run[d] = LEFT at d+1
+        k = 1
+        while k < W:
+            v = v | (shift_down(v, k) & run)
+            run = run & shift_down(run, k)
+            k *= 2
 
-        # AlignmentInfo registers (reference: src/Alignment.cpp:4-29).
-        # Matches are visited in reverse path order; skip/drift deltas
-        # between consecutive visits equal the path-order deltas.
-        o0 = ii - 1
-        o1 = jj - 1
+        exit_mask = (v == 1) & (code != LEFT)
+        code_exit = jnp.max(jnp.where(exit_mask, row, 0), axis=1, keepdims=True)
+        j_exit = jnp.max(
+            jnp.where(exit_mask, j_row, -BIG), axis=1, keepdims=True
+        )
+        dc = code_exit & 3
+        is_match = (dc == DIAG) & ((code_exit & 4) != 0) & (j_exit > 0)
+
+        # Emit this row's match (o0 = i-1 implicit, o1 = j_exit - 1).
+        mj_ref[0, pl.ds(i - 1, 1), :] = jnp.where(
+            is_match, j_exit - 1, -1
+        ).reshape(1, BB)
+
+        # AlignmentInfo registers (reverse path order visits).
+        o0 = jnp.full((BB, 1), i - 1, jnp.int32)
+        o1 = j_exit - 1
         off = o0 - o1
         has_prev = is_match & (count > 0)
         skip = jnp.maximum(jnp.abs(l0 - o0), jnp.abs(l1 - o1))
@@ -206,23 +290,33 @@ def _kernel(
         loff = jnp.where(is_match, off, loff)
         count = count + is_match.astype(jnp.int32)
 
-        di = jnp.where((dcode == DIAG) | (dcode == UP), 1, 0)
-        dd_delta = jnp.where(dcode == UP, 1, jnp.where(dcode == LEFT, -1, 0))
-        ii = jnp.where(active, ii - di, ii)
-        dd = jnp.where(active, dd + dd_delta, dd)
-        return (ii, dd, active.astype(jnp.int32), count, mn0, mx0, mn1, mx1,
-                mnoff, mxoff, mxskip, mxdrift, l0, l1, loff)
+        # Next row's entry: DIAG keeps d, UP moves to d+1 (i.e. the
+        # next row's entry lane is d_exit [DIAG] or d_exit + 1 [UP]).
+        em = exit_mask.astype(jnp.int32)
+        diag_next = em * (dc == DIAG).astype(jnp.int32)
+        up_next = em * (dc == UP).astype(jnp.int32)
+        entry = diag_next | shift_up(up_next, 1)
+        return (entry, count, mn0, mx0, mn1, mx1, mnoff, mxoff,
+                mxskip, mxdrift, l0, l1, loff)
 
-    ones = jnp.ones((BB, 1), jnp.int32)
-    z = jnp.zeros((BB, 1), jnp.int32)
-    carry0 = (best_i, best_d, ones, z, z + BIG, z - BIG, z + BIG, z - BIG,
-              z + BIG, z - BIG, z, z, z, z, z)
-    out = jax.lax.fori_loop(0, NSTEPS, tb_step, carry0)
-    (_, _, _, count, mn0, mx0, mn1, mx1, mnoff, mxoff,
+    tb_init = (
+        jnp.zeros((BB, W), jnp.int32), zcol, zcol + BIG, zcol - BIG,
+        zcol + BIG, zcol - BIG, zcol + BIG, zcol - BIG, zcol, zcol,
+        zcol, zcol, zcol,
+    )
+
+    def tb_rows8(t8, carry):
+        base = t8 * 8
+        for t in range(8):
+            carry = tb_row(base + t, carry)
+        return carry
+
+    out = jax.lax.fori_loop(0, LA // 8, tb_rows8, tb_init)
+    (_, count, mn0, mx0, mn1, mx1, mnoff, mxoff,
      mxskip, mxdrift, _, _, _) = out
     metrics = jnp.concatenate(
         [count, mn0, mx0, mn1, mx1, mnoff, mxoff, mxskip, mxdrift, best_val,
-         z, z, z, z, z, z],
+         zcol, zcol, zcol, zcol, zcol, zcol],
         axis=1,
     )
     metrics_ref[0, :, :] = metrics
@@ -237,87 +331,94 @@ def banded_align_pairs(
     """Forward + traceback for a batch of candidate pairs.
 
     a: (B, LA) int32 (pad -1), b: (B, LB) int32 (pad -2).
-    Returns one int32 array (B, 16 + min(LA, LB)):
+    Returns one int32 array (B, 16 + LA):
     - columns 0..15: metrics [count, min_o0, max_o0, min_o1, max_o1,
       min_offset, max_offset, max_skip, max_drift, best_score, 0...]
       (the reference AlignmentInfo fields, src/Alignment.hpp);
-    - columns 16..: matched ordinal pairs (ord0 << 16) | ord1 in path
-      order; entries beyond the match count are INT32_MAX.
+    - column 16 + i: the matched ordinal1 for ordinal0 == i, or -1
+      (at most one match per ordinal0 on a banded path).
     """
-    B = a.shape[0]
+    B0 = a.shape[0]
     BB = _block_pairs(LA, W)
     if BB == 0:
         raise ValueError(f"shape (LA={LA}, W={W}) too large for the kernel")
-    if B % BB:
-        raise ValueError(f"batch {B} not divisible by block {BB}")
-    NSTEPS = LA + LB
-
+    # Pad the batch to a block multiple (padded pairs have length 0).
+    B = ((B0 + BB - 1) // BB) * BB
+    if B != B0:
+        pad = B - B0
+        a = jnp.concatenate([a, jnp.full((pad, LA), -1, a.dtype)])
+        b = jnp.concatenate([b, jnp.full((pad, LB), -2, b.dtype)])
+        a_len = jnp.concatenate([a_len, jnp.zeros(pad, a_len.dtype)])
+        b_len = jnp.concatenate([b_len, jnp.zeros(pad, b_len.dtype)])
+        band_min = jnp.concatenate([band_min, jnp.zeros(pad, band_min.dtype)])
     a = a.astype(jnp.int32)
     b = b.astype(jnp.int32)
     a_len = a_len.astype(jnp.int32)
     b_len = b_len.astype(jnp.int32)
     band_min = band_min.astype(jnp.int32)
 
-    # Band-coordinate substitution matrix (one fused gather + compare).
-    i_idx = jnp.arange(1, LA + 1, dtype=jnp.int32)[None, :, None]
-    d_idx = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-    jm1 = i_idx + band_min[:, None, None] + d_idx - 1  # (B, LA, W)
-    bj = jnp.take_along_axis(
-        b, jnp.clip(jm1, 0, LB - 1).reshape(B, LA * W), axis=1
-    ).reshape(B, LA, W)
-    bj = jnp.where((jm1 >= 0) & (jm1 < LB), bj, -2)
-    sub = jnp.where(bj == a[:, :, None], jnp.int32(match), jnp.int32(mismatch))
+    # Bands entirely outside the matrix would break the window
+    # arithmetic; mark those pairs empty and clamp.
+    LEFTPAD = LA + W
+    band_ok = (band_min >= -LEFTPAD) & (band_min <= LB)
+    a_len = jnp.where(band_ok, a_len, 0)
+    band_min = jnp.clip(band_min, -LEFTPAD, LB)
+
+    # Left-padded b: value at lane LEFTPAD + t is b[t]; pad = -2.
+    CH = 2 * W + 128
+    max_astart = LA - 1 + LB + LEFTPAD
+    LBP = ((max_astart + CH + 127) // 128) * 128
+    b_pad = jnp.full((B, LBP), -2, jnp.int32)
+    b_pad = jax.lax.dynamic_update_slice(b_pad, b, (0, LEFTPAD))
+
+    # a right-padded so every window refill slice stays in bounds.
+    R = min(W, LA)
+    LAP = LA + 2 * R
+    a_pad = jnp.full((B, LAP), -1, jnp.int32)
+    a_pad = jax.lax.dynamic_update_slice(a_pad, a, (0, 0))
 
     grid = (B // BB,)
     kernel = functools.partial(
-        _kernel, LA=LA, W=W, NSTEPS=NSTEPS, match=match, gap=gap
+        _kernel, LA=LA, W=W, LEFTPAD=LEFTPAD, match=match,
+        mismatch=mismatch, gap=gap,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BB, LA, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, LAP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, LBP), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, NSTEPS, BB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, NSTEPS, BB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((1, LA, BB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B // BB, NSTEPS, BB), jnp.int32),
-            jax.ShapeDtypeStruct((B // BB, NSTEPS, BB), jnp.int32),
+            jax.ShapeDtypeStruct((B // BB, LA, BB), jnp.int32),
             jax.ShapeDtypeStruct((B // BB, BB, 1), jnp.int32),
             jax.ShapeDtypeStruct((B // BB, BB, 16), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((BB, LA, W), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((LA, BB, W), jnp.int8),
+            pltpu.VMEM((BB, 2 * W), jnp.int32),
+            pltpu.VMEM((BB, 2 * R), jnp.int32),
+        ],
     )(
-        sub,
+        a_pad,
+        b_pad,
         a_len.reshape(B // BB, BB, 1),
         b_len.reshape(B // BB, BB, 1),
         band_min.reshape(B // BB, BB, 1),
     )
-    m0, m1, best, metrics = out
+    mj, best, metrics = out
+    mj = jnp.transpose(mj, (1, 0, 2)).reshape(LA, B)
     metrics = metrics.reshape(B, 16)
-    # (nblocks, NSTEPS, BB) -> (B, NSTEPS); pack pairs into one int32
-    # (ordinals < 2^15) and sort ascending: strictly increasing
-    # ordinals mean sorted packed values ARE the path order, with pads
-    # (INT32 max) at the end. Only the first MAXM columns can hold
-    # matches. Metrics and packed ordinals are fused into ONE output
-    # array: device->host round-trips through a tunneled TPU have
-    # ~150 ms latency each, so one fetch per batch, not three.
-    m0 = jnp.transpose(m0, (0, 2, 1)).reshape(B, NSTEPS)
-    m1 = jnp.transpose(m1, (0, 2, 1)).reshape(B, NSTEPS)
-    packed = jnp.where(
-        m0 >= 0, (m0 << 16) | m1, jnp.int32(np.iinfo(np.int32).max)
-    )
-    packed = jnp.sort(packed, axis=1)
-    MAXM = min(LA, LB)
-    return jnp.concatenate([metrics, packed[:, :MAXM]], axis=1)
+    # mj is (LA, B): row i holds the matched ordinal1 for ordinal0 = i
+    # (or -1). Row order IS path order, no sort needed. Metrics and
+    # matches are fused into ONE output array: device->host
+    # round-trips through a tunneled TPU have ~150 ms latency each.
+    return jnp.concatenate([metrics, mj.T], axis=1)[:B0]

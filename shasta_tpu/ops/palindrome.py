@@ -49,7 +49,7 @@ def flag_palindromic_reads(
     band_mins = np.full(n_reads, -delta_threshold, dtype=np.int64)
     widths = np.full(n_reads, W, dtype=np.int64)
     params = AlignParams()
-    results = _grouped_run(a_rows, b_rows, band_mins, widths, params)
+    results, _metrics = _grouped_run(a_rows, b_rows, band_mins, widths, params)
 
     for r in range(n_reads):
         o0, o1 = results[r]

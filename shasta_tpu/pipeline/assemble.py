@@ -182,14 +182,29 @@ class Assembler:
                 max_drift=ca.max_drift,
                 max_trim=ca.max_trim,
             )
-            self.alignments = align_candidates(
-                self.markers,
-                self.candidates.read_id0,
-                self.candidates.read_id1,
-                self.candidates.same_strand,
-                params,
-                self.kmer_table.downsampling_hash_table(),
-            )
+            if ca.align_method in (0, 1):
+                # Legacy/debug methods, host implementation.
+                from shasta_tpu.ops.align_other import align_candidates_method
+
+                self.alignments = align_candidates_method(
+                    self.markers,
+                    self.candidates.read_id0,
+                    self.candidates.read_id1,
+                    self.candidates.same_strand,
+                    params,
+                    ca.align_method,
+                )
+            else:
+                # Methods 3 and 4 share the two-phase banded engine
+                # (band discovery from downsampled markers -> banded DP).
+                self.alignments = align_candidates(
+                    self.markers,
+                    self.candidates.read_id0,
+                    self.candidates.read_id1,
+                    self.candidates.same_strand,
+                    params,
+                    self.kmer_table.downsampling_hash_table(),
+                )
             self.store.save_stage("Alignments", self.alignments.arrays())
 
     def create_read_graph(self) -> None:

@@ -67,13 +67,14 @@ def test_matches_jnp_kernel(seed):
     m0r, m1r = A.traceback(dirs, a, b, bm, bi, bd, n_steps=LA + LB)
     fused = np.asarray(fused)
     metrics = fused[:, :16]
-    packed = fused[:, 16:]
+    mjrows = fused[:, 16:]
     bestp = metrics[:, 9]
     m0r, m1r, bv = map(np.asarray, (m0r, m1r, bv))
     for t in range(a.shape[0]):
         count = metrics[t, 0]
-        o0 = packed[t, :count] >> 16
-        o1 = packed[t, :count] & 0xFFFF
+        o0 = np.flatnonzero(mjrows[t] >= 0)
+        o1 = mjrows[t, o0]
+        assert o0.shape[0] == count
         pp = list(zip(o0, o1))
         rr = list(zip(m0r[m0r[:, t] >= 0, t][::-1], m1r[m1r[:, t] >= 0, t][::-1]))
         assert pp == rr, t
