@@ -175,6 +175,114 @@ def create_marker_graph_edges_strict(
     mg.build_adjacency()
 
 
+def create_marker_graph_secondary_edges(
+    markers: MarkerStore,
+    mg: MarkerGraph,
+    max_skip: int = 1000000,
+    aggressive: bool = False,
+) -> int:
+    """Add secondary edges to restore contiguity after strict edge
+    creation (reference: createMarkerGraphSecondaryEdges,
+    src/AssemblerMarkerGraphEdges.cpp:426-560): for each forward dead
+    end v0 (out-degree 0), follow each of its markers to the next
+    surviving vertex within max_skip ordinals; the most frequent
+    target (restricted to backward dead ends unless aggressive)
+    becomes a secondary edge, added together with its reverse
+    complement. Returns the number of edges added."""
+    n_v = mg.vertex_count
+    if n_v == 0 or mg.edge_count == 0:
+        return 0
+    alive = mg.alive()
+    out_deg = np.bincount(mg.source[alive], minlength=n_v)
+    in_deg = np.bincount(mg.target[alive], minlength=n_v)
+    moff = markers.offsets
+    counts = np.diff(moff)
+    vt = mg.vertex_table
+
+    def next_vertices(v0):
+        """(orid, ord0, ord1, v1) for each marker of v0 with a next
+        surviving vertex within max_skip."""
+        out = []
+        for m in mg.vertex_marker_ids(int(v0)):
+            orid = int(np.searchsorted(moff, m, side="right") - 1)
+            ord0 = int(m - moff[orid])
+            hi = min(int(counts[orid]), ord0 + 1 + max_skip)
+            nxt = vt[moff[orid] + ord0 + 1 : moff[orid] + hi]
+            pos = np.flatnonzero(nxt >= 0)
+            if pos.shape[0]:
+                out.append((orid, ord0, ord0 + 1 + int(pos[0]), int(nxt[pos[0]])))
+        return out
+
+    fwd_dead = np.flatnonzero(out_deg == 0)
+    is_bwd_dead = in_deg == 0
+
+    new_pairs = []
+    for v0 in fwd_dead:
+        cands = []
+        for orid, o0, o1, v1 in next_vertices(v0):
+            if v1 == v0:
+                continue
+            if not aggressive and not is_bwd_dead[v1]:
+                continue
+            cands.append(v1)
+        if not cands:
+            continue
+        uniq, cnt = np.unique(cands, return_counts=True)
+        v1 = int(uniq[np.argmax(cnt)])
+        new_pairs.append((int(v0), v1))
+        new_pairs.append((int(mg.rc_vertex[v1]), int(mg.rc_vertex[v0])))
+    new_pairs = sorted(set(new_pairs))
+    if not new_pairs:
+        return 0
+
+    add_src, add_tgt, add_cov, lengths = [], [], [], []
+    add_orid, add_ord0, add_ord1 = [], [], []
+    for v0, v1 in new_pairs:
+        ivs = [
+            (orid, o0, o1)
+            for orid, o0, o1, v in next_vertices(v0)
+            if v == v1
+        ]
+        add_src.append(v0)
+        add_tgt.append(v1)
+        add_cov.append(max(1, len(ivs)))
+        lengths.append(len(ivs))
+        for orid, o0, o1 in ivs:
+            add_orid.append(orid)
+            add_ord0.append(o0)
+            add_ord1.append(o1)
+
+    n_old = mg.edge_count
+    n_new = len(add_src)
+    pair_pos = {p: n_old + i for i, p in enumerate(new_pairs)}
+
+    mg.source = np.concatenate([mg.source, np.array(add_src, np.int64)])
+    mg.target = np.concatenate([mg.target, np.array(add_tgt, np.int64)])
+    mg.coverage = np.concatenate([mg.coverage, np.array(add_cov, np.int32)])
+    rc_new = np.empty(n_new, np.int64)
+    for i, (v0, v1) in enumerate(new_pairs):
+        rc_pair = (int(mg.rc_vertex[v1]), int(mg.rc_vertex[v0]))
+        rc_new[i] = pair_pos.get(rc_pair, n_old + i)
+    mg.rc_edge = np.concatenate([mg.rc_edge, rc_new])
+    for name in ("removed_tr", "pruned", "superbubble", "low_coverage_cross"):
+        setattr(
+            mg, name, np.concatenate([getattr(mg, name), np.zeros(n_new, bool)])
+        )
+    new_offsets = mg.interval_offsets[-1] + np.cumsum([0] + lengths)
+    mg.interval_offsets = np.concatenate([mg.interval_offsets, new_offsets[1:]])
+    mg.interval_orid = np.concatenate(
+        [mg.interval_orid, np.array(add_orid, np.int64)]
+    )
+    mg.interval_ord0 = np.concatenate(
+        [mg.interval_ord0, np.array(add_ord0, np.int32)]
+    )
+    mg.interval_ord1 = np.concatenate(
+        [mg.interval_ord1, np.array(add_ord1, np.int32)]
+    )
+    mg.build_adjacency()
+    return n_new
+
+
 # ---------------------------------------------------------------------------
 # Bayesian relative phase of two bubbles
 # ---------------------------------------------------------------------------

@@ -612,13 +612,22 @@ def align_candidates(
     )
     ds_flat = ds_hash_table[markers.kmer_ids] < ds_threshold
 
+    _full_cache: Dict[int, np.ndarray] = {}
+    _ds_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
     def full_seq(orid: int) -> np.ndarray:
-        return kmer_flat[koff[orid] : koff[orid + 1]]
+        r = _full_cache.get(orid)
+        if r is None:
+            r = _full_cache[orid] = kmer_flat[koff[orid] : koff[orid + 1]]
+        return r
 
     def ds_seq(orid: int) -> Tuple[np.ndarray, np.ndarray]:
-        lo, hi = koff[orid], koff[orid + 1]
-        sel = np.flatnonzero(ds_flat[lo:hi])
-        return kmer_flat[lo:hi][sel], sel  # (kmers, original ordinals)
+        r = _ds_cache.get(orid)
+        if r is None:
+            lo, hi = koff[orid], koff[orid + 1]
+            sel = np.flatnonzero(ds_flat[lo:hi])
+            r = _ds_cache[orid] = (kmer_flat[lo:hi][sel], sel)
+        return r  # (kmers, original ordinals)
 
     # ---- Phase 1: band finding on downsampled sequences ----
     # The reference aligns the downsampled sequences with full

@@ -82,6 +82,17 @@ class Assembler:
                 merged, min_read_length=self.config.reads.min_read_length
             )
             self.store.save_stage("Reads", self.reads.arrays())
+            # ReadLengthHistogram.csv (reference: srcMain/main.cpp:561).
+            lens = self.reads.raw_lengths
+            if lens.shape[0]:
+                hist = np.bincount(lens // 1000)
+                with open(
+                    os.path.join(self.run_dir, "ReadLengthHistogram.csv"), "w"
+                ) as f:
+                    f.write("LengthKb,Frequency\n")
+                    for i, c in enumerate(hist):
+                        if c:
+                            f.write(f"{i},{c}\n")
 
     def select_kmers(self) -> None:
         ck = self.config.kmers
@@ -252,6 +263,15 @@ class Assembler:
                 label = MG.union_find_labels(self.markers.total_count, u, v)
                 _, counts = np.unique(label, return_counts=True)
                 hist = np.bincount(counts)
+                # DisjointSetsHistogram.csv (reference:
+                # src/AssemblerMarkerGraph.cpp:224).
+                with open(
+                    os.path.join(self.run_dir, "DisjointSetsHistogram.csv"), "w"
+                ) as f:
+                    f.write("Coverage,Frequency\n")
+                    for c, n in enumerate(hist):
+                        if n:
+                            f.write(f"{c},{n}\n")
                 min_cov = auto_min_coverage(hist)
                 self.log.line(f"Automatically selected MarkerGraph.minCoverage = {min_cov}")
             self.min_coverage_used = min_cov
@@ -280,6 +300,21 @@ class Assembler:
                     min_edge_coverage=cm.min_edge_coverage,
                     min_edge_coverage_per_strand=cm.min_edge_coverage_per_strand,
                 )
+            if cm.secondary_edges:
+                from shasta_tpu.graph.mode2 import (
+                    create_marker_graph_secondary_edges,
+                )
+
+                with self.log.stage("createMarkerGraphSecondaryEdges"):
+                    n1 = create_marker_graph_secondary_edges(
+                        self.markers, self.marker_graph,
+                        max_skip=cm.secondary_edge_max_skip, aggressive=False,
+                    )
+                    n2 = create_marker_graph_secondary_edges(
+                        self.markers, self.marker_graph,
+                        max_skip=cm.secondary_edge_max_skip, aggressive=True,
+                    )
+                    self.log.line(f"Added {n1} + {n2} secondary edges.")
             with self.log.stage("pruneMarkerGraphStrongSubgraph"):
                 MG.prune(
                     self.marker_graph, iteration_count=cm.prune_iteration_count
@@ -461,6 +496,13 @@ class Assembler:
                 self.markers.k,
                 self.vertex_repeats,
             )
+            AG.write_gfa1(
+                os.path.join(self.run_dir, "Assembly-BothStrands.gfa"),
+                self.assembly_graph,
+                self.markers.k,
+                self.vertex_repeats,
+                both_strands=True,
+            )
             import resource
 
             peak_rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
@@ -474,6 +516,11 @@ class Assembler:
                 "alignmentCount": int(self.alignments.count),
                 "chimericReadCount": int(self.reads.is_chimeric.sum()),
                 "palindromicReadCount": int(self.reads.is_palindromic.sum()),
+                "discardedShortReadCount": self.reads.discards.short_read_count,
+                "discardedBadBaseReadCount": self.reads.discards.bad_base_read_count,
+                "isolatedReadCount": int(
+                    (np.diff(self.read_graph.adj_offsets)[0::2] == 0).sum()
+                ) if self.read_graph is not None else 0,
                 "markerGraphVertexCount": self.marker_graph.vertex_count,
                 "markerGraphEdgeCount": self.marker_graph.edge_count,
                 "markerGraphMinCoverageUsed": self.min_coverage_used,

@@ -81,6 +81,8 @@ class MarkerGraphOptions:
     # Strict edges (mode 2).
     min_edge_coverage: int = 4
     min_edge_coverage_per_strand: int = 1
+    secondary_edges: bool = True
+    secondary_edge_max_skip: int = 1000000
 
 
 @dataclass

@@ -119,3 +119,30 @@ def test_mode2_end_to_end(tmp_path):
     assert informative, "no informative phased branches"
     consistent = sum(1 for v in informative if len(set(v)) == 1)
     assert consistent / len(informative) > 0.8
+
+
+def test_secondary_edges_restore_contiguity():
+    """Strict filtering breaks a chain; secondary edges reconnect it."""
+    from tests.test_marker_graph import make_markers
+    from shasta_tpu.graph import marker_graph as MG
+    from shasta_tpu.graph.mode2 import create_marker_graph_secondary_edges
+
+    # 2 reads agreeing on 4 markers -> chain A-B-C-D per strand.
+    m = make_markers([[1, 2, 3, 4], [9, 9, 9, 9], [1, 2, 3, 4], [9, 9, 9, 9]])
+    u = np.array([0, 1, 2, 3, 13, 14, 15, 12])
+    v = np.array([8, 9, 10, 11, 5, 6, 7, 4])
+    mg = MG.create_marker_graph_vertices(m, u, v, min_coverage=2, max_coverage=10)
+    MG.create_marker_graph_edges(m, mg)
+    # Break the middle edge per strand (simulating strict filtering).
+    mid = np.flatnonzero((mg.source == mg.vertex_table[1]))
+    mg.removed_tr[mid] = True
+    mg.removed_tr[mg.rc_edge[mid]] = True
+    alive_before = int(mg.alive().sum())
+    n = create_marker_graph_secondary_edges(m, mg, max_skip=10)
+    assert n >= 2
+    # Contiguity restored: the strand-0 chain is connected again.
+    alive = mg.alive()
+    out_deg = np.bincount(mg.source[alive], minlength=mg.vertex_count)
+    # The previously dead-ended vertex now has an out edge.
+    v_dead = int(mg.vertex_table[1])
+    assert out_deg[v_dead] >= 1
