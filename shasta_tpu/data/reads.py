@@ -207,3 +207,44 @@ def build_read_store(
         metadata=metadata,
         discards=discards,
     )
+
+
+def apply_desired_coverage(store: ReadStore, desired_coverage: int) -> "ReadStore":
+    """Raise the effective length cutoff until total raw bases drop to
+    ``desired_coverage`` (reference:
+    Assembler::adjustCoverageAndGetNewMinReadLength, used at
+    srcMain/main.cpp:557-582): keep the longest reads whose cumulative
+    raw length fits the budget; every kept read is at least as long as
+    every dropped one."""
+    if desired_coverage <= 0 or store.total_raw_bases <= desired_coverage:
+        return store
+    order = np.argsort(-store.raw_lengths, kind="stable")
+    cum = np.cumsum(store.raw_lengths[order])
+    n_keep = int(np.searchsorted(cum, desired_coverage, side="right"))
+    if n_keep == 0:
+        raise RuntimeError(
+            "desired coverage smaller than the longest single read"
+        )
+    cutoff = int(store.raw_lengths[order[n_keep - 1]])
+    keep = store.raw_lengths >= cutoff
+    # Tie handling: trim ties beyond the budget deterministically by id.
+    if int(store.raw_lengths[keep].sum()) > desired_coverage:
+        tie_ids = np.flatnonzero(store.raw_lengths == cutoff)
+        over = int(store.raw_lengths[keep].sum()) - desired_coverage
+        n_drop = min(len(tie_ids), (over + cutoff - 1) // cutoff)
+        keep[tie_ids[len(tie_ids) - n_drop :]] = False
+
+    keep_ids = np.flatnonzero(keep)
+    rle_lengths = np.diff(store.offsets)
+    mask_flat = np.repeat(keep, rle_lengths)
+    new_offsets = np.zeros(keep_ids.shape[0] + 1, np.int64)
+    np.cumsum(rle_lengths[keep_ids], out=new_offsets[1:])
+    return ReadStore(
+        rle_bases=store.rle_bases[mask_flat],
+        repeat_counts=store.repeat_counts[mask_flat],
+        offsets=new_offsets,
+        raw_lengths=store.raw_lengths[keep_ids],
+        names=[store.names[i] for i in keep_ids],
+        metadata=[store.metadata[i] for i in keep_ids] if store.metadata else [],
+        discards=store.discards,
+    )

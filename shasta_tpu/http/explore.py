@@ -79,6 +79,9 @@ class Explorer:
             '<a href="/read?readId=0&strand=0">/read</a>, '
             '<a href="/alignments?readId=0">/alignments</a>, '
             '<a href="/readGraph?readId=0">/readGraph</a>, '
+            '<a href="/localReadGraph?readId=0&strand=0">/localReadGraph</a>, '
+            '<a href="/localMarkerGraph?vertexId=0">/localMarkerGraph</a>, '
+            '<a href="/alignmentMatrix?readId0=0&readId1=1">/alignmentMatrix</a>, '
             '<a href="/markerGraph?vertexId=0">/markerGraph</a>, '
             '<a href="/assemblySummary.json">/assemblySummary.json</a></p>'
         )
@@ -278,8 +281,55 @@ class _LocalViews:
         )
 
 
+    def page_alignment_matrix(self, q) -> str:
+        """Marker dot plot of two oriented reads (stand-in for the
+        reference's PNG alignment-matrix display,
+        src/PngImage.{hpp,cpp} + exploreAlignment)."""
+        if self.markers is None:
+            return "<p>Markers not available.</p>"
+        r0 = int(q.get("readId0", ["0"])[0])
+        s0 = int(q.get("strand0", ["0"])[0])
+        r1 = int(q.get("readId1", ["1"])[0])
+        s1 = int(q.get("strand1", ["0"])[0])
+        k0, _ = self.markers.get(2 * r0 + s0)
+        k1, _ = self.markers.get(2 * r1 + s1)
+        n0, n1 = k0.shape[0], k1.shape[0]
+        if n0 == 0 or n1 == 0:
+            return "<p>No markers.</p>"
+        scale = max(1, max(n0, n1) // 800)
+        w, h = n0 // scale + 20, n1 // scale + 20
+        dots = []
+        # Dot positions: shared k-mers (frequency-capped for display).
+        import collections
+
+        pos1 = collections.defaultdict(list)
+        for j, kv in enumerate(k1):
+            pos1[int(kv)].append(j)
+        count = 0
+        for i, kv in enumerate(k0):
+            for j in pos1.get(int(kv), ()):
+                dots.append(
+                    f'<rect x="{10 + i // scale}" y="{10 + j // scale}" '
+                    'width="1" height="1" fill="#138"/>'
+                )
+                count += 1
+                if count > 200000:
+                    break
+            if count > 200000:
+                break
+        svg = (
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" '
+            f'height="{h}" style="background:#f8f8f8">' + "".join(dots) + "</svg>"
+        )
+        return (
+            f"<h1>Alignment matrix {r0}-{s0} vs {r1}-{s1}</h1>"
+            f"<p>{n0} x {n1} markers, {count} dots.</p>" + svg
+        )
+
+
 Explorer.page_local_read_graph = _LocalViews.page_local_read_graph
 Explorer.page_local_marker_graph = _LocalViews.page_local_marker_graph
+Explorer.page_alignment_matrix = _LocalViews.page_alignment_matrix
 
 
 def make_handler(explorer: Explorer):
@@ -305,6 +355,9 @@ def make_handler(explorer: Explorer):
                     "/read": explorer.page_read,
                     "/alignments": explorer.page_alignments,
                     "/readGraph": explorer.page_read_graph,
+                    "/localReadGraph": explorer.page_local_read_graph,
+                    "/localMarkerGraph": explorer.page_local_marker_graph,
+                    "/alignmentMatrix": explorer.page_alignment_matrix,
                     "/markerGraph": explorer.page_marker_graph,
                 }
                 fn = pages.get(url.path)

@@ -81,6 +81,17 @@ class Assembler:
             self.reads = build_read_store(
                 merged, min_read_length=self.config.reads.min_read_length
             )
+            if self.config.reads.desired_coverage > 0:
+                from shasta_tpu.data.reads import apply_desired_coverage
+
+                before = self.reads.read_count
+                self.reads = apply_desired_coverage(
+                    self.reads, self.config.reads.desired_coverage
+                )
+                self.log.line(
+                    f"Coverage adjustment kept {self.reads.read_count} of "
+                    f"{before} reads."
+                )
             self.store.save_stage("Reads", self.reads.arrays())
             # ReadLengthHistogram.csv (reference: srcMain/main.cpp:561).
             lens = self.reads.raw_lengths

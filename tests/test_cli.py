@@ -93,6 +93,9 @@ def test_assemble_cli_end_to_end(tmp_path, capsys):
     try:
         for path in ("/", "/read?readId=0&strand=0", "/alignments?readId=0",
                      "/readGraph?readId=0", "/markerGraph?vertexId=0",
+                     "/localReadGraph?readId=0&strand=0",
+                     "/localMarkerGraph?vertexId=0&maxDistance=2",
+                     "/alignmentMatrix?readId0=0&readId1=1",
                      "/assemblySummary.json"):
             with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
                 assert r.status == 200

@@ -86,3 +86,24 @@ def test_fastq_parse(tmp_path):
     assert B.decode_to_str(store.read_raw(0)) == "ACGTACGT"
     # GGGGCCCC -> RLE GC with counts 4,4
     assert B.decode_to_str(store.read_rle(1)) == "GC"
+
+
+def test_apply_desired_coverage():
+    import numpy as np
+    from shasta_tpu.data.reads import apply_desired_coverage, build_read_store
+    from shasta_tpu.io.fasta import parse_fasta_bytes
+    from shasta_tpu.data import bases as B
+    from tests import synth
+
+    reads = [synth.random_genome(n, seed=n) for n in (5000, 3000, 2000, 1000)]
+    fasta = b"".join(
+        b">r%d\n%s\n" % (i, B.decode_to_str(r).encode())
+        for i, r in enumerate(reads)
+    )
+    store = build_read_store(parse_fasta_bytes(fasta))
+    out = apply_desired_coverage(store, 8000)
+    # Keeps the longest reads within the 8000-base budget: 5000 + 3000.
+    assert out.read_count == 2
+    assert sorted(out.raw_lengths.tolist()) == [3000, 5000]
+    # No-op when coverage already below target.
+    assert apply_desired_coverage(store, 10**9).read_count == 4
