@@ -499,13 +499,17 @@ def _collect_bucket(pending):
     for kind, payload, n_real in pending:
         if kind == "pallas":
             fused = np.asarray(payload)
-            mjrows = fused[:, 16:]
+            mjrows = fused[:n_real, 16:]
+            # One vectorized decode for the whole batch.
+            rows, cols = np.nonzero(mjrows >= 0)
+            vals = mjrows[rows, cols]
+            starts = np.searchsorted(rows, np.arange(n_real + 1))
             for t in range(n_real):
-                sel = np.flatnonzero(mjrows[t] >= 0)
+                lo, hi = starts[t], starts[t + 1]
                 results.append(
-                    (sel.astype(np.uint32), mjrows[t, sel].astype(np.uint32))
+                    (cols[lo:hi].astype(np.uint32), vals[lo:hi].astype(np.uint32))
                 )
-                mets.append(fused[t, :10].astype(np.int64))
+            mets.extend(fused[:n_real, :10].astype(np.int64))
         else:
             m0, m1 = payload
             m0 = np.asarray(m0)  # (n_steps, B)
@@ -667,22 +671,39 @@ def align_candidates(
             widths_ds,
             params,
         )
-        for t, p in enumerate(run_idx):
-            o0, o1 = ds_results[t]
-            if o0.shape[0] == 0:
-                continue
-            # Map downsampled indices back to original ordinals
-            # (reference keeps (ordinal, kmer) pairs: AssemblerAlign3.cpp:76-80).
-            orig0 = ds_ord_a[p][o0]
-            orig1 = ds_ord_b[p][o1]
-            off = orig0.astype(np.int64) - orig1.astype(np.int64)
-            bmin = int(off.min()) - params.band_extend
-            bmax = int(off.max()) + params.band_extend
-            if bmax - bmin > params.max_band:
-                continue  # reference: AssemblerAlign3.cpp:233-239
-            band_min_full[p] = bmin
-            band_max_full[p] = bmax
-            has_band[p] = True
+        # Map downsampled match indices back to original ordinals and
+        # reduce to per-pair offset ranges in one vectorized pass
+        # (reference keeps (ordinal, kmer) pairs: AssemblerAlign3.cpp:76-80).
+        lens = np.array([r[0].shape[0] for r in ds_results], np.int64)
+        nz = np.flatnonzero(lens)
+        if nz.shape[0]:
+            flat_o0 = np.concatenate([ds_results[t][0] for t in nz])
+            flat_o1 = np.concatenate([ds_results[t][1] for t in nz])
+            pair_of = np.repeat(np.asarray(run_idx, np.int64)[nz], lens[nz])
+            base0 = np.concatenate(
+                [ds_ord_a[int(p)][ds_results[t][0]] for t, p in
+                 zip(nz, np.asarray(run_idx)[nz])]
+            )
+            base1 = np.concatenate(
+                [ds_ord_b[int(p)][ds_results[t][1]] for t, p in
+                 zip(nz, np.asarray(run_idx)[nz])]
+            )
+            off = base0.astype(np.int64) - base1.astype(np.int64)
+            order_p = np.argsort(pair_of, kind="stable")
+            sp = pair_of[order_p]
+            so = off[order_p]
+            bounds = np.searchsorted(sp, np.asarray(run_idx, np.int64)[nz])
+            bounds = np.append(bounds, sp.shape[0])
+            mins = np.minimum.reduceat(so, bounds[:-1])
+            maxs = np.maximum.reduceat(so, bounds[:-1])
+            for t, p in enumerate(np.asarray(run_idx)[nz]):
+                bmin = int(mins[t]) - params.band_extend
+                bmax = int(maxs[t]) + params.band_extend
+                if bmax - bmin > params.max_band:
+                    continue  # reference: AssemblerAlign3.cpp:233-239
+                band_min_full[p] = bmin
+                band_max_full[p] = bmax
+                has_band[p] = True
 
     # ---- Phase 2: banded alignment on full marker sequences ----
     # Note: the DP i axis is oriented read 0, j axis is oriented read 1;
