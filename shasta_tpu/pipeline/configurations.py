@@ -210,3 +210,674 @@ def get_configuration(name_or_path: str) -> str:
         return CONFIGURATIONS[name_or_path]
     with open(name_or_path) as f:
         return f.read()
+
+
+# Additional built-in configurations: parameter values carried over
+# from the reference's conf/ directory (reference: conf/<name>.conf,
+# comments stripped; unknown keys are tolerated by the parser).
+CONFIGURATIONS.update({
+    "Nanopore-Dec2019": """
+[Reads]
+minReadLength = 10000
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+minAlignedFraction = 0.4
+
+[Assembly]
+consensusCaller = Bayesian:guppy-3.0.5-a
+
+""",
+    "Nanopore-Jun2020": """
+[Reads]
+minReadLength = 10000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+minAlignedFraction = 0.55
+minAlignedMarkerCount = 400
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+
+[MarkerGraph]
+simplifyMaxLength = 10,100,1000,10000,100000
+refineThreshold = 6
+crossEdgeCoverageThreshold = 3
+
+[Assembly]
+consensusCaller = Bayesian:guppy-3.6.0-a
+detangleMethod = 1
+
+""",
+    "Nanopore-Sep2020": """
+[Reads]
+minReadLength = 10000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+
+[MarkerGraph]
+simplifyMaxLength = 10,100,1000,10000,100000
+crossEdgeCoverageThreshold = 3
+minCoverage = 0
+
+[Assembly]
+consensusCaller = Bayesian:guppy-3.6.0-a
+detangleMethod = 2
+
+""",
+    "Nanopore-OldGuppy-Sep2020": """
+[Reads]
+minReadLength = 10000
+noCache = True
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+
+[MarkerGraph]
+simplifyMaxLength = 10,100,1000,10000,100000
+crossEdgeCoverageThreshold = 3
+minCoverage = 0
+
+[Assembly]
+consensusCaller = Bayesian:guppy-3.0.5-a
+detangleMethod = 2
+
+""",
+    "Nanopore-Oct2021": """
+[Reads]
+minReadLength = 10000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+
+[MarkerGraph]
+simplifyMaxLength = 10,100,1000,10000,100000
+crossEdgeCoverageThreshold = 3
+minCoverage = 0
+
+[Assembly]
+consensusCaller = Bayesian:guppy-5.0.7-a
+detangleMethod = 2
+
+""",
+    "Nanopore-Plants-Apr2021": """
+[Reads]
+noCache = True
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 30
+minHashIterationCount = 50
+minFrequency = 5
+
+[Align]
+downsamplingFactor = 0.05
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+maxSkip = 60
+maxDrift = 20
+maxTrim = 60
+minAlignedMarkerCount = 200
+minAlignedFraction = 0.3
+
+[MarkerGraph]
+simplifyMaxLength = 10,100,1000,10000,100000
+crossEdgeCoverageThreshold = 3
+minCoverage = 0
+
+[Assembly]
+consensusCaller = Bayesian:guppy-3.6.0-a
+detangleMethod = 2
+
+""",
+    "Nanopore-UL-Dec2019": """
+[Reads]
+minReadLength = 50000
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 40
+minFrequency = 10
+
+[Align]
+maxSkip = 60
+maxDrift = 60
+minAlignedMarkerCount = 400
+
+[Assembly]
+consensusCaller = Bayesian:guppy-3.0.5-a
+
+""",
+    "Nanopore-UL-Jun2020": """
+[Reads]
+minReadLength = 50000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+minBucketSize = 10
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+minAlignedFraction = 0.55
+minAlignedMarkerCount = 600
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+
+[ReadGraph]
+maxAlignmentCount = 12
+
+[MarkerGraph]
+simplifyMaxLength = 10,100,1000,10000,100000
+refineThreshold = 6
+crossEdgeCoverageThreshold = 3
+
+[Assembly]
+consensusCaller = Bayesian:guppy-3.6.0-a
+detangleMethod = 1
+
+""",
+    "Nanopore-UL-Sep2020": """
+[Reads]
+minReadLength = 50000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+minBucketSize = 10
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+
+[MarkerGraph]
+simplifyMaxLength = 10,100,1000,10000,100000
+crossEdgeCoverageThreshold = 3
+minCoverage = 0
+
+[Assembly]
+consensusCaller = Bayesian:guppy-3.6.0-a
+detangleMethod = 2
+
+""",
+    "Nanopore-UL-Oct2021": """
+[Reads]
+minReadLength = 50000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+minBucketSize = 10
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+
+[MarkerGraph]
+simplifyMaxLength = 10,100,1000,10000,100000
+crossEdgeCoverageThreshold = 3
+minCoverage = 0
+
+[Assembly]
+consensusCaller = Bayesian:guppy-5.0.7-a
+detangleMethod = 2
+
+""",
+    "Nanopore-UL-Jan2022": """
+[Reads]
+minReadLength = 50000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+minBucketSize = 10
+maxBucketSize = 50
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+maxAlignmentCount = 12
+strandSeparationMethod = 2
+
+[MarkerGraph]
+simplifyMaxLength = 10,100,1000,10000,100000
+crossEdgeCoverageThreshold = 3
+minCoverage = 0
+
+[Assembly]
+consensusCaller = Bayesian:guppy-5.0.7-a
+detangleMethod = 2
+
+""",
+    "Nanopore-Phased-Aug2021": """
+[Reads]
+minReadLength = 10000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+strandSeparationMethod = 2
+
+[MarkerGraph]
+minCoverage = 6
+minCoveragePerStrand = 1
+minEdgeCoverage = 6
+minEdgeCoveragePerStrand = 1
+
+[Assembly]
+mode = 2
+consensusCaller = Bayesian:guppy-5.0.7-a
+
+""",
+    "Nanopore-Phased-Jan2022": """
+[Reads]
+representation = 0
+minReadLength = 10000
+noCache = True
+
+[Kmers]
+k = 8
+probability = 0.07
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 30
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+strandSeparationMethod = 2
+maxAlignmentCount = 6
+
+[MarkerGraph]
+minCoverage = 6
+minCoveragePerStrand = 1
+minEdgeCoverage = 6
+minEdgeCoveragePerStrand = 1
+
+[Assembly]
+mode = 2
+consensusCaller = Bayesian:guppy-5.0.7-a
+pruneLength = 100
+mode2.bubbleRemoval.minConcordantReadCount = 2
+
+""",
+    "Nanopore-UL-Phased-Oct2021": """
+[Reads]
+minReadLength = 35000
+noCache = True
+
+[Kmers]
+k = 14
+
+[MinHash]
+minBucketSize = 10
+maxBucketSize = 60
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+minAlignedMarkerCount = 400
+minAlignedFraction = 0.6
+maxDrift = 20
+maxSkip = 50
+maxTrim = 50
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+
+[ReadGraph]
+creationMethod = 0
+maxAlignmentCount = 12
+strandSeparationMethod = 2
+
+[MarkerGraph]
+minCoverage = 8
+minCoveragePerStrand = 1
+minEdgeCoverage = 8
+minEdgeCoveragePerStrand = 1
+
+[Assembly]
+mode = 2
+consensusCaller = Bayesian:guppy-5.0.7-a
+phasing.minReadCount = 2
+
+""",
+    "Nanopore-UL-Phased-Jan2022": """
+[Reads]
+representation = 0
+minReadLength = 50000
+noCache = True
+
+[Kmers]
+k = 8
+probability = 0.07
+
+[MinHash]
+minBucketSize = 10
+maxBucketSize = 50
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+strandSeparationMethod = 2
+maxAlignmentCount = 12
+
+[MarkerGraph]
+minCoverage = 6
+minCoveragePerStrand = 1
+minEdgeCoverage = 6
+minEdgeCoveragePerStrand = 1
+
+[Assembly]
+mode = 2
+consensusCaller = Bayesian:guppy-5.0.7-a
+pruneLength = 100
+mode2.bubbleRemoval.minConcordantReadCount = 2
+
+""",
+    "Nanopore-UL-Phased-May2022": """
+[Reads]
+minReadLength = 50000
+noCache = True
+
+[MinHash]
+minBucketSize = 10
+maxBucketSize = 50
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+
+[ReadGraph]
+creationMethod = 2
+strandSeparationMethod = 2
+maxAlignmentCount = 12
+
+[MarkerGraph]
+minCoverage = 6
+minCoveragePerStrand = 1
+minEdgeCoverage = 6
+minEdgeCoveragePerStrand = 1
+
+[Assembly]
+mode = 2
+consensusCaller = Bayesian:guppy-5.0.7-b
+pruneLength = 100
+mode2.bubbleRemoval.minConcordantReadCount = 2
+
+""",
+    "Nanopore-Human-SingleFlowcell-Phased-May2022": """
+[Reads]
+noCache = True
+
+[MinHash]
+minBucketSize = 5
+maxBucketSize = 30
+minHashIterationCount = 100
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+downsamplingFactor = 0.05
+matchScore = 6
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+maxSkip = 30
+maxDrift = 15
+maxTrim = 30
+minAlignedMarkerCount = 200
+minAlignedFraction = 0.6
+
+[ReadGraph]
+strandSeparationMethod = 2
+maxAlignmentCount = 12
+
+[MarkerGraph]
+minCoverage = 6
+minCoveragePerStrand = 1
+minEdgeCoverage = 6
+minEdgeCoveragePerStrand = 1
+
+[Assembly]
+mode = 2
+consensusCaller = Bayesian:guppy-5.0.7-b
+pruneLength = 100
+mode2.bubbleRemoval.minConcordantReadCount = 2
+
+""",
+    "Nanopore-UL-iterative-Sep2020": """
+[Reads]
+minReadLength = 30000
+noCache = True
+
+[Kmers]
+k = 10
+
+[MinHash]
+minBucketSize = 10
+maxBucketSize = 40
+minFrequency = 5
+
+[Align]
+alignMethod = 3
+matchScore = 6
+gapScore = -3
+downsamplingFactor = 0.05
+maxSkip = 100
+maxDrift = 100
+maxTrim = 100
+minAlignedMarkerCount = 10
+minAlignedFraction = 0.1
+sameChannelReadAlignment.suppressDeltaThreshold = 30
+
+[ReadGraph]
+maxAlignmentCount = 12
+creationMethod = 2
+
+[MarkerGraph]
+minCoveragePerStrand = 3
+simplifyMaxLength = 10,100
+crossEdgeCoverageThreshold = 3
+
+[Assembly]
+detangleMethod = 2
+consensusCaller = Bayesian:guppy-3.6.0-a
+iterative = True
+
+""",
+    "PacBio-CCS-Dec2019": """
+[Kmers]
+k = 15
+probability = 0.02
+
+[MinHash]
+m = 12
+minBucketSize = 20
+maxBucketSize = 100
+minHashIterationCount = 25
+minFrequency = 10
+
+[ReadGraph]
+maxAlignmentCount = 20
+
+[Assembly]
+consensusCaller = Modal
+
+""",
+    "PacBio-CLR-Dec2019": """
+[Reads]
+minReadLength = 10000
+
+[ReadGraph]
+maxAlignmentCount = 20
+
+[Assembly]
+consensusCaller = Modal
+
+""",
+})
