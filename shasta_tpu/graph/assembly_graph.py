@@ -196,8 +196,50 @@ def assemble_marker_graph_edges(
 
     pos_flat = markers.positions
 
+    # Vectorized pre-pass over ALL intervals: per-interval marker
+    # offsets and mode classification, reduced per edge. The dominant
+    # mode-1 case (overlapping/adjacent markers, consensus = most
+    # frequent offset <= k) is then resolved without any per-edge
+    # Python work; only mode-2/pathological edges take the slow path.
+    n_iv = mg.interval_orid.shape[0]
+    edge_of_iv = np.repeat(
+        np.arange(n_edges, dtype=np.int64), np.diff(mg.interval_offsets)
+    )
+    iv_p0 = pos_flat[
+        moff[mg.interval_orid] + mg.interval_ord0
+    ].astype(np.int64)
+    iv_p1 = pos_flat[
+        moff[mg.interval_orid] + mg.interval_ord1
+    ].astype(np.int64)
+    iv_off = iv_p1 - iv_p0
+    iv_skip = (mg.interval_ord1 - mg.interval_ord0).astype(np.int64)
+
+    has_long = np.zeros(n_edges, dtype=bool)
+    np.logical_or.at(
+        has_long,
+        edge_of_iv,
+        (iv_skip > length_threshold_markers)
+        | (iv_off > length_threshold_bases),
+    )
+    mode1_per_edge = np.bincount(
+        edge_of_iv, weights=(iv_off <= k), minlength=n_edges
+    )
+    total_per_edge = np.bincount(edge_of_iv, minlength=n_edges)
+    is_mode1 = (~has_long) & (mode1_per_edge >= total_per_edge - mode1_per_edge)
+
+    # Mode-1 best offsets for all such edges in one histogram pass
+    # (ties -> smaller offset, like the reference's max_element).
+    sel = is_mode1[edge_of_iv] & (iv_off <= k)
+    hist = np.zeros((n_edges, k + 1), dtype=np.int32)
+    np.add.at(hist, (edge_of_iv[sel], iv_off[sel]), 1)
+    best_offset_all = np.argmax(hist, axis=1)
+
     for e in range(n_edges):
         if needed is not None and not needed[e]:
+            offsets[e + 1] = offsets[e]
+            continue
+        if is_mode1[e]:
+            overlap[e] = k - int(best_offset_all[e])
             offsets[e + 1] = offsets[e]
             continue
         orids, ord0s, ord1s = mg.edge_intervals(e)
