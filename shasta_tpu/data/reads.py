@@ -138,7 +138,11 @@ def build_read_store(
     min_read_length: int = 0,
 ) -> ReadStore:
     """Encode, filter, and RLE-compress parsed reads (vectorized)."""
-    codes = B.encode_ascii(parsed.seq_ascii)
+    codes = (
+        parsed.codes
+        if getattr(parsed, "codes", None) is not None
+        else B.encode_ascii(parsed.seq_ascii)
+    )
     offsets = parsed.offsets
     n = parsed.read_count
     raw_lengths = np.diff(offsets)

@@ -31,6 +31,9 @@ class ParsedReads:
     offsets: np.ndarray
     # Per-read metadata (remainder of the header line).
     metadata: List[str] = field(default_factory=list)
+    # Pre-encoded 2-bit codes (native parser path); when set,
+    # seq_ascii may be empty.
+    codes: np.ndarray = None
 
     @property
     def read_count(self) -> int:
@@ -138,6 +141,22 @@ def merge_parsed(parts: List[ParsedReads]) -> ParsedReads:
 
 def parse_file(path: str) -> ParsedReads:
     data = _open_maybe_gzip(path)
+    # FASTA goes through the native C++ parser when available
+    # (reference: the multithreaded C++ ReadLoader, src/ReadLoader.cpp).
+    stripped = data.lstrip()
+    if stripped.startswith(b">"):
+        from shasta_tpu import native
+
+        res = native.parse_fasta_native(data)
+        if res is not None:
+            codes, offsets, names, metadata = res
+            return ParsedReads(
+                names=names,
+                seq_ascii=np.zeros(0, np.uint8),
+                offsets=offsets,
+                metadata=metadata,
+                codes=codes,
+            )
     stem = path[:-3] if path.endswith(".gz") else path
     ext = os.path.splitext(stem)[1].lower()
     if ext in (".fastq", ".fq"):
