@@ -1,0 +1,43 @@
+"""Medium-scale pipeline benchmark: 1 Mb genome, ~25x coverage, 1%
+errors, full pipeline wall-clock on one chip.
+
+Reference measurement (2026-08, v5e single chip via tunnel, warm
+compile cache): 208 s end to end; hot stages: alignments 54 s
+(61.5k candidates at 10 kb reads), palindrome flagging 61 s
+(dominated by one-time kernel compiles for the 1024-marker shapes),
+edge consensus 24 s (noisy-edge MSA path), union-find 16 s.
+Output: 22 segments, N50 66 kb over the 1 Mb genome.
+"""
+import sys, time, json, tempfile, os
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+import numpy as np
+from tests import synth
+from shasta_tpu.data import bases as B
+from shasta_tpu.pipeline.assemble import run_assembly
+from shasta_tpu.pipeline.config import AssemblyConfig
+
+t0 = time.monotonic()
+genome = synth.random_genome(1_000_000, seed=500)
+reads = synth.sample_reads(genome, 2500, 10000, seed=501, error_rate=0.01, both_strands=True)
+tmp = tempfile.mkdtemp()
+fa = os.path.join(tmp, "r.fasta")
+synth.write_fasta(fa, reads)
+print(f"[{time.monotonic()-t0:.0f}s] reads written ({sum(len(r) for r in reads)/1e6:.0f} Mb)", flush=True)
+
+cfg = AssemblyConfig()
+cfg.reads.min_read_length = 1000
+cfg.kmers.k = 10
+cfg.kmers.probability = 0.1
+cfg.min_hash.hash_fraction = 0.02
+cfg.min_hash.min_hash_iteration_count = 8
+cfg.min_hash.min_frequency = 2
+cfg.min_hash.max_bucket_size = 60
+cfg.align.min_aligned_marker_count = 40
+cfg.align.max_skip = 60
+cfg.align.max_drift = 40
+cfg.align.max_trim = 60
+cfg.read_graph.max_alignment_count = 8
+cfg.marker_graph.min_coverage = 0
+summary = run_assembly([fa], os.path.join(tmp, "run"), cfg)
+print(json.dumps({k: v for k, v in summary.items() if k != "stageSeconds"}, indent=1), flush=True)
+print("stage seconds:", json.dumps({k: round(v,1) for k, v in summary["stageSeconds"].items()}, indent=1))

@@ -22,13 +22,33 @@ this framework re-implements.
 
 from shasta_tpu.version import __version__
 
-__all__ = ["__version__", "Assembler"]
+__all__ = [
+    "__version__",
+    "Assembler",
+    "run_assembly",
+    "AssemblyConfig",
+    "configuration_table",
+]
+
+_LAZY = {
+    "Assembler": ("shasta_tpu.pipeline.assemble", "Assembler"),
+    "run_assembly": ("shasta_tpu.pipeline.assemble", "run_assembly"),
+    "AssemblyConfig": ("shasta_tpu.pipeline.config", "AssemblyConfig"),
+    "configuration_table": (
+        "shasta_tpu.pipeline.configurations",
+        "CONFIGURATIONS",
+    ),
+}
 
 
 def __getattr__(name):
-    # Lazy import to keep `import shasta_tpu` light.
-    if name == "Assembler":
-        from shasta_tpu.pipeline.assemble import Assembler
+    # Lazy imports keep `import shasta_tpu` light (the pybind11-style
+    # top-level API surface: Assembler + config + configurations,
+    # reference: src/PythonModule.cpp:42+).
+    target = _LAZY.get(name)
+    if target is None:
+        raise AttributeError(f"module 'shasta_tpu' has no attribute {name!r}")
+    import importlib
 
-        return Assembler
-    raise AttributeError(f"module 'shasta_tpu' has no attribute {name!r}")
+    module = importlib.import_module(target[0])
+    return getattr(module, target[1])

@@ -385,8 +385,9 @@ def _metrics_from_ordinals(ord0: np.ndarray, ord1: np.ndarray) -> Tuple[int, ...
 # Host-side driver: pad, bucket, run, compact
 # ---------------------------------------------------------------------------
 
-# HBM budget for the traceback-direction slab per kernel invocation.
-_DIRS_BYTE_BUDGET = 1 << 31
+# HBM budget for the traceback-direction slab per kernel invocation
+# (jnp fallback path only; the Pallas path keeps directions in VMEM).
+_DIRS_BYTE_BUDGET = 1 << 29
 _MAX_BATCH = 1024
 
 # Batch sizes are padded up to one of these so that every kernel

@@ -48,9 +48,11 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 def _block_pairs(LA: int, W: int) -> int:
     # dirs scratch (1 byte/cell) dominates; keep headroom for the
-    # window, a/b blocks and double buffering.
+    # window, a/b blocks and double buffering. Blocks below 8 pairs
+    # violate the sublane tiling constraints of the 2D input blocks,
+    # so oversized shapes fall back to the jnp path (0 = unsupported).
     bb = _VMEM_BUDGET // max(1, 2 * LA * W)
-    for cand in (32, 16, 8, 4, 2, 1):
+    for cand in (32, 16, 8):
         if bb >= cand:
             return cand
     return 0
