@@ -307,35 +307,63 @@ def assemble_marker_graph_edges(
         rows = MSA.center_star_msa(distinct)
         width = rows[0].shape[0]
 
-        # Per-column coverage -> consensus.
-        cons_seq: List[int] = []
-        cons_rep: List[int] = []
-        # per used-interval pointer into its own sequence
-        ptr = np.zeros(len(seqs), dtype=np.int64)
-        for col in range(width):
-            col_bases = []
-            col_reps = []
-            for row_i, occ in enumerate(occ_sorted):
-                ch = rows[row_i][col]
-                for t in occ:
-                    if ch == GAP:
-                        col_bases.append(GAP)
-                        col_reps.append(0)
-                    else:
-                        col_bases.append(int(ch))
-                        col_reps.append(int(reps[t][ptr[t]]))
-            for row_i, occ in enumerate(occ_sorted):
-                if rows[row_i][col] != GAP:
-                    for t in occ:
-                        ptr[t] += 1
-            b, r = caller(np.array(col_bases), np.array(col_reps))
-            if b != GAP:
-                cons_seq.append(b)
-                cons_rep.append(max(1, r))
-        seq_rows.append(np.array(cons_seq, dtype=np.uint8))
-        rep_rows.append(np.array(cons_rep, dtype=np.int32))
+        # Vectorized column consensus: expand aligned rows and repeat
+        # counts to (n_used, width) matrices, then call per column via
+        # histogram reductions (Modal/Median) or the caller loop only
+        # for the Bayesian model.
+        n_used = len(seqs)
+        base_m = np.empty((n_used, width), np.uint8)
+        rep_m = np.zeros((n_used, width), np.int32)
+        row_of_t = np.empty(n_used, np.int64)
+        for row_i, occ in enumerate(occ_sorted):
+            for t in occ:
+                row_of_t[t] = row_i
+        for t in range(n_used):
+            arow = rows[int(row_of_t[t])]
+            base_m[t] = arow
+            nz = arow != GAP
+            rep_m[t, nz] = reps[t][: int(nz.sum())]
+
+        caller_name = getattr(caller, "name", "")
+        if caller_name in ("Modal", "Median") and width:
+            # Base histogram (5, width).
+            bh = np.zeros((5, width), np.int32)
+            cols_idx = np.tile(np.arange(width), n_used)
+            np.add.at(bh, (base_m.ravel(), cols_idx), 1)
+            cons_base = np.argmax(bh, axis=0).astype(np.uint8)
+            keep_cols = cons_base != GAP
+            # Repeat consensus among entries matching the consensus base.
+            match = base_m == cons_base[None, :]
+            max_rep = int(rep_m.max()) + 1 if rep_m.size else 1
+            rh = np.zeros((max_rep, width), np.int32)
+            np.add.at(
+                rh,
+                (np.where(match, rep_m, 0).ravel(), cols_idx),
+                match.ravel().astype(np.int32),
+            )
+            if caller_name == "Modal":
+                cons_rep_all = np.argmax(rh, axis=0)
+            else:  # Median (upper)
+                c = np.cumsum(rh, axis=0)
+                half = c[-1] // 2
+                cons_rep_all = np.argmax(c > half[None, :], axis=0)
+            cons_seq_arr = cons_base[keep_cols]
+            cons_rep_arr = np.maximum(cons_rep_all[keep_cols], 1).astype(np.int32)
+        else:
+            cons_seq_l: List[int] = []
+            cons_rep_l: List[int] = []
+            for col in range(width):
+                b, r = caller(base_m[:, col], rep_m[:, col])
+                if b != GAP:
+                    cons_seq_l.append(b)
+                    cons_rep_l.append(max(1, r))
+            cons_seq_arr = np.array(cons_seq_l, dtype=np.uint8)
+            cons_rep_arr = np.array(cons_rep_l, dtype=np.int32)
+
+        seq_rows.append(cons_seq_arr)
+        rep_rows.append(cons_rep_arr)
         overlap[e] = 0
-        offsets[e + 1] = offsets[e] + len(cons_seq)
+        offsets[e + 1] = offsets[e] + cons_seq_arr.shape[0]
 
     seq = (
         np.concatenate(seq_rows) if seq_rows else np.zeros(0, np.uint8)

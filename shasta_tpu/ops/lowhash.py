@@ -127,6 +127,7 @@ def find_candidates_lowhash(
     markers: MarkerStore,
     params: LowHashParams,
     is_palindromic: Optional[np.ndarray] = None,
+    stats_out: Optional[dict] = None,
 ) -> CandidatePairs:
     """Run all LowHash iterations and return frequency-filtered pairs."""
     n_or = markers.oriented_read_count
@@ -160,6 +161,37 @@ def find_candidates_lowhash(
         buckets = (hashes & mask).astype(np.uint64)
         # Bucket sizes over the FULL bucket (before the high-bits
         # collision filter), as in the reference (LowHash0.cpp:434-441).
+        if stats_out is not None:
+            # Bucket-size histogram + per-read sparse/good/crowded
+            # counts (reference: LowHashBucketHistogram.csv at
+            # LowHash0.cpp:57 and readLowHashStatistics).
+            _, bucket_sizes = np.unique(buckets, return_counts=True)
+            bh = np.bincount(bucket_sizes)
+            hist = stats_out.setdefault("bucket_histogram", np.zeros(0, np.int64))
+            if hist.shape[0] < bh.shape[0]:
+                hist = np.concatenate(
+                    [hist, np.zeros(bh.shape[0] - hist.shape[0], np.int64)]
+                )
+            hist[: bh.shape[0]] += bh
+            stats_out["bucket_histogram"] = hist
+            order0 = np.argsort(buckets, kind="stable")
+            bs = buckets[order0]
+            new_flag = np.empty(bs.shape[0], bool)
+            new_flag[0] = True
+            np.not_equal(bs[1:], bs[:-1], out=new_flag[1:])
+            gid0 = np.cumsum(new_flag) - 1
+            size_of_entry = np.bincount(gid0)[gid0]
+            o_sorted0 = orids[order0]
+            read_stats = stats_out.setdefault(
+                "read_stats", np.zeros((markers.oriented_read_count, 3), np.int64)
+            )
+            lo_b = max(2, params.min_bucket_size)
+            sparse = size_of_entry < lo_b
+            good = (size_of_entry >= lo_b) & (size_of_entry <= params.max_bucket_size)
+            crowded = size_of_entry > params.max_bucket_size
+            np.add.at(read_stats[:, 0], o_sorted0[sparse], 1)
+            np.add.at(read_stats[:, 1], o_sorted0[good], 1)
+            np.add.at(read_stats[:, 2], o_sorted0[crowded], 1)
         order = np.argsort(buckets, kind="stable")
         b_sorted = buckets[order]
         o_sorted = orids[order]

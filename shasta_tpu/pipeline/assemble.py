@@ -173,9 +173,28 @@ class Assembler:
                 max_bucket_size=cm.max_bucket_size,
                 min_frequency=cm.min_frequency,
             )
+            lh_stats: Dict = {}
             self.candidates = LH.find_candidates_lowhash(
-                self.markers, params, self.reads.is_palindromic
+                self.markers, params, self.reads.is_palindromic, lh_stats
             )
+            if "bucket_histogram" in lh_stats:
+                with open(
+                    os.path.join(self.run_dir, "LowHashBucketHistogram.csv"), "w"
+                ) as f:
+                    f.write("BucketSize,Frequency\n")
+                    for sz, n in enumerate(lh_stats["bucket_histogram"]):
+                        if n:
+                            f.write(f"{sz},{n}\n")
+                rs = lh_stats["read_stats"]
+                with open(
+                    os.path.join(self.run_dir, "ReadLowHashStatistics.csv"), "w"
+                ) as f:
+                    f.write("ReadId,Strand,Sparse,Good,Crowded\n")
+                    for orid in range(rs.shape[0]):
+                        f.write(
+                            f"{orid >> 1},{orid & 1},{rs[orid,0]},"
+                            f"{rs[orid,1]},{rs[orid,2]}\n"
+                        )
             delta = self.config.align.same_channel_read_alignment_suppress_delta_threshold
             if delta > 0:
                 before = self.candidates.count
