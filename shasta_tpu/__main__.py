@@ -131,6 +131,13 @@ def _apply_overrides(config, overrides):
         if "=" in key:
             key, value = key.split("=", 1)
             i += 1
+        elif config.is_bool(section, key) and (
+            i + 1 >= len(overrides) or overrides[i + 1].startswith("--")
+        ):
+            # Boolean switch with no value (reference: bool_switch
+            # options like --ReadGraph.removeConflicts).
+            value = "true"
+            i += 1
         else:
             if i + 1 >= len(overrides):
                 raise SystemExit(f"Missing value for {tok!r}")

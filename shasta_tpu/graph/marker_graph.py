@@ -94,10 +94,10 @@ def gather_unite_pairs(
     moff = markers.offsets
     counts = np.diff(moff)
 
-    # Direct edges only (even index), skipping cross-strand edges and
-    # chimeric reads.
+    # Direct edges only (even index), skipping cross-strand edges,
+    # inconsistent-alignment edges, and chimeric reads.
     direct = np.arange(0, graph.edge_count, 2, dtype=np.int64)
-    ok = ~graph.crosses_strands[direct]
+    ok = ~graph.crosses_strands[direct] & ~graph.inconsistent[direct]
     aids = graph.alignment_id[direct]
     r0 = alignments.read_id0[aids]
     r1 = alignments.read_id1[aids]

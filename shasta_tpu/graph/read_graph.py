@@ -44,10 +44,15 @@ class ReadGraph:
     # CSR adjacency: edge ids incident to each oriented read.
     adj_offsets: np.ndarray = None  # int64 [n_or+1]
     adj_edges: np.ndarray = None  # int64 [total incidences]
+    # hasInconsistentAlignment flag (reference: ReadGraph.hpp:36-56);
+    # set by flag_inconsistent_alignments.
+    inconsistent: np.ndarray = None  # bool [n_edges]
 
     def __post_init__(self):
         if self.adj_offsets is None:
             self._build_adjacency()
+        if self.inconsistent is None:
+            self.inconsistent = np.zeros(self.edge_count, dtype=bool)
 
     def _build_adjacency(self) -> None:
         n_or = self.n_oriented_reads
@@ -79,16 +84,19 @@ class ReadGraph:
             "alignment_id": self.alignment_id,
             "crosses_strands": self.crosses_strands,
             "n_oriented_reads": np.int64(self.n_oriented_reads),
+            "inconsistent": self.inconsistent,
         }
 
     @classmethod
     def from_arrays(cls, a) -> "ReadGraph":
+        inc = a["inconsistent"].copy() if "inconsistent" in a else None
         return cls(
             orid0=a["orid0"],
             orid1=a["orid1"],
             alignment_id=a["alignment_id"],
             crosses_strands=a["crosses_strands"].copy(),
             n_oriented_reads=int(a["n_oriented_reads"]),
+            inconsistent=inc,
         )
 
 
@@ -507,3 +515,359 @@ def connected_components(graph: ReadGraph) -> np.ndarray:
         if np.array_equal(new, label):
             return label
         label = new
+
+
+# ---------------------------------------------------------------------------
+# Strand separation method 1 (local strand-jump regions)
+# ---------------------------------------------------------------------------
+
+
+def _shortest_path_exists(graph: ReadGraph, start: int, goal: int, max_distance: int) -> bool:
+    """BFS: is there a path of <= max_distance edges from start to goal?
+    (reference: ReadGraph::computeShortPath, src/ReadGraph.cpp)."""
+    adj_off, adj_e = graph.adj_offsets, graph.adj_edges
+    orid0, orid1 = graph.orid0, graph.orid1
+    seen = {start}
+    frontier = [start]
+    for _ in range(max_distance):
+        nxt = []
+        for v0 in frontier:
+            for ei in adj_e[adj_off[v0] : adj_off[v0 + 1]]:
+                v1 = int(orid1[ei]) if orid0[ei] == v0 else int(orid0[ei])
+                if v1 == goal:
+                    return True
+                if v1 not in seen:
+                    seen.add(v1)
+                    nxt.append(v1)
+        frontier = nxt
+        if not frontier:
+            break
+    return False
+
+
+def flag_cross_strand_edges1(
+    graph: ReadGraph,
+    alignments: AlignmentStore,
+    n_reads: int,
+    max_distance: int = 6,
+) -> int:
+    """Strand separation method 1 (reference:
+    flagCrossStrandReadGraphEdges1, src/AssemblerReadGraph.cpp:775-1011).
+
+    1. A vertex is "near a strand jump" if its reverse complement is
+       reachable within ``max_distance`` edges.
+    2. Connected components of the subgraph induced by such vertices
+       are strand-jump regions.
+    3. Within each region, RC edge pairs are processed in decreasing
+       aligned-marker order over a local union-find that tracks each
+       vertex and its reverse complement; an edge whose addition would
+       make a vertex reachable from its own reverse complement is
+       flagged cross-strand and withheld.
+
+    Clears and then sets graph.crosses_strands; returns flagged count.
+    """
+    graph.crosses_strands[:] = False
+    if max_distance == 0:
+        return 0
+    n_or = graph.n_oriented_reads
+
+    near = np.zeros(n_or, dtype=bool)
+    for read_id in range(n_reads):
+        v0, v1 = 2 * read_id, 2 * read_id + 1
+        if _shortest_path_exists(graph, v0, v1, max_distance):
+            near[v0] = near[v1] = True
+
+    if not near.any():
+        return 0
+
+    # Components of the near-strand-jump subgraph.
+    both = near[graph.orid0] & near[graph.orid1]
+    label = np.arange(n_or, dtype=np.int64)
+    a, b = graph.orid0[both], graph.orid1[both]
+    while True:
+        m = np.minimum(label[a], label[b])
+        new = label.copy()
+        np.minimum.at(new, a, m)
+        np.minimum.at(new, b, m)
+        new = new[new]
+        if np.array_equal(new, label):
+            break
+        label = new
+
+    flagged = 0
+    roots = np.unique(label[near])
+    for root in roots:
+        vertices = np.flatnonzero(near & (label == root))
+        # Close the region under reverse complement (the reference
+        # asserts self-complementarity; we enforce it).
+        vertices = np.unique(np.concatenate([vertices, vertices ^ 1]))
+        if vertices.shape[0] < 2:
+            continue
+        vmap = {int(v): i for i, v in enumerate(vertices)}
+
+        # Gather direct edges inside the region (the even edge of each
+        # RC pair), with their marker counts.
+        region_edges = []
+        for v0 in vertices:
+            lo, hi = graph.adj_offsets[v0], graph.adj_offsets[v0 + 1]
+            for ei in graph.adj_edges[lo:hi]:
+                ei = int(ei)
+                if ei % 2:
+                    continue
+                if graph.orid0[ei] != v0:
+                    continue  # count each edge once
+                other = int(graph.orid1[ei])
+                if other not in vmap:
+                    continue
+                # Both mirror endpoints must be inside too (RC closure
+                # of the region makes this automatic).
+                region_edges.append(ei)
+        if not region_edges:
+            continue
+        region_edges = np.asarray(region_edges, dtype=np.int64)
+        mc = alignments.marker_count[graph.alignment_id[region_edges]]
+        order = np.lexsort((region_edges, -mc.astype(np.int64)))
+
+        dsu = _DSU(vertices.shape[0])
+        for e in region_edges[order]:
+            for ei in (int(e), int(e) + 1):
+                p, q = int(graph.orid0[ei]), int(graph.orid1[ei])
+                i0, i1 = vmap.get(p), vmap.get(q)
+                if i0 is None or i1 is None:
+                    continue  # mirror endpoint outside the region
+                i0rc, i1rc = vmap[p ^ 1], vmap[q ^ 1]
+                c0, c1 = dsu.find(i0), dsu.find(i1)
+                c0rc, c1rc = dsu.find(i0rc), dsu.find(i1rc)
+                if c0 == c1rc or c1 == c0rc:
+                    graph.crosses_strands[ei] = True
+                    flagged += 1
+                else:
+                    dsu.union(i0, i1)
+                    dsu.union(i0rc, i1rc)
+    return flagged
+
+
+# ---------------------------------------------------------------------------
+# Inconsistent-alignment flagging (triangle + least-squares analysis)
+# ---------------------------------------------------------------------------
+
+
+def edge_average_offsets(graph: ReadGraph, alignments: AlignmentStore) -> np.ndarray:
+    """Per-edge average ordinal offset, oriented with the lowest
+    oriented read first (reference: AlignmentInfo.averageOrdinalOffset
+    used at src/AssemblerReadGraph.cpp:1888-1914).
+
+    For edge endpoints (u, v) with u < v this is the mean of
+    (ordinal_u - ordinal_v) over the alignment's matched marker pairs.
+    """
+    # Per-alignment mean offset in the canonical orientation
+    # A = (read_id0, 0), B = (read_id1, same_strand ? 0 : 1).
+    n = alignments.count
+    counts = np.diff(alignments.offsets).astype(np.float64)
+    diffs = alignments.ord0.astype(np.int64) - alignments.ord1.astype(np.int64)
+    sums = np.add.reduceat(diffs, alignments.offsets[:-1], dtype=np.int64) if n else np.zeros(0, np.int64)
+    sums = np.where(counts > 0, sums, 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        avg = np.where(counts > 0, sums / np.maximum(counts, 1.0), 0.0)
+    # RC orientation (A^1, B^1): offset' = (n0 - n1) - offset.
+    avg_rc = (
+        alignments.n_markers0.astype(np.float64)
+        - alignments.n_markers1.astype(np.float64)
+        - avg
+    )
+
+    aid = graph.alignment_id
+    A = (alignments.read_id0[aid].astype(np.int64) << 1)
+    B = (alignments.read_id1[aid].astype(np.int64) << 1) + (
+        ~alignments.same_strand[aid]
+    ).astype(np.int64)
+    p, q = graph.orid0, graph.orid1
+    off = np.zeros(graph.edge_count, dtype=np.float64)
+    case_ab = (p == A) & (q == B)
+    case_ba = (p == B) & (q == A)
+    case_rc = (p == (A ^ 1)) & (q == (B ^ 1))
+    case_cr = (p == (B ^ 1)) & (q == (A ^ 1))
+    off[case_ab] = avg[aid[case_ab]]
+    off[case_ba] = -avg[aid[case_ba]]
+    off[case_rc] = avg_rc[aid[case_rc]]
+    off[case_cr] = -avg_rc[aid[case_cr]]
+    # Orient lowest-first.
+    return np.where(p <= q, off, -off)
+
+
+def _local_neighborhood(
+    graph: ReadGraph,
+    seeds,
+    max_distance: int,
+    is_chimeric: Optional[np.ndarray],
+    dead: np.ndarray,
+):
+    """Vertices within max_distance of the seeds plus the edges among
+    them, excluding chimeric reads and dead (cross-strand or
+    inconsistent) edges (reference: createLocalReadGraph,
+    src/AssemblerLocalReadGraph.cpp semantics)."""
+    orid0, orid1 = graph.orid0, graph.orid1
+    adj_off, adj_e = graph.adj_offsets, graph.adj_edges
+    verts = {int(s) for s in seeds}
+    frontier = list(verts)
+    for _ in range(max_distance):
+        nxt = []
+        for v0 in frontier:
+            for ei in adj_e[adj_off[v0] : adj_off[v0 + 1]]:
+                ei = int(ei)
+                if dead[ei]:
+                    continue
+                v1 = int(orid1[ei]) if orid0[ei] == v0 else int(orid0[ei])
+                if is_chimeric is not None and is_chimeric[v1 >> 1]:
+                    continue
+                if v1 not in verts:
+                    verts.add(v1)
+                    nxt.append(v1)
+        frontier = nxt
+        if not frontier:
+            break
+    edges = set()
+    for v0 in verts:
+        for ei in adj_e[adj_off[v0] : adj_off[v0 + 1]]:
+            ei = int(ei)
+            if dead[ei]:
+                continue
+            v1 = int(orid1[ei]) if orid0[ei] == v0 else int(orid0[ei])
+            if v1 in verts:
+                edges.add(ei & ~1)  # one id per RC pair's local instance
+                edges.add(ei)
+    return sorted(verts), sorted(edges)
+
+
+def _least_square_positions(
+    vertex_index: Dict[int, int],
+    edge_list,
+    graph: ReadGraph,
+    edge_offsets: np.ndarray,
+    sv_threshold: float = 1e-3,
+) -> np.ndarray:
+    """Min-norm least-squares vertex positions x with equations
+    x_v - x_u = -offset(u,v) for u < v (reference: leastSquareAnalysis,
+    src/AssemblerReadGraph.cpp:1544-1690; dgesvd replaced by numpy SVD
+    with the same absolute singular-value threshold)."""
+    N = len(vertex_index)
+    M = len(edge_list)
+    A = np.zeros((M, N), dtype=np.float64)
+    B = np.zeros(M, dtype=np.float64)
+    for i, ei in enumerate(edge_list):
+        u, v = int(graph.orid0[ei]), int(graph.orid1[ei])
+        if u > v:
+            u, v = v, u
+        j0, j1 = vertex_index[u], vertex_index[v]
+        A[i, j0] = -1.0
+        A[i, j1] = 1.0
+        B[i] = -edge_offsets[ei]
+    U, S, Vt = np.linalg.svd(A, full_matrices=False)
+    inv = np.where(S > sv_threshold, 1.0 / np.maximum(S, sv_threshold), 0.0)
+    return Vt.T @ (inv * (U.T @ B))
+
+
+def flag_inconsistent_alignments(
+    graph: ReadGraph,
+    alignments: AlignmentStore,
+    n_reads: int,
+    is_chimeric: Optional[np.ndarray] = None,
+    triangle_error_threshold: int = 200,
+    least_square_error_threshold: int = 200,
+    least_square_max_distance: int = 1,
+) -> int:
+    """Flag read-graph edges whose alignment offset is inconsistent
+    (reference: flagInconsistentAlignments,
+    src/AssemblerReadGraph.cpp:1826-2092, experimental
+    --ReadGraph.removeConflicts path).
+
+    For every triangle 0-1-2 (orid0 on strand 0, orid0<orid1<orid2,
+    skipping chimeric reads and cross-strand edges) whose offset
+    closure error exceeds ``triangle_error_threshold`` markers, a local
+    least-squares analysis of the neighborhood repeatedly removes the
+    edge with the worst residual (and its reverse complement) until all
+    residuals are below ``least_square_error_threshold``.
+
+    Sets graph.inconsistent in place; returns the flagged edge count.
+    """
+    offsets = edge_average_offsets(graph, alignments)
+    adj_off, adj_e = graph.adj_offsets, graph.adj_edges
+    orid0, orid1 = graph.orid0, graph.orid1
+
+    def other(ei, v):
+        return int(orid1[ei]) if orid0[ei] == v else int(orid0[ei])
+
+    def oriented(ei, u):
+        """Offset from u to the other endpoint."""
+        v = other(ei, u)
+        return offsets[ei] if u < v else -offsets[ei]
+
+    flagged_ids = set()
+
+    for read0 in range(n_reads):
+        if is_chimeric is not None and is_chimeric[read0]:
+            continue
+        v0 = 2 * read0
+        for e01 in adj_e[adj_off[v0] : adj_off[v0 + 1]]:
+            e01 = int(e01)
+            v1 = other(e01, v0)
+            if v1 < v0:
+                continue
+            if is_chimeric is not None and is_chimeric[v1 >> 1]:
+                continue
+            if graph.crosses_strands[e01] or graph.inconsistent[e01] or e01 in flagged_ids:
+                continue
+            off01 = oriented(e01, v0)
+            for e12 in adj_e[adj_off[v1] : adj_off[v1 + 1]]:
+                e12 = int(e12)
+                v2 = other(e12, v1)
+                if v2 < v1:
+                    continue
+                if is_chimeric is not None and is_chimeric[v2 >> 1]:
+                    continue
+                if graph.crosses_strands[e12] or graph.inconsistent[e12] or e12 in flagged_ids:
+                    continue
+                off12 = oriented(e12, v1)
+                for e20 in adj_e[adj_off[v2] : adj_off[v2 + 1]]:
+                    e20 = int(e20)
+                    if graph.crosses_strands[e20] or graph.inconsistent[e20] or e20 in flagged_ids:
+                        continue
+                    if other(e20, v2) != v0:
+                        continue
+                    err = off01 + off12 + oriented(e20, v2)
+                    if abs(err) < triangle_error_threshold:
+                        continue
+
+                    # Least-squares cleanup of the local neighborhood.
+                    dead = graph.crosses_strands | graph.inconsistent
+                    for fe in flagged_ids:
+                        dead[fe] = True
+                    verts, edges = _local_neighborhood(
+                        graph, (v0, v1, v2), least_square_max_distance,
+                        is_chimeric, dead,
+                    )
+                    edges = [e for e in edges if not dead[e]]
+                    if not edges:
+                        continue
+                    vindex = {v: i for i, v in enumerate(verts)}
+                    while edges:
+                        x = _least_square_positions(vindex, edges, graph, offsets)
+                        worst, worst_res = None, -1.0
+                        for ei in edges:
+                            u, w = int(orid0[ei]), int(orid1[ei])
+                            if u > w:
+                                u, w = w, u
+                            res = abs(
+                                (x[vindex[w]] - x[vindex[u]]) + offsets[ei]
+                            )
+                            if res > worst_res:
+                                worst, worst_res = ei, res
+                        if worst_res < least_square_error_threshold:
+                            break
+                        flagged_ids.add(worst)
+                        flagged_ids.add(worst ^ 1)
+                        edges = [e for e in edges if e != worst and e != (worst ^ 1)]
+
+    for ei in flagged_ids:
+        graph.inconsistent[ei] = True
+    return len(flagged_ids)

@@ -271,7 +271,16 @@ class Assembler:
                 self.reads.read_count,
                 max_distance=cr.max_chimeric_read_distance,
             )
-        if cr.strand_separation_method == 2:
+        if cr.strand_separation_method == 1:
+            with self.log.stage("flagCrossStrandReadGraphEdges1"):
+                flagged = RG.flag_cross_strand_edges1(
+                    self.read_graph,
+                    self.alignments,
+                    self.reads.read_count,
+                    max_distance=cr.cross_strand_max_distance,
+                )
+                self.log.line(f"Flagged {flagged} cross-strand edges.")
+        elif cr.strand_separation_method == 2:
             with self.log.stage("flagCrossStrandReadGraphEdges2"):
                 flagged = RG.flag_cross_strand_edges2(
                     self.read_graph,
@@ -280,6 +289,21 @@ class Assembler:
                     self.reads.is_chimeric,
                 )
                 self.log.line(f"Flagged {flagged} cross-strand edges.")
+        if cr.remove_conflicts:
+            with self.log.stage("flagInconsistentAlignments"):
+                n_bad = RG.flag_inconsistent_alignments(
+                    self.read_graph,
+                    self.alignments,
+                    self.reads.read_count,
+                    self.reads.is_chimeric,
+                    cr.flag_inconsistent_alignments_triangle_error_threshold,
+                    cr.flag_inconsistent_alignments_least_square_error_threshold,
+                    cr.flag_inconsistent_alignments_least_square_max_distance,
+                )
+                self.log.line(f"Flagged {n_bad} inconsistent read graph edges.")
+        if cr.strand_separation_method or cr.remove_conflicts:
+            # Persist the edge flags set above.
+            self.store.save_stage("ReadGraph", self.read_graph.arrays())
 
     def create_marker_graph_vertices(self) -> None:
         cm = self.config.marker_graph

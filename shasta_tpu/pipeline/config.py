@@ -62,6 +62,11 @@ class ReadGraphOptions:
     max_alignment_count: int = 6
     max_chimeric_read_distance: int = 2
     strand_separation_method: int = 0
+    cross_strand_max_distance: int = 6
+    remove_conflicts: bool = False
+    flag_inconsistent_alignments_triangle_error_threshold: int = 200
+    flag_inconsistent_alignments_least_square_error_threshold: int = 200
+    flag_inconsistent_alignments_least_square_max_distance: int = 1
 
 
 @dataclass
@@ -125,6 +130,16 @@ class AssemblyConfig:
         for section, attr in self._SECTION_MAP.items():
             out[section] = dataclasses.asdict(getattr(self, attr))
         return out
+
+    def is_bool(self, section: str, key: str) -> bool:
+        """True if Section.key is a boolean switch (may be passed on the
+        command line with no value, like the reference's bool_switch)."""
+        attr = self._SECTION_MAP.get(section)
+        if attr is None:
+            return False
+        obj = getattr(self, attr)
+        pykey = _to_snake(key)
+        return hasattr(obj, pykey) and isinstance(getattr(obj, pykey), bool)
 
     def set(self, section: str, key: str, value: str) -> None:
         """Apply one ``Section.key=value`` override (string value is

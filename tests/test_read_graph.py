@@ -101,3 +101,106 @@ def test_connected_components():
     assert label[0] == label[2]  # (0,0) with (1,0)
     assert label[4] != label[0]  # (2,0) in its own component
     assert label[8] == 8  # isolated read 4
+
+
+def make_alignments_with_offsets(rows):
+    """rows: list of (r0, r1, same_strand, marker_count, avg_offset).
+
+    Ordinal pairs are synthesized so that mean(ord0 - ord1) equals
+    avg_offset exactly.
+    """
+    n = len(rows)
+    z = np.zeros(n, np.int32)
+    ord0, ord1, offs = [], [], [0]
+    for _, _, _, mc, d in rows:
+        o1 = np.arange(10, dtype=np.uint32)
+        ord1.append(o1)
+        ord0.append((o1.astype(np.int64) + d).astype(np.uint32))
+        offs.append(offs[-1] + 10)
+    return AlignmentStore(
+        read_id0=np.array([r[0] for r in rows], np.int32),
+        read_id1=np.array([r[1] for r in rows], np.int32),
+        same_strand=np.array([r[2] for r in rows], bool),
+        marker_count=np.array([r[3] for r in rows], np.int32),
+        n_markers0=z + 1000,
+        n_markers1=z + 1000,
+        first0=z,
+        last0=z + 999,
+        first1=z,
+        last1=z + 999,
+        min_offset=z,
+        max_offset=z,
+        max_skip_v=z,
+        max_drift_v=z,
+        ord0=np.concatenate(ord0) if n else np.zeros(0, np.uint32),
+        ord1=np.concatenate(ord1) if n else np.zeros(0, np.uint32),
+        offsets=np.array(offs, np.int64),
+    )
+
+
+def test_flag_cross_strand_edges1():
+    # Two alignments between reads 0 and 1 with conflicting relative
+    # strands: one same-strand, one opposite-strand. Their union links
+    # (0,0) to (0,1) within 2 edges -> a strand-jump region; the
+    # weaker alignment must be flagged cross-strand.
+    al = make_alignments([(0, 1, True, 50), (0, 1, False, 40), (1, 2, True, 60)])
+    g = RG.build_read_graph(al, 3, np.ones(3, bool))
+    flagged = RG.flag_cross_strand_edges1(g, al, 3, max_distance=3)
+    assert flagged == 2
+    # The flagged pair is the weaker (opposite-strand) alignment.
+    assert set(g.alignment_id[g.crosses_strands]) == {1}
+    # The stronger alignments survive.
+    assert not g.crosses_strands[0] and not g.crosses_strands[1]
+
+    # max_distance=0 clears and flags nothing.
+    assert RG.flag_cross_strand_edges1(g, al, 3, max_distance=0) == 0
+    assert not g.crosses_strands.any()
+
+
+def test_flag_cross_strand_edges1_no_jump():
+    # A clean same-strand chain has no strand-jump regions.
+    al = make_alignments([(0, 1, True, 50), (1, 2, True, 60)])
+    g = RG.build_read_graph(al, 3, np.ones(2, bool))
+    assert RG.flag_cross_strand_edges1(g, al, 3, max_distance=6) == 0
+
+
+def test_edge_average_offsets_orientation():
+    al = make_alignments_with_offsets([(0, 1, True, 10, 25)])
+    g = RG.build_read_graph(al, 2, np.ones(1, bool))
+    off = RG.edge_average_offsets(g, al)
+    # Direct edge (0, 2): offset +25 from orid 0 to orid 2.
+    assert off[0] == 25.0
+    # RC edge (1, 3): ordinals reflect, n0 == n1 -> offset -25.
+    assert off[1] == -25.0
+
+
+def test_flag_inconsistent_alignments_triangle():
+    # Triangle 0-1-2 with offsets 10, 10 and a wildly wrong 700 on the
+    # closing 0-2 alignment: closure error 680 >= 200 triggers the
+    # least-squares pass, which flags the worst-residual edge pair.
+    al = make_alignments_with_offsets(
+        [(0, 1, True, 50, 10), (1, 2, True, 50, 10), (0, 2, True, 50, 700)]
+    )
+    g = RG.build_read_graph(al, 3, np.ones(3, bool))
+    n_flagged = RG.flag_inconsistent_alignments(
+        g, al, 3,
+        triangle_error_threshold=200,
+        least_square_error_threshold=200,
+        least_square_max_distance=1,
+    )
+    assert n_flagged == 2
+    assert g.inconsistent.sum() == 2
+    # Exactly one alignment's RC edge pair is flagged, and the two
+    # flagged edges are mates.
+    bad = np.flatnonzero(g.inconsistent)
+    assert bad[1] == (bad[0] ^ 1)
+
+
+def test_flag_inconsistent_alignments_consistent_triangle():
+    # Consistent offsets: closure error 0, nothing flagged.
+    al = make_alignments_with_offsets(
+        [(0, 1, True, 50, 10), (1, 2, True, 50, 10), (0, 2, True, 50, 20)]
+    )
+    g = RG.build_read_graph(al, 3, np.ones(3, bool))
+    assert RG.flag_inconsistent_alignments(g, al, 3) == 0
+    assert not g.inconsistent.any()
