@@ -86,7 +86,8 @@ def compute_feature_hashes(
     seed: int,
     exclude: Optional[np.ndarray] = None,
     chunk: int = 1 << 23,
-) -> Tuple[np.ndarray, np.ndarray]:
+    return_ordinals: bool = False,
+):
     """Hash every feature (m consecutive markers) of every oriented read.
 
     Returns (orid int64[n_feat], hash uint64[n_feat]) for all valid
@@ -100,6 +101,12 @@ def compute_feature_hashes(
 
     n_pos = kmer_ids.shape[0] - m + 1
     if n_pos <= 0:
+        if return_ordinals:
+            return (
+                np.zeros(0, np.int64),
+                np.zeros(0, np.uint64),
+                np.zeros(0, np.int64),
+            )
         return np.zeros(0, np.int64), np.zeros(0, np.uint64)
 
     orid_of_p = np.repeat(np.arange(n_or, dtype=np.int64), counts)[:n_pos]
@@ -120,6 +127,8 @@ def compute_feature_hashes(
         for j in range(m):
             fb[:, j] = kmer_ids[block + j]
         hashes[lo:hi] = hashing.murmur64_features(fb, seed)
+    if return_ordinals:
+        return orids, hashes, ord_in_read[sel]
     return orids, hashes
 
 
@@ -371,3 +380,236 @@ def _pairs_within_groups(
         | same
     )
     return keys[keep]
+
+
+# ---------------------------------------------------------------------------
+# LowHash1: the newer implementation that also records, for every
+# candidate pair, the marker ordinals of each common low-hash feature
+# (reference: src/LowHash1.{hpp,cpp}, findAlignmentCandidatesLowHash1
+# at src/AssemblerLowHash.cpp:137).
+# ---------------------------------------------------------------------------
+
+
+def _pair_indices_within_groups(group_sizes: np.ndarray):
+    """(i, j, group) index triples for all unordered entry pairs within
+    each group (triangular enumeration, same scheme as
+    _pairs_within_groups)."""
+    g = group_sizes
+    n_pairs_per_group = (g * (g - 1)) // 2
+    total = int(n_pairs_per_group.sum())
+    if total == 0:
+        return None
+    group_starts = np.concatenate(([0], np.cumsum(g)))[:-1]
+    pg_offsets = np.concatenate(([0], np.cumsum(n_pairs_per_group)))
+    pair_gid = np.repeat(np.arange(g.shape[0]), n_pairs_per_group)
+    t = np.arange(total, dtype=np.int64) - pg_offsets[pair_gid]
+    gg = g[pair_gid].astype(np.float64)
+    i = np.floor(((2 * gg - 1) - np.sqrt((2 * gg - 1) ** 2 - 8 * t)) / 2).astype(
+        np.int64
+    )
+    base = i * (2 * g[pair_gid] - i - 1) // 2
+    over = base > t
+    i[over] -= 1
+    base = i * (2 * g[pair_gid] - i - 1) // 2
+    j = t - base + i + 1
+    return group_starts[pair_gid] + i, group_starts[pair_gid] + j
+
+
+@dataclass
+class CandidatePairsWithOrdinals:
+    """LowHash1 output: candidates plus, per candidate, the CSR list of
+    (ordinal0, ordinal1) common features, ordinals expressed on
+    (read_id0, 0) / (read_id1, same_strand ? 0 : 1)
+    (reference: AlignmentCandidates.hpp:33)."""
+
+    pairs: CandidatePairs
+    feature_ord0: np.ndarray  # uint32 flat
+    feature_ord1: np.ndarray  # uint32 flat
+    feature_offsets: np.ndarray  # int64 [count+1]
+
+    def features(self, i: int):
+        lo, hi = self.feature_offsets[i], self.feature_offsets[i + 1]
+        return self.feature_ord0[lo:hi], self.feature_ord1[lo:hi]
+
+
+def find_candidates_lowhash1(
+    markers: MarkerStore,
+    params: LowHashParams,
+    is_palindromic: Optional[np.ndarray] = None,
+) -> CandidatePairsWithOrdinals:
+    """LowHash1 (reference: src/LowHash1.cpp:100-533). Differences from
+    LowHash0 reproduced exactly:
+
+    - the bucket filter applies to the full bucket size with no
+      high-bits sub-grouping; instead, a pair survives only if the two
+      features' m k-mer ids are identical (exact collision check,
+      LowHash1.cpp:414-417);
+    - common features are recorded with their ordinals, normalized so
+      read_id0 is on strand 0 (ordinals reflected when the lower read
+      was found on strand 1, LowHash1.cpp:421-436);
+    - pair frequency counts *unique* (readId1, sameStrand, ordinals)
+      features after deduplication across all iterations
+      (LowHash1.cpp:processCommonFeatures), not raw hits.
+    """
+    total_markers = markers.total_count
+    log2_buckets = params.log2_bucket_count
+    if log2_buckets == 0:
+        log2_buckets = _auto_log2_bucket_count(total_markers, params.hash_fraction)
+    mask = np.uint64((1 << log2_buckets) - 1)
+    hash_threshold = np.uint64(
+        min(int(params.hash_fraction * float(2**64)), 2**64 - 1)
+    )
+    exclude = None
+    if is_palindromic is not None:
+        exclude = np.repeat(is_palindromic, 2)
+    min_bucket = max(2, params.min_bucket_size)
+    max_bucket = params.max_bucket_size
+
+    koff = markers.offsets
+    kmer_flat = markers.kmer_ids
+    marker_counts = np.diff(koff)
+    m = params.m
+
+    feat_r0, feat_r1, feat_ss, feat_o0, feat_o1 = [], [], [], [], []
+
+    for it in range(params.iteration_count):
+        orids, hashes, ords = compute_feature_hashes(
+            markers, m, it * 37, exclude, return_ordinals=True
+        )
+        low = hashes < hash_threshold
+        orids, hashes, ords = orids[low], hashes[low], ords[low]
+        if orids.shape[0] == 0:
+            continue
+
+        buckets = (hashes & mask).astype(np.uint64)
+        order = np.argsort(buckets, kind="stable")
+        b_sorted = buckets[order]
+        o_sorted = orids[order]
+        ord_sorted = ords[order]
+
+        is_new = np.empty(b_sorted.shape[0], dtype=bool)
+        is_new[0] = True
+        np.not_equal(b_sorted[1:], b_sorted[:-1], out=is_new[1:])
+        gid = np.cumsum(is_new) - 1
+        gsizes = np.bincount(gid)
+        entry_sz = gsizes[gid]
+        usable = (entry_sz >= min_bucket) & (entry_sz <= max_bucket)
+        if not usable.any():
+            continue
+        uo = o_sorted[usable]
+        uord = ord_sorted[usable]
+        ukey = b_sorted[usable]
+        # Re-group after filtering.
+        is_new2 = np.empty(ukey.shape[0], dtype=bool)
+        is_new2[0] = True
+        np.not_equal(ukey[1:], ukey[:-1], out=is_new2[1:])
+        gid2 = np.cumsum(is_new2) - 1
+        gsz2 = np.bincount(gid2)
+
+        idx = _pair_indices_within_groups(gsz2)
+        if idx is None:
+            continue
+        ia, ib = idx
+        oa, ob = uo[ia], uo[ib]
+        ra, rb = oa >> 1, ob >> 1
+        keep = ra != rb
+        if not keep.any():
+            continue
+        oa, ob, ra, rb = oa[keep], ob[keep], ra[keep], rb[keep]
+        da, db = uord[ia[keep]], uord[ib[keep]]
+
+        # Exact feature equality check (not just hash equality).
+        pos_a = koff[oa] + da
+        pos_b = koff[ob] + db
+        same_feature = np.ones(pos_a.shape[0], dtype=bool)
+        for jj in range(m):
+            same_feature &= kmer_flat[pos_a + jj] == kmer_flat[pos_b + jj]
+        if not same_feature.any():
+            continue
+        oa, ob, ra, rb = (
+            oa[same_feature], ob[same_feature], ra[same_feature], rb[same_feature]
+        )
+        da, db = da[same_feature], db[same_feature]
+
+        # Put the lower read first.
+        swap = ra > rb
+        oa2 = np.where(swap, ob, oa)
+        ob2 = np.where(swap, oa, ob)
+        da2 = np.where(swap, db, da)
+        db2 = np.where(swap, da, db)
+        r0 = np.where(swap, rb, ra)
+        r1 = np.where(swap, ra, rb)
+        s0 = oa2 & 1
+        s1 = ob2 & 1
+        same = s0 == s1
+        # If read0 was found on strand 1, reflect both ordinals
+        # (reference: LowHash1.cpp:428-436).
+        flip = s0 == 1
+        c0 = marker_counts[oa2]
+        c1 = marker_counts[ob2]
+        d0 = np.where(flip, c0 - 1 - da2, da2)
+        d1 = np.where(flip, c1 - 1 - db2, db2)
+
+        feat_r0.append(r0)
+        feat_r1.append(r1)
+        feat_ss.append(same)
+        feat_o0.append(d0)
+        feat_o1.append(d1)
+
+    empty = CandidatePairsWithOrdinals(
+        pairs=CandidatePairs(
+            read_id0=np.zeros(0, np.int32),
+            read_id1=np.zeros(0, np.int32),
+            same_strand=np.zeros(0, bool),
+            frequency=np.zeros(0, np.int32),
+        ),
+        feature_ord0=np.zeros(0, np.uint32),
+        feature_ord1=np.zeros(0, np.uint32),
+        feature_offsets=np.zeros(1, np.int64),
+    )
+    if not feat_r0:
+        return empty
+
+    r0 = np.concatenate(feat_r0)
+    r1 = np.concatenate(feat_r1)
+    ss = np.concatenate(feat_ss)
+    o0 = np.concatenate(feat_o0)
+    o1 = np.concatenate(feat_o1)
+
+    # Deduplicate features and group by (r0, r1, sameStrand); sort by
+    # ordinals within a group (reference sort order: readId1,
+    # isSameStrand, ordinals).
+    rows = np.stack(
+        [r0, r1, ss.astype(np.int64), o0.astype(np.int64), o1.astype(np.int64)],
+        axis=1,
+    )
+    rows = np.unique(rows, axis=0)
+    if rows.shape[0] == 0:
+        return empty
+    # np.unique(axis=0) sorts lexicographically by columns, which is
+    # exactly (r0, r1, ss, o0, o1) order.
+    key_change = np.empty(rows.shape[0], dtype=bool)
+    key_change[0] = True
+    key_change[1:] = np.any(rows[1:, :3] != rows[:-1, :3], axis=1)
+    pair_gid = np.cumsum(key_change) - 1
+    pair_sizes = np.bincount(pair_gid)
+    keep_pair = pair_sizes >= params.min_frequency
+    if not keep_pair.any():
+        return empty
+
+    keep_row = keep_pair[pair_gid]
+    rows = rows[keep_row]
+    sizes = pair_sizes[keep_pair]
+    starts = np.concatenate(([0], np.cumsum(sizes)))
+    heads = rows[starts[:-1]]
+    return CandidatePairsWithOrdinals(
+        pairs=CandidatePairs(
+            read_id0=heads[:, 0].astype(np.int32),
+            read_id1=heads[:, 1].astype(np.int32),
+            same_strand=heads[:, 2].astype(bool),
+            frequency=sizes.astype(np.int32),
+        ),
+        feature_ord0=rows[:, 3].astype(np.uint32),
+        feature_ord1=rows[:, 4].astype(np.uint32),
+        feature_offsets=starts.astype(np.int64),
+    )

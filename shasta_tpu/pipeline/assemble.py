@@ -174,9 +174,25 @@ class Assembler:
                 min_frequency=cm.min_frequency,
             )
             lh_stats: Dict = {}
-            self.candidates = LH.find_candidates_lowhash(
-                self.markers, params, self.reads.is_palindromic, lh_stats
-            )
+            if cm.version == 1:
+                # LowHash1: records common-feature ordinals per
+                # candidate (reference: AssemblerLowHash.cpp:137).
+                with_ords = LH.find_candidates_lowhash1(
+                    self.markers, params, self.reads.is_palindromic
+                )
+                self.candidates = with_ords.pairs
+                self.store.save_stage(
+                    "CandidateFeatureOrdinals",
+                    {
+                        "ord0": with_ords.feature_ord0,
+                        "ord1": with_ords.feature_ord1,
+                        "offsets": with_ords.feature_offsets,
+                    },
+                )
+            else:
+                self.candidates = LH.find_candidates_lowhash(
+                    self.markers, params, self.reads.is_palindromic, lh_stats
+                )
             if "bucket_histogram" in lh_stats:
                 with open(
                     os.path.join(self.run_dir, "LowHashBucketHistogram.csv"), "w"

@@ -30,6 +30,7 @@ class KmersOptions:
 
 @dataclass
 class MinHashOptions:
+    version: int = 0
     m: int = 4
     hash_fraction: float = 0.01
     min_hash_iteration_count: int = 10

@@ -109,3 +109,66 @@ def test_candidates_rc_pairs():
     }
     assert (0, 1) in d and d[(0, 1)] == False  # noqa: E712
     assert (0, 2) not in d
+
+
+def test_lowhash1_candidates_and_ordinals():
+    from shasta_tpu.ops.lowhash import find_candidates_lowhash1
+
+    genome = synth.random_genome(6000, seed=11)
+    reads = synth.sample_reads(genome, 30, 1500, seed=12, both_strands=True)
+    store = _store_from_codes(reads)
+    table = K.select_kmers_random(k=7, probability=0.2, seed=231)
+    ms = find_markers(store, table)
+
+    params = LowHashParams(max_bucket_size=40, min_frequency=2)
+    res = find_candidates_lowhash1(ms, params)
+    assert res.pairs.count > 0
+    assert res.feature_offsets.shape[0] == res.pairs.count + 1
+    assert res.feature_offsets[-1] == res.feature_ord0.shape[0]
+
+    koff = ms.offsets
+    kf = ms.kmer_ids
+    counts = np.diff(koff)
+    m = params.m
+    for i in range(res.pairs.count):
+        r0 = int(res.pairs.read_id0[i])
+        r1 = int(res.pairs.read_id1[i])
+        ss = bool(res.pairs.same_strand[i])
+        o0s, o1s = res.features(i)
+        # frequency == number of unique recorded features
+        assert res.pairs.frequency[i] == o0s.shape[0]
+        assert o0s.shape[0] >= params.min_frequency
+        # Ordinals are reflected with markerCount-1-ordinal when the
+        # feature was found with read0 on strand 1 (reference:
+        # LowHash1.cpp:428-436), so the m-long feature may not start at
+        # the stored ordinal; what always holds is that the two stored
+        # ordinals are corresponding marker positions: the single
+        # marker k-mer of (r0, 0) at ordinal0 equals that of
+        # (r1, ss ? 0 : 1) at ordinal1.
+        orid0 = 2 * r0
+        orid1 = 2 * r1 + (0 if ss else 1)
+        for o0, o1 in zip(o0s.tolist(), o1s.tolist()):
+            assert o0 < counts[orid0]
+            assert o1 < counts[orid1]
+            assert kf[koff[orid0] + o0] == kf[koff[orid1] + o1]
+
+
+def test_lowhash1_agrees_with_lowhash0_on_pairs():
+    from shasta_tpu.ops.lowhash import find_candidates_lowhash1
+
+    genome = synth.random_genome(5000, seed=21)
+    reads = synth.sample_reads(genome, 24, 1200, seed=22, both_strands=True)
+    store = _store_from_codes(reads)
+    table = K.select_kmers_random(k=7, probability=0.2, seed=231)
+    ms = find_markers(store, table)
+
+    params = LowHashParams(max_bucket_size=40, min_frequency=2)
+    p0 = find_candidates_lowhash(ms, params)
+    p1 = find_candidates_lowhash1(ms, params).pairs
+    s0 = set(zip(p0.read_id0.tolist(), p0.read_id1.tolist(), p0.same_strand.tolist()))
+    s1 = set(zip(p1.read_id0.tolist(), p1.read_id1.tolist(), p1.same_strand.tolist()))
+    # The two collision filters differ slightly (high hash bits vs
+    # exact feature equality; raw hits vs unique features), but on
+    # error-free overlapping reads the candidate sets should agree on
+    # the overwhelming majority of pairs.
+    assert len(s0 & s1) >= 0.8 * max(len(s0), len(s1))
