@@ -592,3 +592,253 @@ def prune(mg: MarkerGraph, iteration_count: int = 6) -> None:
         if not to_prune.any():
             break
         mg.pruned |= to_prune
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-marker cleanup
+# ---------------------------------------------------------------------------
+
+
+def _rebuild_from_vertex_table(markers: MarkerStore, table: np.ndarray) -> MarkerGraph:
+    """Renumber a raw vertex table (arbitrary non-negative ids, -1 for
+    no vertex) contiguously by each vertex's minimum marker id, then
+    rebuild the CSR marker lists and reverse-complement pairing
+    (reference: MarkerGraph::renumberVertexTable +
+    createVerticesFromVertexTable + findMarkerGraphReverseComplementVertices)."""
+    moff = markers.offsets
+    total = table.shape[0]
+    valid = table >= 0
+    vm = np.flatnonzero(valid)
+    ids = table[vm]
+    uniq, first_idx = np.unique(ids, return_index=True)
+    # Renumber in order of first (minimum) marker id.
+    order = np.argsort(first_idx, kind="stable")
+    new_of_uniq = np.empty(uniq.shape[0], dtype=np.int64)
+    new_of_uniq[order] = np.arange(uniq.shape[0], dtype=np.int64)
+    vertex_table = np.full(total, INVALID_VERTEX, dtype=np.int64)
+    vertex_table[vm] = new_of_uniq[np.searchsorted(uniq, ids)]
+
+    n_vertices = uniq.shape[0]
+    vt = vertex_table[vm]
+    o = np.argsort(vt, kind="stable")
+    vertex_markers = vm[o]
+    vertex_offsets = np.zeros(n_vertices + 1, dtype=np.int64)
+    np.cumsum(np.bincount(vt, minlength=n_vertices), out=vertex_offsets[1:])
+
+    counts = np.diff(moff)
+    orid_of_marker = (
+        np.searchsorted(moff, np.arange(total, dtype=np.int64), side="right") - 1
+    )
+    first_marker = (
+        vertex_markers[vertex_offsets[:-1]] if n_vertices else np.zeros(0, np.int64)
+    )
+    fm_orid = orid_of_marker[first_marker]
+    fm_ord = first_marker - moff[fm_orid]
+    rc_marker = moff[fm_orid ^ 1] + (counts[fm_orid] - 1 - fm_ord)
+    rc_vertex = vertex_table[rc_marker]
+    return MarkerGraph(
+        vertex_table=vertex_table,
+        vertex_offsets=vertex_offsets,
+        vertex_markers=vertex_markers,
+        rc_vertex=rc_vertex,
+    )
+
+
+def cleanup_duplicate_markers(
+    markers: MarkerStore,
+    mg: MarkerGraph,
+    unite_u: np.ndarray,
+    unite_v: np.ndarray,
+    min_coverage: int,
+    min_coverage_per_strand: int = 0,
+    pattern1_threshold: float = 0.5,
+    pattern1_create_new_vertices: bool = False,
+    pattern2_create_new_vertices: bool = False,
+) -> MarkerGraph:
+    """Split or trim "bad" vertices (vertices with more than one marker
+    on the same oriented read), used with
+    --MarkerGraph.allowDuplicateMarkers --MarkerGraph.cleanupDuplicateMarkers
+    (reference: Assembler::cleanupDuplicateMarkers,
+    src/AssemblerMarkerGraphCleanupDuplicateMarkers.cpp:72-550).
+
+    Pattern 1 (duplicate ratio < pattern1_threshold): remove the
+    duplicate markers; drop the whole vertex if the remainder fails the
+    coverage criteria. Pattern 2: connected components of the vertex's
+    marker connectivity graph restricted to edges between duplicate
+    markers; a component with no internal duplicates and sufficient
+    coverage becomes a new vertex (with its reverse complement);
+    anything else is dropped (or becomes singleton vertices when the
+    create flags allow). Returns a rebuilt MarkerGraph (vertices only).
+    """
+    moff = markers.offsets
+    counts = np.diff(moff)
+    total = markers.total_count
+    orid_of_marker = (
+        np.searchsorted(moff, np.arange(total, dtype=np.int64), side="right") - 1
+    )
+
+    def rc_of(m):
+        orid = orid_of_marker[m]
+        return moff[orid ^ 1] + (counts[orid] - 1 - (m - moff[orid]))
+
+    # Find bad vertices: duplicate oriented reads among a vertex's
+    # markers (marker ids are sorted within a vertex, so equal orids
+    # are adjacent).
+    vm = mg.vertex_markers
+    voff = mg.vertex_offsets
+    n_vertices = mg.vertex_count
+    orid_of_vm = orid_of_marker[vm]
+    dup_pos = np.zeros(vm.shape[0], dtype=bool)
+    if vm.shape[0] > 1:
+        same_vertex = np.zeros(vm.shape[0], dtype=bool)
+        vid_of_pos = (
+            np.searchsorted(voff, np.arange(vm.shape[0], dtype=np.int64), side="right")
+            - 1
+        )
+        same_vertex[1:] = vid_of_pos[1:] == vid_of_pos[:-1]
+        adj_dup = same_vertex & np.concatenate(
+            ([False], orid_of_vm[1:] == orid_of_vm[:-1])
+        )
+        dup_pos |= adj_dup
+        dup_pos[:-1] |= adj_dup[1:]
+    bad_vertex = np.zeros(n_vertices, dtype=bool)
+    if vm.shape[0]:
+        np.logical_or.at(bad_vertex, vid_of_pos[dup_pos], True)
+    if not bad_vertex.any():
+        return mg
+
+    # Marker connectivity edges per bad vertex: unite pairs whose
+    # endpoints live in the same bad vertex.
+    table = mg.vertex_table.copy()
+    pair_vid = table[unite_u]
+    in_bad = (pair_vid >= 0) & bad_vertex[np.maximum(pair_vid, 0)]
+    in_bad &= table[unite_v] == pair_vid
+    bu, bv, bvid = unite_u[in_bad], unite_v[in_bad], pair_vid[in_bad]
+    edge_order = np.argsort(bvid, kind="stable")
+    bu, bv, bvid = bu[edge_order], bv[edge_order], bvid[edge_order]
+    edge_starts = np.searchsorted(bvid, np.arange(n_vertices + 1))
+
+    create_singletons1 = (
+        pattern1_create_new_vertices and min_coverage <= 1
+        and min_coverage_per_strand == 0
+    )
+    create_singletons2 = (
+        pattern2_create_new_vertices and min_coverage <= 1
+        and min_coverage_per_strand == 0
+    )
+    next_id = [np.int64(n_vertices)]
+
+    def fresh():
+        v = next_id[0]
+        next_id[0] += 1
+        return v
+
+    def assign(m, value):
+        table[m] = value
+
+    stats = {"bad": 0, "pattern1": 0, "pattern2": 0}
+
+    for vid in np.flatnonzero(bad_vertex):
+        rc_vid = mg.rc_vertex[vid]
+        if rc_vid < vid:
+            continue  # handled together with its reverse complement
+        stats["bad"] += 1 if rc_vid == vid else 2
+
+        mk = vm[voff[vid] : voff[vid + 1]]
+        orids = orid_of_marker[mk]
+        strands = orids & 1
+        is_dup = np.zeros(mk.shape[0], dtype=bool)
+        adj = orids[1:] == orids[:-1]
+        is_dup[1:] |= adj
+        is_dup[:-1] |= adj
+        dup_count = int(is_dup.sum())
+        marker_count = mk.shape[0]
+
+        if dup_count / marker_count < pattern1_threshold:
+            # Pattern 1: drop (or singleton) the duplicates.
+            stats["pattern1"] += 1 if rc_vid == vid else 2
+            for m in mk[is_dup]:
+                rm = rc_of(m)
+                if create_singletons1:
+                    assign(m, fresh())
+                    if rm != m:
+                        assign(rm, fresh())
+                else:
+                    assign(m, INVALID_VERTEX)
+                    assign(rm, INVALID_VERTEX)
+            c0 = int((strands[~is_dup] == 0).sum())
+            c1 = int((strands[~is_dup] == 1).sum())
+            if not (
+                c0 >= min_coverage_per_strand
+                and c1 >= min_coverage_per_strand
+                and c0 + c1 >= min_coverage
+            ):
+                for m in mk[~is_dup]:
+                    rm = rc_of(m)
+                    assign(m, INVALID_VERTEX)
+                    assign(rm, INVALID_VERTEX)
+            continue
+
+        # Pattern 2: components over duplicate-duplicate connectivity.
+        stats["pattern2"] += 1 if rc_vid == vid else 2
+        local = {int(m): i for i, m in enumerate(mk)}
+        dsu = _P2DSU(marker_count)
+        lo, hi = edge_starts[vid], edge_starts[vid + 1]
+        dup_set = set(int(m) for m in mk[is_dup])
+        for u, v in zip(bu[lo:hi], bv[lo:hi]):
+            if int(u) in dup_set and int(v) in dup_set:
+                dsu.union(local[int(u)], local[int(v)])
+        comp_of = np.array([dsu.find(i) for i in range(marker_count)])
+        for root in np.unique(comp_of):
+            idx = np.flatnonzero(comp_of == root)
+            comp_orids = orids[idx]
+            has_dup = np.unique(comp_orids).shape[0] < comp_orids.shape[0]
+            c0 = int((comp_orids & 1 == 0).sum())
+            c1 = idx.shape[0] - c0
+            if (
+                not has_dup
+                and c0 >= min_coverage_per_strand
+                and c1 >= min_coverage_per_strand
+                and c0 + c1 >= min_coverage
+            ):
+                nv = fresh()
+                nv_rc = fresh()
+                for m in mk[idx]:
+                    rm = rc_of(m)
+                    assign(m, nv)
+                    if rm != m:
+                        assign(rm, nv_rc)
+            elif create_singletons2:
+                for m in mk[idx]:
+                    rm = rc_of(m)
+                    assign(m, fresh())
+                    if rm != m:
+                        assign(rm, fresh())
+            else:
+                for m in mk[idx]:
+                    rm = rc_of(m)
+                    assign(m, INVALID_VERTEX)
+                    assign(rm, INVALID_VERTEX)
+
+    out = _rebuild_from_vertex_table(markers, table)
+    out.cleanup_stats = stats
+    return out
+
+
+class _P2DSU:
+    __slots__ = ("parent",)
+
+    def __init__(self, n):
+        self.parent = list(range(n))
+
+    def find(self, x):
+        p = self.parent
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)

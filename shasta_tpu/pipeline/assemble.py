@@ -354,6 +354,25 @@ class Assembler:
                 min_coverage_per_strand=cm.min_coverage_per_strand,
                 allow_duplicate_markers=cm.allow_duplicate_markers,
             )
+        if cm.allow_duplicate_markers and cm.cleanup_duplicate_markers:
+            # (reference: srcMain/main.cpp:925-934)
+            with self.log.stage("cleanupDuplicateMarkers"):
+                self.marker_graph = MG.cleanup_duplicate_markers(
+                    self.markers,
+                    self.marker_graph,
+                    u,
+                    v,
+                    min_coverage=min_cov,
+                    min_coverage_per_strand=cm.min_coverage_per_strand,
+                    pattern1_threshold=cm.duplicate_markers_pattern1_threshold,
+                )
+                stats = getattr(self.marker_graph, "cleanup_stats", None)
+                if stats:
+                    self.log.line(
+                        f"Cleaned up {stats['bad']} bad vertices "
+                        f"(pattern 1: {stats['pattern1']}, "
+                        f"pattern 2: {stats['pattern2']})."
+                    )
 
     def create_marker_graph_edges(self) -> None:
         cm = self.config.marker_graph

@@ -76,6 +76,8 @@ class MarkerGraphOptions:
     max_coverage: int = 100
     min_coverage_per_strand: int = 0
     allow_duplicate_markers: bool = False
+    cleanup_duplicate_markers: bool = False
+    duplicate_markers_pattern1_threshold: float = 0.5
     # transitive reduction
     low_coverage_threshold: int = 1
     high_coverage_threshold: int = 256

@@ -195,3 +195,69 @@ def test_union_find_stress_vs_sequential():
             np.unique(oracle, return_inverse=True)[1],
         )
     )
+
+
+def test_cleanup_duplicate_markers_pattern1():
+    # 4 reads, 3 markers each. One bad vertex merges r0's markers 0 AND
+    # 1 (duplicates) with one marker each from r1, r2, r3 -> duplicate
+    # ratio 2/5 < 0.5 -> pattern 1 drops the duplicates and keeps the
+    # rest.
+    m = make_markers([[i + 1, i + 2, i + 3] for i in range(8)])
+    u = np.array([0, 1, 6, 6, 5, 4, 11, 11])
+    v = np.array([6, 6, 12, 18, 11, 11, 17, 23])
+    mg = MG.create_marker_graph_vertices(
+        m, u, v, min_coverage=2, max_coverage=100, allow_duplicate_markers=True
+    )
+    assert mg.vertex_count == 2  # the bad set and its reverse complement
+    assert np.diff(mg.vertex_offsets).tolist() == [5, 5]
+
+    out = MG.cleanup_duplicate_markers(
+        m, mg, u, v, min_coverage=2, pattern1_threshold=0.5
+    )
+    assert out.cleanup_stats == {"bad": 2, "pattern1": 2, "pattern2": 0}
+    assert out.vertex_count == 2
+    # Duplicates (markers 0, 1 and their RCs 5, 4) are unassigned.
+    for dropped in (0, 1, 4, 5):
+        assert out.vertex_table[dropped] == -1
+    # The trimmed vertex keeps r1, r2, r3 markers.
+    v0 = out.vertex_markers[out.vertex_offsets[0] : out.vertex_offsets[1]]
+    assert v0.tolist() == [6, 12, 18]
+    assert MG.check_strand_symmetry(out)
+
+
+def test_cleanup_duplicate_markers_pattern2():
+    # 3 reads. Bad vertex: r0 ordinals 0,1 + r1 ordinals 0,1 + r2 -> 4/5
+    # duplicates >= 0.5 -> pattern 2. Connectivity restricted to
+    # duplicate markers has components {0,6} and {1,7} (clean, coverage
+    # 2) and the singleton {12} (dropped).
+    m = make_markers([[i + 1, i + 2, i + 3] for i in range(6)])
+    u = np.array([0, 1, 0, 1, 5, 4, 5, 4])
+    v = np.array([6, 7, 12, 12, 11, 10, 17, 17])
+    mg = MG.create_marker_graph_vertices(
+        m, u, v, min_coverage=2, max_coverage=100, allow_duplicate_markers=True
+    )
+    assert mg.vertex_count == 2
+    assert np.diff(mg.vertex_offsets).tolist() == [5, 5]
+
+    out = MG.cleanup_duplicate_markers(
+        m, mg, u, v, min_coverage=2, pattern1_threshold=0.5
+    )
+    assert out.cleanup_stats == {"bad": 2, "pattern1": 0, "pattern2": 2}
+    # Two clean components per strand.
+    assert out.vertex_count == 4
+    sets = sorted(
+        out.vertex_markers[out.vertex_offsets[i] : out.vertex_offsets[i + 1]].tolist()
+        for i in range(4)
+    )
+    assert sets == [[0, 6], [1, 7], [4, 10], [5, 11]]
+    assert out.vertex_table[12] == -1 and out.vertex_table[17] == -1
+    assert MG.check_strand_symmetry(out)
+
+
+def test_cleanup_duplicate_markers_noop_when_clean():
+    m = make_markers([[1, 2, 3], [4, 5, 6], [1, 2, 3], [4, 5, 6]])
+    u = np.array([0, 1, 2, 9, 10, 11])
+    v = np.array([6, 7, 8, 3, 4, 5])
+    mg = MG.create_marker_graph_vertices(m, u, v, min_coverage=2, max_coverage=10)
+    out = MG.cleanup_duplicate_markers(m, mg, u, v, min_coverage=2)
+    assert out is mg
