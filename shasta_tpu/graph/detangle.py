@@ -200,20 +200,15 @@ def detangle_assembly_graph(
         # Locate the reverse complement tangle.
         rc_eid = g.edges[eid].rc
         involved = set(ins) | set(outs) | {eid}
-        if rc_eid in involved or rc_eid not in g.edges:
-            continue_colliding = True
-        else:
-            rc_t = _find_tangle(g, rc_eid)
-            rc_involved = (
-                set(rc_t[0]) | set(rc_t[1]) | {rc_eid} if rc_t else set()
-            )
-            continue_colliding = bool(involved & rc_involved) or rc_t is None
-        if continue_colliding:
-            # Colliding / asymmetric complementary pair: leave this
-            # tangle alone (simplification, see module docstring).
+        if rc_eid == eid or rc_eid not in g.edges:
+            # Self-complementary tangle edge: leave it alone
+            # (the reference marks these unsolvable).
             skip.add(eid)
             continue
-
+        rc_t = _find_tangle(g, rc_eid)
+        if rc_t is None:
+            skip.add(eid)
+            continue
         rc_sol = _solve_tangle(
             g,
             rc_t[0],
@@ -222,6 +217,27 @@ def detangle_assembly_graph(
             off_diagonal_read_count_max,
             off_diagonal_ratio,
         )
+        rc_involved = set(rc_t[0]) | set(rc_t[1]) | {rc_eid}
+
+        if rc_eid in involved or involved & rc_involved:
+            # Colliding complementary pair: the two tangles share
+            # edges and must be detangled together with a 3-way merge
+            # (reference: detangleCollidingComplementaryPair,
+            # src/AssemblyPathGraph2.cpp:607-800).
+            if rc_sol is None:
+                skip.add(eid)
+                continue
+            new_ids = _apply_detangle_colliding(
+                g, eid, ins, outs, match, rc_eid, rc_t[0], rc_t[1], rc_sol[0]
+            )
+            if new_ids is None:
+                # Unusual arrangement (tangles follow each other both
+                # ways, or neither): unsolvable
+                # (reference: AssemblyPathGraph2.cpp:640-670).
+                skip.add(eid)
+                continue
+            _fix_rc(g, ag, new_ids)
+            continue
 
         new_a = _apply_detangle(g, eid, ins, outs, match)
         if rc_sol is not None:
@@ -254,6 +270,63 @@ def _apply_detangle(
         )
         new_ids.append(g.add_edge(merged))
     for e in ins + outs + [eid]:
+        if e in g.edges:
+            g.remove_edge(e)
+    return new_ids
+
+
+def _apply_detangle_colliding(
+    g: _PathGraph,
+    eid_a: int,
+    ins_a: List[int],
+    outs_a: List[int],
+    match_a: List[int],
+    eid_b: int,
+    ins_b: List[int],
+    outs_b: List[int],
+    match_b: List[int],
+) -> Optional[List[int]]:
+    """Detangle a colliding complementary tangle pair: one tangle's
+    out-edges are the other's in-edges, so each matched triplet
+    (inEdge, middleEdge, outEdge) merges into one edge spanning both
+    tangle edges (reference: detangleCollidingComplementaryPair,
+    src/AssemblyPathGraph2.cpp:607-800). Returns None for the unusual
+    arrangements the reference marks unsolvable."""
+    b_follows_a = sorted(outs_a) == sorted(ins_b)
+    a_follows_b = sorted(ins_a) == sorted(outs_b)
+    if b_follows_a == a_follows_b:  # both or neither
+        return None
+    if b_follows_a:
+        t0, ins0, outs0, m0 = eid_a, ins_a, outs_a, match_a
+        t1, ins1, outs1, m1 = eid_b, ins_b, outs_b, match_b
+    else:
+        t0, ins0, outs0, m0 = eid_b, ins_b, outs_b, match_b
+        t1, ins1, outs1, m1 = eid_a, ins_a, outs_a, match_a
+
+    e0 = g.edges[t0]
+    e1 = g.edges[t1]
+    new_ids = []
+    for i, ein_id in enumerate(ins0):
+        mid_id = outs0[m0[i]]
+        j1 = ins1.index(mid_id)
+        out_id = outs1[m1[j1]]
+        ein = g.edges[ein_id]
+        mid = g.edges[mid_id]
+        eout = g.edges[out_id]
+        merged = _PEdge(
+            src=ein.src,
+            tgt=eout.tgt,
+            path=ein.path + e0.path + mid.path + e1.path + eout.path,
+            path_length=(
+                ein.path_length + e0.path_length + mid.path_length
+                + e1.path_length + eout.path_length
+            ),
+            # Reads of both tangle edges are excluded
+            # (reference: AssemblyPathGraph2.cpp:739-745).
+            orients=np.union1d(np.union1d(ein.orients, mid.orients), eout.orients),
+        )
+        new_ids.append(g.add_edge(merged))
+    for e in set(ins0) | set(outs0) | set(outs1) | {t0, t1}:
         if e in g.edges:
             g.remove_edge(e)
     return new_ids

@@ -547,14 +547,16 @@ def _run_bucket(
     return _collect_bucket(_dispatch_bucket(a_rows, b_rows, band_mins, W, params))
 
 
-def _grouped_run(
+def _dispatch_grouped(
     a_rows: List[np.ndarray],
     b_rows: List[np.ndarray],
     band_mins: np.ndarray,
     widths: np.ndarray,
     params: AlignParams,
-) -> List[Tuple[np.ndarray, np.ndarray]]:
-    """Group pairs into (LA, LB, W) shape buckets and run each bucket."""
+):
+    """Group pairs into (LA, LB, W) shape buckets and dispatch every
+    batch asynchronously. Returns a list of (pair_indices, pending)
+    where each pending entry is a single dispatched batch."""
     n = len(a_rows)
     keys = []
     for i in range(n):
@@ -566,8 +568,6 @@ def _grouped_run(
     for i, k in enumerate(keys):
         order.setdefault(k, []).append(i)
 
-    results: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * n
-    metrics = np.zeros((n, 10), np.int64)
     dispatched = []
     for (la, lb, w), idxs in sorted(order.items()):
         # Centre each pair's band inside the padded width.
@@ -578,13 +578,81 @@ def _grouped_run(
         pending = _dispatch_bucket(
             [a_rows[i] for i in idxs], [b_rows[i] for i in idxs], bm, w, params
         )
-        dispatched.append((idxs, pending))
-    for idxs, pending in dispatched:
+        # Split the bucket's pending batches back into per-batch index
+        # slices (the dispatch covers idxs in order).
+        lo = 0
+        for entry in pending:
+            n_real = entry[2]
+            dispatched.append((idxs[lo : lo + n_real], [entry]))
+            lo += n_real
+    return dispatched
+
+
+def _grouped_run(
+    a_rows: List[np.ndarray],
+    b_rows: List[np.ndarray],
+    band_mins: np.ndarray,
+    widths: np.ndarray,
+    params: AlignParams,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Group pairs into (LA, LB, W) shape buckets and run each bucket."""
+    n = len(a_rows)
+    results: List[Optional[Tuple[np.ndarray, np.ndarray]]] = [None] * n
+    metrics = np.zeros((n, 10), np.int64)
+    for idxs, pending in _dispatch_grouped(a_rows, b_rows, band_mins, widths, params):
         res, mets = _collect_bucket(pending)
         for t, i in enumerate(idxs):
             results[i] = res[t]
         metrics[np.asarray(idxs)] = mets
     return results, metrics  # type: ignore[return-value]
+
+
+class _StreamingRunner:
+    """Accumulates pairs and dispatches a batch as soon as a shape
+    bucket fills, so downstream stages can overlap the device work of
+    earlier stages with dispatch of later ones."""
+
+    def __init__(self, params: AlignParams):
+        self.params = params
+        self.buffers: Dict[Tuple[int, int, int], List] = {}
+        self.batches: List = []
+
+    def add(self, a: np.ndarray, b: np.ndarray, band_min: int, width: int, tag):
+        key = (
+            _bucket(a.shape[0], _LEN_BUCKETS),
+            _bucket(b.shape[0], _LEN_BUCKETS),
+            _bucket(int(width), _W_BUCKETS),
+        )
+        buf = self.buffers.setdefault(key, [])
+        buf.append((a, b, int(band_min), int(width), tag))
+        if len(buf) >= _MAX_BATCH:
+            self._flush(key)
+
+    def _flush(self, key):
+        buf = self.buffers.pop(key, None)
+        if not buf:
+            return
+        w = key[2]
+        # Centre each band inside the padded width.
+        bm = np.array([b0 - (w - wd) // 2 for (_, _, b0, wd, _) in buf], np.int32)
+        pending = _dispatch_bucket(
+            [x[0] for x in buf], [x[1] for x in buf], bm, w, self.params
+        )
+        tags = [x[4] for x in buf]
+        lo = 0
+        for entry in pending:
+            n_real = entry[2]
+            self.batches.append((tags[lo : lo + n_real], [entry]))
+            lo += n_real
+
+    def flush_all(self):
+        for key in list(self.buffers):
+            self._flush(key)
+
+    def collect(self):
+        for tags, pending in self.batches:
+            res, mets = _collect_bucket(pending)
+            yield tags, res, mets
 
 
 def align_candidates(
@@ -655,67 +723,65 @@ def align_candidates(
         p for p in range(n_pairs)
         if ds_a[p].shape[0] > 0 and ds_b[p].shape[0] > 0
     ]
-    band_min_full = np.zeros(n_pairs, np.int64)
-    band_max_full = np.zeros(n_pairs, np.int64)
-    has_band = np.zeros(n_pairs, bool)
+
+    # ---- Pipelined phase 1 -> phase 2 ----
+    # Phase-1 batches are dispatched all at once; as each batch's
+    # results arrive, the bands are computed and the corresponding
+    # phase-2 (banded full-sequence) batches dispatch immediately, so
+    # the phase-1 fetches and band mapping overlap the device work of
+    # phase 2. The DP i axis is oriented read 0, j axis is oriented
+    # read 1; the band is on j - i = ordinal1 - ordinal0 = -offset.
+    runner = _StreamingRunner(params)
     if run_idx:
-        # Full-matrix band: j - i ranges over [-LA, LB]; use each
-        # pair's bucketed width centred accordingly.
+        # Full-matrix band for phase 1: j - i ranges over [-LA, LB].
         widths_ds = np.array(
             [ds_a[p].shape[0] + ds_b[p].shape[0] + 1 for p in run_idx], np.int64
         )
         bmins_ds = np.array([-ds_a[p].shape[0] for p in run_idx], np.int64)
-        ds_results, _ds_mets = _grouped_run(
+        ph1 = _dispatch_grouped(
             [ds_a[i] for i in run_idx],
             [ds_b[i] for i in run_idx],
             bmins_ds,
             widths_ds,
             params,
         )
-        # Map downsampled match indices back to original ordinals and
-        # reduce to per-pair offset ranges in one vectorized pass
-        # (reference keeps (ordinal, kmer) pairs: AssemblerAlign3.cpp:76-80).
-        lens = np.array([r[0].shape[0] for r in ds_results], np.int64)
-        nz = np.flatnonzero(lens)
-        if nz.shape[0]:
-            flat_o0 = np.concatenate([ds_results[t][0] for t in nz])
-            flat_o1 = np.concatenate([ds_results[t][1] for t in nz])
-            pair_of = np.repeat(np.asarray(run_idx, np.int64)[nz], lens[nz])
-            base0 = np.concatenate(
-                [ds_ord_a[int(p)][ds_results[t][0]] for t, p in
-                 zip(nz, np.asarray(run_idx)[nz])]
-            )
-            base1 = np.concatenate(
-                [ds_ord_b[int(p)][ds_results[t][1]] for t, p in
-                 zip(nz, np.asarray(run_idx)[nz])]
-            )
-            off = base0.astype(np.int64) - base1.astype(np.int64)
-            order_p = np.argsort(pair_of, kind="stable")
-            sp = pair_of[order_p]
-            so = off[order_p]
-            bounds = np.searchsorted(sp, np.asarray(run_idx, np.int64)[nz])
-            bounds = np.append(bounds, sp.shape[0])
-            mins = np.minimum.reduceat(so, bounds[:-1])
-            maxs = np.maximum.reduceat(so, bounds[:-1])
-            for t, p in enumerate(np.asarray(run_idx)[nz]):
-                bmin = int(mins[t]) - params.band_extend
-                bmax = int(maxs[t]) + params.band_extend
+        for local_idxs, pending in ph1:
+            res, _mets = _collect_bucket(pending)
+            for t, li in enumerate(local_idxs):
+                p = run_idx[li]
+                o0, o1 = res[t]
+                if o0.shape[0] == 0:
+                    continue
+                # Map downsampled match indices back to original
+                # ordinals (reference keeps (ordinal, kmer) pairs:
+                # AssemblerAlign3.cpp:76-80).
+                off = (
+                    ds_ord_a[p][o0].astype(np.int64)
+                    - ds_ord_b[p][o1].astype(np.int64)
+                )
+                bmin = int(off.min()) - params.band_extend
+                bmax = int(off.max()) + params.band_extend
                 if bmax - bmin > params.max_band:
                     continue  # reference: AssemblerAlign3.cpp:233-239
-                band_min_full[p] = bmin
-                band_max_full[p] = bmax
-                has_band[p] = True
+                runner.add(
+                    full_seq(int(or0[p])),
+                    full_seq(int(or1[p])),
+                    -bmax,
+                    bmax - bmin + 1,
+                    p,
+                )
+    runner.flush_all()
 
-    # ---- Phase 2: banded alignment on full marker sequences ----
-    # Note: the DP i axis is oriented read 0, j axis is oriented read 1;
-    # band is on j - i = ordinal1 - ordinal0 = -offset.
-    full_idx = np.flatnonzero(has_band)
-    a_rows = [full_seq(int(or0[p])) for p in full_idx]
-    b_rows = [full_seq(int(or1[p])) for p in full_idx]
-    j_band_min = -band_max_full[full_idx]
-    j_widths = band_max_full[full_idx] - band_min_full[full_idx] + 1
+    res_of: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    met_of = np.zeros((n_pairs, 10), np.int64)
+    for tags, res, mets in runner.collect():
+        for t, p in enumerate(tags):
+            res_of[p] = res[t]
+            met_of[p] = mets[t]
 
-    results, metrics = _grouped_run(a_rows, b_rows, j_band_min, j_widths, params)
+    full_idx = np.array(sorted(res_of), dtype=np.int64)
+    results = [res_of[int(p)] for p in full_idx]
+    metrics = met_of[full_idx] if full_idx.shape[0] else np.zeros((0, 10), np.int64)
 
     # ---- Filters, vectorized over the in-kernel metrics ----
     mc = metrics[:, 0]
@@ -723,8 +789,8 @@ def align_candidates(
     first1, last1 = metrics[:, 3], metrics[:, 4]
     omin, omax = metrics[:, 5], metrics[:, 6]
     mskip, mdrift = metrics[:, 7], metrics[:, 8]
-    n0 = np.array([r.shape[0] for r in a_rows], np.int64)
-    n1 = np.array([r.shape[0] for r in b_rows], np.int64)
+    n0 = np.array([koff[int(or0[p]) + 1] - koff[int(or0[p])] for p in full_idx], np.int64)
+    n1 = np.array([koff[int(or1[p]) + 1] - koff[int(or1[p])] for p in full_idx], np.int64)
 
     with np.errstate(divide="ignore", invalid="ignore"):
         range0 = np.maximum(last0 + 1 - first0, 1)

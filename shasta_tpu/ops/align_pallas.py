@@ -30,6 +30,7 @@ banded alignment semantics).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -423,4 +424,13 @@ def banded_align_pairs(
     # (or -1). Row order IS path order, no sort needed. Metrics and
     # matches are fused into ONE output array: device->host
     # round-trips through a tunneled TPU have ~150 ms latency each.
-    return jnp.concatenate([metrics, mj.T], axis=1)[:B0]
+    fused = jnp.concatenate([metrics, mj.T], axis=1)[:B0]
+    if (
+        LA <= 2048 and LB <= 2048 and W <= 2048 and LA * match <= 32000
+        and os.environ.get("SHASTA_TPU_INT16", "1") != "0"
+    ):
+        # Every fused value (ordinals, offsets, skip/drift, score)
+        # provably fits int16 at these shapes; halving the bytes
+        # roughly halves the tunneled device->host transfer time.
+        fused = fused.astype(jnp.int16)
+    return fused

@@ -139,3 +139,61 @@ def test_detangle_resolves_repeat(tmp_path):
     # repeat; expect fewer, longer segments with good total length.
     assert summary["totalAssembledSegmentLength"] > 0.85 * genome.shape[0]
     assert summary["assembledSegmentN50"] > 6000
+
+
+def test_apply_detangle_colliding_pair():
+    from shasta_tpu.graph.detangle import _apply_detangle_colliding
+
+    # Chain: ins -> T0(2->3) -> middles(3->4) -> T1(4->5) -> outs.
+    # T1 is the reverse complement tangle of T0 and their edge sets
+    # collide (T0's out-edges are T1's in-edges).
+    g = _PathGraph()
+    ra = np.arange(0, 10)
+    rb = np.arange(10, 20)
+    i1 = g.add_edge(_PEdge(src=0, tgt=2, path=[0], path_length=5, orients=ra))
+    i2 = g.add_edge(_PEdge(src=1, tgt=2, path=[1], path_length=5, orients=rb))
+    t0 = g.add_edge(_PEdge(src=2, tgt=3, path=[2], path_length=2,
+                           orients=np.arange(0, 20)))
+    m1 = g.add_edge(_PEdge(src=3, tgt=4, path=[3], path_length=4, orients=ra))
+    m2 = g.add_edge(_PEdge(src=3, tgt=4, path=[4], path_length=4, orients=rb))
+    t1 = g.add_edge(_PEdge(src=4, tgt=5, path=[5], path_length=2,
+                           orients=np.arange(0, 20)))
+    o1 = g.add_edge(_PEdge(src=5, tgt=6, path=[6], path_length=5, orients=ra))
+    o2 = g.add_edge(_PEdge(src=5, tgt=7, path=[7], path_length=5, orients=rb))
+
+    new_ids = _apply_detangle_colliding(
+        g,
+        t0, [i1, i2], [m1, m2], [0, 1],
+        t1, [m1, m2], [o1, o2], [0, 1],
+    )
+    assert new_ids is not None and len(new_ids) == 2
+    paths = sorted(g.edges[e].path for e in new_ids)
+    # Each triplet merges (in, T0, middle, T1, out).
+    assert paths == [[0, 2, 3, 5, 6], [1, 2, 4, 5, 7]]
+    for e in new_ids:
+        pe = g.edges[e]
+        assert pe.path_length == 5 + 2 + 4 + 2 + 5
+    # All constituent edges are gone.
+    for e in (i1, i2, t0, m1, m2, t1, o1, o2):
+        assert e not in g.edges
+    # Reads of the tangle edges are excluded from the merged edges.
+    merged_reads = sorted(
+        tuple(g.edges[e].orients.tolist()) for e in new_ids
+    )
+    assert merged_reads == [tuple(ra.tolist()), tuple(rb.tolist())]
+
+
+def test_apply_detangle_colliding_rejects_mutual():
+    from shasta_tpu.graph.detangle import _apply_detangle_colliding
+
+    # Degenerate 2-cycle where each tangle follows the other: the
+    # reference marks these unsolvable.
+    g = _PathGraph()
+    ra = np.arange(0, 10)
+    a = g.add_edge(_PEdge(src=0, tgt=1, path=[0], path_length=3, orients=ra))
+    b = g.add_edge(_PEdge(src=1, tgt=0, path=[1], path_length=3, orients=ra))
+    t0 = g.add_edge(_PEdge(src=0, tgt=1, path=[2], path_length=1, orients=ra))
+    t1 = g.add_edge(_PEdge(src=1, tgt=0, path=[3], path_length=1, orients=ra))
+    assert (
+        _apply_detangle_colliding(g, t0, [b], [a], [0], t1, [a], [b], [0]) is None
+    )
