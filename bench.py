@@ -76,7 +76,7 @@ def main():
     run()
 
     best = 0.0
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.monotonic()
         al = run()
         dt = time.monotonic() - t0

@@ -147,3 +147,31 @@ def _count_ins_after(ai: np.ndarray, k: int) -> int:
         else:
             break
     return c
+
+
+def poa_msa(seqs: List[np.ndarray]) -> List[np.ndarray]:
+    """Partial-order-alignment MSA (the algorithm the reference gets
+    from the spoa library, reference: src/AssemblerMarkerGraph.cpp:2001
+    -2010 and :3540-3560). Sequences should be ordered by decreasing
+    frequency (the reference adds them to the spoa graph in that
+    order). Falls back to the center-star approximation when the
+    native library is unavailable.
+
+    Returns aligned rows (uint8, value 4 = gap), all equal length.
+    """
+    n = len(seqs)
+    if n == 0:
+        return []
+    if n == 1:
+        return [seqs[0].astype(np.uint8)]
+    from shasta_tpu import native
+
+    rows = native.poa_msa_native(seqs)
+    if rows is None:
+        return center_star_msa(seqs)
+    out = []
+    for r in rows:
+        r = r.copy()
+        r[r == 255] = GAP
+        out.append(r)
+    return out

@@ -304,7 +304,7 @@ def assemble_marker_graph_edges(
         distinct = [seqs[occurrences[K][0]] for K in order]
         occ_sorted = [occurrences[K] for K in order]
 
-        rows = MSA.center_star_msa(distinct)
+        rows = MSA.poa_msa(distinct)
         width = rows[0].shape[0]
 
         # Vectorized column consensus: expand aligned rows and repeat

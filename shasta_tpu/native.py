@@ -19,6 +19,10 @@ import numpy as np
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_REPO_ROOT, "native", "shasta_native.cpp")
+_SRCS = [
+    _SRC,
+    os.path.join(_REPO_ROOT, "native", "poa.cpp"),
+]
 _SO = os.path.join(_REPO_ROOT, "native", "build", "libshasta_native.so")
 
 _lib = None
@@ -45,11 +49,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None:
             return _lib
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+                os.path.getmtime(f) for f in _SRCS
+            ):
                 os.makedirs(os.path.dirname(_SO), exist_ok=True)
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-std=c++17", _SRC, "-o", _SO],
+                     "-std=c++17", *_SRCS, "-o", _SO],
                     check=True,
                     capture_output=True,
                 )
@@ -174,3 +180,47 @@ def flag_chimeric_native(graph, n_reads: int, max_distance: int):
         ctypes.c_int64(max_distance), _u8p(out),
     )
     return out.astype(bool)
+
+
+def poa_msa_native(seqs):
+    """Partial-order-alignment MSA (spoa equivalent, native/poa.cpp).
+
+    seqs: list of uint8 arrays (base codes). Returns a list of aligned
+    uint8 rows with 255 at gap positions, or None if the native
+    library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(seqs)
+    if n == 0:
+        return []
+    offsets = np.zeros(n + 1, np.int64)
+    for i, q in enumerate(seqs):
+        offsets[i + 1] = offsets[i] + q.shape[0]
+    flat = (
+        np.concatenate([np.ascontiguousarray(q, np.uint8) for q in seqs])
+        if offsets[-1]
+        else np.zeros(0, np.uint8)
+    )
+    fn = lib.poa_msa
+    fn.restype = ctypes.c_int64
+    max_cols = int(offsets[-1]) + 16
+    while True:
+        out = np.empty(n * max_cols, np.uint8)
+        ncols = fn(
+            _u8p(flat),
+            _i64p(offsets),
+            ctypes.c_int64(n),
+            _u8p(out),
+            ctypes.c_int64(max_cols),
+        )
+        if ncols < 0:
+            return None
+        if ncols <= max_cols:
+            break
+        max_cols = int(ncols)
+    mat = out[: n * ncols].reshape(n, int(ncols)) if ncols else np.zeros(
+        (n, 0), np.uint8
+    )
+    return [mat[i] for i in range(n)]

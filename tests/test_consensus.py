@@ -103,3 +103,68 @@ def test_center_star_msa_indel():
     # Reconstruct originals by dropping gaps.
     assert np.array_equal(rows[0][rows[0] != 4], a)
     assert np.array_equal(rows[1][rows[1] != 4], b)
+
+
+def test_poa_msa_basic():
+    from shasta_tpu.consensus.msa import poa_msa, GAP
+
+    seqs = [
+        np.array([0, 1, 2, 3, 0, 1], np.uint8),
+        np.array([0, 1, 3, 0, 1], np.uint8),      # deletion of the 2
+        np.array([0, 1, 2, 3, 1, 1], np.uint8),   # SNP at position 4
+    ]
+    rows = poa_msa(seqs)
+    assert len(rows) == 3
+    width = rows[0].shape[0]
+    assert all(r.shape[0] == width for r in rows)
+    # Every row reproduces its sequence when gaps are removed.
+    for r, s in zip(rows, seqs):
+        assert np.array_equal(r[r != GAP], s)
+    # The deletion aligns as a single gap column, not an extension.
+    assert width == 6
+    assert int((rows[1] == GAP).sum()) == 1
+
+
+def test_poa_msa_insertion_shared():
+    from shasta_tpu.consensus.msa import poa_msa, GAP
+
+    # Two sequences share an insertion the first lacks: POA should give
+    # them the SAME column (center-star against seqs[0] cannot know).
+    seqs = [
+        np.array([0, 1, 2, 3], np.uint8),
+        np.array([0, 1, 3, 2, 3], np.uint8),
+        np.array([0, 1, 3, 2, 3], np.uint8),
+    ]
+    rows = poa_msa(seqs)
+    assert np.array_equal(rows[1], rows[2])
+    for r, s in zip(rows, seqs):
+        assert np.array_equal(r[r != GAP], s)
+
+
+def test_poa_msa_single_and_empty():
+    from shasta_tpu.consensus.msa import poa_msa
+
+    assert poa_msa([]) == []
+    one = [np.array([1, 2, 3], np.uint8)]
+    rows = poa_msa(one)
+    assert np.array_equal(rows[0], one[0])
+
+
+def test_poa_majority_consensus_beats_center_star_case():
+    from shasta_tpu.consensus.msa import poa_msa, GAP
+
+    # 1 noisy read first (highest frequency slot) + 4 clean reads: the
+    # per-column majority over the POA MSA recovers the clean sequence.
+    clean = np.array([0, 1, 2, 3, 0, 1, 2, 3], np.uint8)
+    noisy = np.array([0, 1, 3, 3, 0, 2, 2, 3], np.uint8)
+    seqs = [noisy] + [clean] * 4
+    rows = poa_msa(seqs)
+    width = rows[0].shape[0]
+    cons = []
+    for c in range(width):
+        col = [int(r[c]) for r in rows]
+        vals, counts = np.unique(col, return_counts=True)
+        best = vals[np.argmax(counts)]
+        if best != GAP:
+            cons.append(best)
+    assert np.array_equal(np.array(cons, np.uint8), clean)
