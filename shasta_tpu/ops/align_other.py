@@ -198,3 +198,269 @@ def align_method1(
             o0.append(i)
             o1.append(j)
     return np.array(o0, np.uint32), np.array(o1, np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Alignment method 4 (sparse cell analysis + banded alignment)
+# ---------------------------------------------------------------------------
+
+
+def align4_bands(
+    a: np.ndarray,
+    b: np.ndarray,
+    delta_x: int = 200,
+    delta_y: int = 10,
+    min_entry_count: int = 10,
+    max_distance_from_boundary: int = 100,
+):
+    """Band candidates via method 4's sparse cell analysis
+    (reference: src/Align4.{hpp,cpp}).
+
+    The sparse alignment matrix (marker matches) is expressed in
+    rotated coordinates X = x + y, Y = y + (nx-1-x) and binned into
+    (deltaX, deltaY) cells; well-populated cells that are both
+    forward-accessible from the left/top boundary and
+    backward-accessible from the right/bottom are grouped into
+    8-connected components, each contributing one band
+    [nx-1-Ymax, nx-1-Ymin] (Align4.cpp:872-940).
+
+    Returns a list of (band_min, band_max) on offset x - y.
+    """
+    nx, ny = a.shape[0], b.shape[0]
+    if nx == 0 or ny == 0:
+        return []
+
+    # All marker matches (x, y): sort both sides, expand per common kmer.
+    ia = np.argsort(a, kind="stable")
+    ib = np.argsort(b, kind="stable")
+    sa, sb = a[ia], b[ib]
+    common = np.intersect1d(sa, sb)
+    if common.shape[0] == 0:
+        return []
+    la = np.searchsorted(sa, common, side="left")
+    ha = np.searchsorted(sa, common, side="right")
+    lb = np.searchsorted(sb, common, side="left")
+    hb = np.searchsorted(sb, common, side="right")
+    na_, nb_ = ha - la, hb - lb
+    n_pairs = na_ * nb_
+    total = int(n_pairs.sum())
+    if total == 0:
+        return []
+    k_of = np.repeat(np.arange(common.shape[0]), n_pairs)
+    t = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_pairs)))[:-1], n_pairs
+    )
+    x = ia[la[k_of] + t // nb_[k_of]].astype(np.int64)
+    y = ib[lb[k_of] + t % nb_[k_of]].astype(np.int64)
+
+    X = x + y
+    Y = y + (nx - 1 - x)
+    iX = X // delta_x
+    iY = Y // delta_y
+
+    # Well-populated cells.
+    stride = int(iX.max()) + 2
+    key = iY * stride + iX
+    cell_keys, counts = np.unique(key, return_counts=True)
+    cell_keys = cell_keys[counts >= min_entry_count]
+    if cell_keys.shape[0] == 0:
+        return []
+    ciY, ciX = cell_keys // stride, cell_keys % stride
+
+    def xy_of(Xc, Yc):
+        # C++ truncating division (Align4.cpp:184-191).
+        xs = np.trunc((Xc - Yc + nx - 1) / 2).astype(np.int64)
+        ys = np.trunc((Xc + Yc - nx + 1) / 2).astype(np.int64)
+        return xs, ys
+
+    d = max_distance_from_boundary
+    xl, _ = xy_of(ciX * delta_x, (ciY + 1) * delta_y)  # bottom left
+    _, yt = xy_of(ciX * delta_x, ciY * delta_y)  # top left
+    xr, _ = xy_of((ciX + 1) * delta_x, ciY * delta_y)  # top right
+    _, yb = xy_of((ciX + 1) * delta_x, (ciY + 1) * delta_y)  # bottom right
+    near_lt = (np.maximum(xl, 0) < d) | (np.maximum(yt, 0) < d)
+    near_rb = (np.where(xr >= nx - 1, 0, nx - 1 - xr) < d) | (
+        np.where(yb >= ny - 1, 0, ny - 1 - yb) < d
+    )
+
+    cells = {(int(cx), int(cy)): i for i, (cx, cy) in enumerate(zip(ciX, ciY))}
+    n_cells = len(cells)
+
+    # Forward DFS (children at dX in {0,1}, dY in {-1,0,1}).
+    fwd = np.zeros(n_cells, bool)
+    stack = [i for i in range(n_cells) if near_lt[i]]
+    fwd[stack] = True
+    while stack:
+        i = stack.pop()
+        cx, cy = int(ciX[i]), int(ciY[i])
+        for dy in (-1, 0, 1):
+            for dx in (0, 1):
+                j = cells.get((cx + dx, cy + dy))
+                if j is not None and not fwd[j]:
+                    fwd[j] = True
+                    stack.append(j)
+
+    # Backward DFS (parents at dX in {-1,0}), seeded from cells near
+    # the right/bottom that are also forward accessible.
+    bwd = np.zeros(n_cells, bool)
+    stack = [i for i in range(n_cells) if near_rb[i] and fwd[i]]
+    bwd[stack] = True
+    while stack:
+        i = stack.pop()
+        cx, cy = int(ciX[i]), int(ciY[i])
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0):
+                j = cells.get((cx + dx, cy + dy))
+                if j is not None and not bwd[j]:
+                    bwd[j] = True
+                    stack.append(j)
+
+    active = fwd & bwd
+    if not active.any():
+        return []
+
+    # 8-connected components of active cells.
+    comp = {i: i for i in range(n_cells) if active[i]}
+
+    def find(i):
+        while comp[i] != i:
+            comp[i] = comp[comp[i]]
+            i = comp[i]
+        return i
+
+    for i in list(comp):
+        cx, cy = int(ciX[i]), int(ciY[i])
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                j = cells.get((cx + dx, cy + dy))
+                if j is not None and j in comp:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        comp[max(ri, rj)] = min(ri, rj)
+
+    groups = {}
+    for i in comp:
+        groups.setdefault(find(i), []).append(i)
+
+    bands = []
+    for members in groups.values():
+        iy = ciY[members]
+        y_min = int(iy.min()) * delta_y
+        y_max = (int(iy.max()) + 1) * delta_y - 1
+        bands.append((nx - 1 - y_max, nx - 1 - y_min))
+    bands.sort()
+    return bands
+
+
+def align_candidates_method4(
+    markers,
+    read_id0: np.ndarray,
+    read_id1: np.ndarray,
+    same_strand: np.ndarray,
+    params,
+    delta_x: int = 200,
+    delta_y: int = 10,
+    min_entry_count: int = 10,
+    max_distance_from_boundary: int = 100,
+):
+    """Method-4 alignment of candidate pairs: sparse cell analysis
+    finds one band per active-cell component; each band runs the
+    batched banded DP kernel; the best passing alignment per pair (by
+    marker count) is kept (reference: Align4.cpp:46-150).
+    """
+    from shasta_tpu.ops.align import (
+        AlignmentStore,
+        _grouped_run,
+    )
+
+    koff = markers.offsets
+    kmer_flat = markers.kmer_ids.astype(np.int32)
+    or0 = read_id0.astype(np.int64) << 1
+    or1 = (read_id1.astype(np.int64) << 1) | (~same_strand).astype(np.int64)
+    n_pairs = read_id0.shape[0]
+
+    tasks = []  # (pair index, band_min, band_max)
+    a_rows, b_rows, bmins, widths = [], [], [], []
+    for p in range(n_pairs):
+        a = kmer_flat[koff[or0[p]] : koff[or0[p] + 1]]
+        b = kmer_flat[koff[or1[p]] : koff[or1[p] + 1]]
+        for band_min, band_max in align4_bands(
+            a, b, delta_x, delta_y, min_entry_count, max_distance_from_boundary
+        ):
+            if band_max - band_min + 1 > params.max_band:
+                continue  # Align4.cpp:929-935
+            tasks.append(p)
+            a_rows.append(a)
+            b_rows.append(b)
+            # Kernel band is on j - i = y - x = -offset.
+            bmins.append(-band_max)
+            widths.append(band_max - band_min + 1)
+
+    rows = {}  # pair -> best (metrics, ord0, ord1)
+    if tasks:
+        results, metrics = _grouped_run(
+            a_rows, b_rows,
+            np.asarray(bmins, np.int64), np.asarray(widths, np.int64), params,
+        )
+        for t, p in enumerate(tasks):
+            o0, o1 = results[t]
+            mc = int(metrics[t, 0])
+            if mc < params.min_aligned_marker_count:
+                continue
+            n0, n1 = a_rows[t].shape[0], b_rows[t].shape[0]
+            first0, last0 = int(metrics[t, 1]), int(metrics[t, 2])
+            first1, last1 = int(metrics[t, 3]), int(metrics[t, 4])
+            frac = min(
+                mc / max(1, last0 + 1 - first0), mc / max(1, last1 + 1 - first1)
+            )
+            if frac < params.min_aligned_fraction:
+                continue
+            if int(metrics[t, 7]) > params.max_skip:
+                continue
+            if int(metrics[t, 8]) > params.max_drift:
+                continue
+            if min(first0, first1) > params.max_trim:
+                continue
+            if min(n0 - 1 - last0, n1 - 1 - last1) > params.max_trim:
+                continue
+            prev = rows.get(p)
+            if prev is None or mc > prev[0][0]:
+                rows[p] = (
+                    [mc, first0, last0, first1, last1,
+                     int(metrics[t, 5]), int(metrics[t, 6]),
+                     int(metrics[t, 7]), int(metrics[t, 8]), n0, n1],
+                    o0, o1,
+                )
+
+    kept = sorted(rows)
+    offs = np.zeros(len(kept) + 1, np.int64)
+    for i, p in enumerate(kept):
+        offs[i + 1] = offs[i] + rows[p][1].shape[0]
+    ord0 = np.empty(int(offs[-1]), np.uint32)
+    ord1 = np.empty(int(offs[-1]), np.uint32)
+    for i, p in enumerate(kept):
+        ord0[offs[i] : offs[i + 1]] = rows[p][1]
+        ord1[offs[i] : offs[i + 1]] = rows[p][2]
+    m = np.array([rows[p][0] for p in kept], np.int64).reshape(len(kept), 11)
+    kp = np.asarray(kept, np.int64)
+    return AlignmentStore(
+        read_id0=read_id0[kp].astype(np.int32),
+        read_id1=read_id1[kp].astype(np.int32),
+        same_strand=same_strand[kp].astype(bool),
+        marker_count=m[:, 0].astype(np.int32),
+        n_markers0=m[:, 9].astype(np.int32),
+        n_markers1=m[:, 10].astype(np.int32),
+        first0=m[:, 1].astype(np.int32),
+        last0=m[:, 2].astype(np.int32),
+        first1=m[:, 3].astype(np.int32),
+        last1=m[:, 4].astype(np.int32),
+        min_offset=m[:, 5].astype(np.int32),
+        max_offset=m[:, 6].astype(np.int32),
+        max_skip_v=m[:, 7].astype(np.int32),
+        max_drift_v=m[:, 8].astype(np.int32),
+        ord0=ord0,
+        ord1=ord1,
+        offsets=offs,
+    )

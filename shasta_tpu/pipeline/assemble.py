@@ -251,9 +251,28 @@ class Assembler:
                     params,
                     ca.align_method,
                 )
+            elif ca.align_method == 4:
+                # Sparse cell analysis finds the bands; the same
+                # batched banded DP engine aligns them
+                # (reference: Align4.cpp).
+                from shasta_tpu.ops.align_other import align_candidates_method4
+
+                self.alignments = align_candidates_method4(
+                    self.markers,
+                    self.candidates.read_id0,
+                    self.candidates.read_id1,
+                    self.candidates.same_strand,
+                    params,
+                    delta_x=ca.align4_delta_x,
+                    delta_y=ca.align4_delta_y,
+                    min_entry_count=ca.align4_min_entry_count_per_cell,
+                    max_distance_from_boundary=(
+                        ca.align4_max_distance_from_boundary
+                    ),
+                )
             else:
-                # Methods 3 and 4 share the two-phase banded engine
-                # (band discovery from downsampled markers -> banded DP).
+                # Method 3: band discovery from downsampled markers
+                # feeding the banded DP engine.
                 self.alignments = align_candidates(
                     self.markers,
                     self.candidates.read_id0,

@@ -55,6 +55,11 @@ class AlignOptions:
     min_aligned_marker_count: int = 100
     min_aligned_fraction: float = 0.0
     same_channel_read_alignment_suppress_delta_threshold: int = 0
+    # Method 4 (reference: AssemblerOptions.cpp Align.align4.* section).
+    align4_delta_x: int = 200
+    align4_delta_y: int = 10
+    align4_min_entry_count_per_cell: int = 10
+    align4_max_distance_from_boundary: int = 100
 
 
 @dataclass
