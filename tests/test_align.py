@@ -101,3 +101,78 @@ def test_with_indels_and_mismatches():
     assert o0.shape[0] > 180
     off = o0.astype(int) - o1.astype(int)
     assert np.all(np.abs(off - 100) < 10)
+
+
+def test_compressed_alignment_roundtrip():
+    from shasta_tpu.data.compress_alignment import (
+        compress_alignment,
+        decompress_alignment,
+    )
+
+    rng = np.random.default_rng(9)
+    # Build a realistic alignment: streaks with gaps and drifts.
+    o0, o1 = [], []
+    x, y = rng.integers(0, 5, 2)
+    for _ in range(50):
+        n = int(rng.integers(1, 40))
+        for _ in range(n):
+            o0.append(x)
+            o1.append(y)
+            x += 1
+            y += 1
+        x += int(rng.integers(0, 700))
+        y += int(rng.integers(0, 700))
+    ord0 = np.array(o0, np.uint32)
+    ord1 = np.array(o1, np.uint32)
+    blob = compress_alignment(ord0, ord1)
+    # Compression wins: a long streak costs a few bytes.
+    assert len(blob) < 8 * ord0.shape[0]
+    r0, r1 = decompress_alignment(blob)
+    assert np.array_equal(r0, ord0)
+    assert np.array_equal(r1, ord1)
+
+
+def test_compressed_alignment_formats():
+    from shasta_tpu.data.compress_alignment import (
+        compress_alignment,
+        decompress_alignment,
+    )
+
+    # One streak per format: sizes 1, 2, 4, 8, 16 bytes.
+    cases = [
+        ((2, 3, 5), 1),        # format 0: small non-negative skips
+        ((-3, 7, 20), 2),      # format 1: small signed
+        ((400, -500, 300), 4),  # format 2
+        ((100000, -90000, 1000), 8),  # format 3
+        ((2**25, -(2**25), 3), 16),   # format 4
+    ]
+    for (s0, s1, n), size in cases:
+        start0 = max(s0, 0) + 2**26  # keep ordinals non-negative
+        start1 = max(s1, 0) + 2**26
+        # First streak consumes the large initial skip in format 4;
+        # test the target streak as the second one.
+        o0 = [start0]
+        o1 = [start1]
+        b0 = start0 + s0
+        b1 = start1 + s1
+        o0.extend(range(b0, b0 + n))
+        o1.extend(range(b1, b1 + n))
+        ord0 = np.array(o0, np.uint32)
+        ord1 = np.array(o1, np.uint32)
+        blob = compress_alignment(ord0, ord1)
+        assert len(blob) == 16 + size, (s0, s1, n, len(blob))
+        r0, r1 = decompress_alignment(blob)
+        assert np.array_equal(r0, ord0)
+        assert np.array_equal(r1, ord1)
+
+
+def test_compressed_alignment_empty():
+    from shasta_tpu.data.compress_alignment import (
+        compress_alignment,
+        decompress_alignment,
+    )
+
+    blob = compress_alignment(np.zeros(0, np.uint32), np.zeros(0, np.uint32))
+    assert blob == b""
+    r0, r1 = decompress_alignment(blob)
+    assert r0.shape[0] == 0 and r1.shape[0] == 0
