@@ -52,6 +52,11 @@ class Explorer:
         self.alignments = self._soft(lambda: AlignmentStore.from_arrays(self.store.load_stage("Alignments")))
         self.read_graph = self._soft(lambda: ReadGraph.from_arrays(self.store.load_stage("ReadGraph")))
         self.marker_graph = self._soft(lambda: MarkerGraph.from_arrays(self.store.load_stage("MarkerGraph")))
+        from shasta_tpu.graph.assembly_graph import AssemblyGraph
+
+        self.assembly_graph = self._soft(
+            lambda: AssemblyGraph.from_arrays(self.store.load_stage("AssemblyGraph"))
+        )
 
     @staticmethod
     def _soft(fn):
@@ -179,6 +184,107 @@ class Explorer:
                            f"<td>{mg.coverage[e]}</td><td>{bool(alive[e])}</td></tr>")
             out.append("</table>")
         return "".join(out)
+
+
+    def page_assembly_graph(self, q) -> str:
+        """Local assembly graph around a start segment (reference:
+        exploreAssemblyGraph, src/AssemblerHttpServer-AssemblyGraph.cpp)."""
+        ag = self.assembly_graph
+        if ag is None:
+            return "<p>Assembly graph not available.</p>"
+        start = int(q.get("segment", ["0"])[0])
+        max_distance = int(q.get("maxDistance", ["3"])[0])
+        if not (0 <= start < ag.edge_count):
+            return f"<p>Segment id out of range (0..{ag.edge_count - 1}).</p>"
+
+        # BFS over segments connected head-to-tail.
+        import numpy as np
+
+        by_src = {}
+        by_tgt = {}
+        for e in range(ag.edge_count):
+            by_src.setdefault(int(ag.source_v[e]), []).append(e)
+            by_tgt.setdefault(int(ag.target_v[e]), []).append(e)
+
+        def neighbors(e):
+            out = []
+            out.extend(by_src.get(int(ag.target_v[e]), []))
+            out.extend(by_tgt.get(int(ag.source_v[e]), []))
+            return [x for x in out if x != e]
+
+        levels, edges = _local_bfs(start, neighbors, max_distance)
+
+        def label(e):
+            n = int(ag.chain_offsets[e + 1] - ag.chain_offsets[e])
+            return f"{e} ({n})"
+
+        rows = [
+            "<h2>Local assembly graph</h2>",
+            f"<p>Start segment {start}, distance {max_distance}; "
+            f"node label = segment id (marker graph edges).</p>",
+            _svg_layered_graph(levels, edges, label_of=label, highlight=start),
+            '<form>Segment <input name=segment value="%d"> '
+            'Max distance <input name=maxDistance value="%d"> '
+            "<input type=submit></form>" % (start, max_distance),
+        ]
+        return "\n".join(rows)
+
+    def page_alignment(self, q) -> str:
+        """Compute and display one alignment (reference:
+        exploreAlignment, src/AssemblerHttpServer-Align.cpp)."""
+        if self.markers is None:
+            return "<p>Markers not available.</p>"
+        import numpy as np
+
+        r0 = int(q.get("readId0", ["0"])[0])
+        s0 = int(q.get("strand0", ["0"])[0])
+        r1 = int(q.get("readId1", ["1"])[0])
+        s1 = int(q.get("strand1", ["0"])[0])
+        form = (
+            "<form>Read 0 <input name=readId0 value=%d size=6> strand "
+            "<input name=strand0 value=%d size=2> Read 1 "
+            "<input name=readId1 value=%d size=6> strand "
+            "<input name=strand1 value=%d size=2> <input type=submit value=Align>"
+            "</form>" % (r0, s0, r1, s1)
+        )
+        n_reads = self.markers.oriented_read_count // 2
+        if not (0 <= r0 < n_reads and 0 <= r1 < n_reads):
+            return form + f"<p>Read ids must be in 0..{n_reads - 1}.</p>"
+        if r0 == r1:
+            return form + "<p>Choose two distinct reads.</p>"
+        from shasta_tpu.data.kmers import KmerTable
+        from shasta_tpu.ops.align import AlignParams, align_candidates
+
+        kt = self._soft(
+            lambda: KmerTable.from_arrays(self.store.load_stage("Kmers"))
+        )
+        if kt is None:
+            return form + "<p>K-mer table not available.</p>"
+        lo, hi = (r0, r1) if r0 <= r1 else (r1, r0)
+        st = align_candidates(
+            self.markers,
+            np.array([lo], np.int32),
+            np.array([hi], np.int32),
+            np.array([s0 == s1], bool),
+            AlignParams(min_aligned_marker_count=0),
+            kt.downsampling_hash_table(),
+        )
+        if st.count == 0:
+            return form + "<p>No alignment found.</p>"
+        o0, o1 = st.ordinals(0)
+        rows = [
+            form,
+            f"<h2>Alignment of ({r0},{s0}) and ({r1},{s1})</h2>",
+            f"<p>{o0.shape[0]} aligned markers; ordinal offsets "
+            f"{int(st.min_offset[0])}..{int(st.max_offset[0])}; "
+            f"max skip {int(st.max_skip_v[0])}, max drift {int(st.max_drift_v[0])}.</p>",
+            "<table><tr><th>Ordinal0</th><th>Ordinal1</th></tr>",
+        ]
+        step = max(1, o0.shape[0] // 200)
+        for i in range(0, o0.shape[0], step):
+            rows.append(f"<tr><td>{int(o0[i])}</td><td>{int(o1[i])}</td></tr>")
+        rows.append("</table>")
+        return "\n".join(rows)
 
 
 def _svg_layered_graph(levels, edges, label_of=str, highlight=None):
@@ -359,6 +465,8 @@ def make_handler(explorer: Explorer):
                     "/localMarkerGraph": explorer.page_local_marker_graph,
                     "/alignmentMatrix": explorer.page_alignment_matrix,
                     "/markerGraph": explorer.page_marker_graph,
+                    "/assemblyGraph": explorer.page_assembly_graph,
+                    "/alignment": explorer.page_alignment,
                 }
                 fn = pages.get(url.path)
                 if fn is None:
