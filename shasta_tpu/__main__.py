@@ -182,4 +182,17 @@ def _assemble(args, overrides):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except MemoryError:
+        # (reference behavior: bad_alloc -> advise a larger machine,
+        # srcMain/main.cpp:115-120)
+        print(
+            "Memory allocation failure. This assembly requires more "
+            "memory than available; rerun on a machine with more RAM "
+            "or reduce the input size.",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    except KeyboardInterrupt:
+        sys.exit(130)

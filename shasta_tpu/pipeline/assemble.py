@@ -735,6 +735,13 @@ def run_assembly(
         a.assemble_mode0()
         summary = a.write_output()
     summary["elapsedSeconds"] = time.monotonic() - t0
+    # CPU time and average utilization (reference: srcMain/main.cpp:798-810).
+    cpu = os.times()
+    summary["cpuSeconds"] = round(cpu.user + cpu.system, 3)
+    if summary["elapsedSeconds"] > 0:
+        summary["averageCpuUtilization"] = round(
+            summary["cpuSeconds"] / summary["elapsedSeconds"], 3
+        )
     a.log.line(f"Assembly done in {summary['elapsedSeconds']:.3f} s.")
     a.log.close()
     return summary
