@@ -499,44 +499,66 @@ def write_mode2_outputs(
             max(b.component for b in bubbles) + 1 if bubbles else 0
         )
 
-    # Detailed: every assembled edge with haplotype/bubble annotation.
-    with open(os.path.join(run_dir, "Assembly-Detailed.gfa"), "w") as f:
-        f.write("H\tVN:Z:1.0\n")
-        for e in range(ag.edge_count):
-            if not ag.is_assembled_edge(e):
-                continue
-            s = ag.raw_sequence(e)
-            if s.shape[0] == 0:
-                continue
-            tags = ""
-            if e in hap_of:
-                tags = f"\tHP:i:{hap_of[e] + 1}\tPC:i:{branch_component[e]}"
-            f.write(f"S\t{e}\t{_seq_str(s)}{tags}\n")
-
-    # Phased: both haplotype branches written, named hap0/hap1.
-    with open(os.path.join(run_dir, "Assembly-Phased.fasta"), "w") as f:
-        for e in range(ag.edge_count):
-            s = ag.raw_sequence(e)
-            if s.shape[0] == 0:
-                continue
-            if e in hap_of:
-                f.write(
-                    f">PR.{branch_component.get(e, 0)}.{e} haplotype "
-                    f"{hap_of[e]} length {s.shape[0]}\n{_seq_str(s)}\n"
-                )
-
-    # Haploid: for each bubble keep the stronger branch; everything
-    # else written as is.
+    # Haploid selection: for each bubble keep the stronger branch.
     drop = set()
     for b in bubbles:
         e0, e1 = b.branch_edges
         drop.add(e1 if b.reads0.shape[0] >= b.reads1.shape[0] else e0)
-    with open(os.path.join(run_dir, "Assembly-Haploid.fasta"), "w") as f:
+
+    # The Detailed/Phased/Haploid file family, each with
+    # fasta/gfa/csv (reference:
+    # AssemblyGraph2::writeDetailed/writePhased/writeHaploid).
+    def edge_rows(selector):
         for e in range(ag.edge_count):
-            if not ag.is_assembled_edge(e) or e in drop:
+            if not ag.is_assembled_edge(e) or not selector(e):
                 continue
             s = ag.raw_sequence(e)
-            if s.shape[0] == 0:
-                continue
-            f.write(f">{e} length {s.shape[0]}\n{_seq_str(s)}\n")
+            if s.shape[0]:
+                yield e, s
+
+    def write_family(stem, selector):
+        with open(os.path.join(run_dir, f"{stem}.fasta"), "w") as f:
+            for e, s in edge_rows(selector):
+                if e in hap_of:
+                    # Reference-style phased naming: PR.<component>.<id>
+                    f.write(
+                        f">PR.{branch_component.get(e, 0)}.{e} haplotype "
+                        f"{hap_of[e]} length {s.shape[0]}\n{_seq_str(s)}\n"
+                    )
+                else:
+                    f.write(f">{e} length {s.shape[0]}\n{_seq_str(s)}\n")
+        with open(os.path.join(run_dir, f"{stem}.gfa"), "w") as f:
+            f.write("H\tVN:Z:1.0\n")
+            for e, s in edge_rows(selector):
+                tags = ""
+                if e in hap_of:
+                    tags = (
+                        f"\tHP:i:{hap_of[e] + 1}"
+                        f"\tPC:i:{branch_component[e]}"
+                    )
+                f.write(f"S\t{e}\t{_seq_str(s)}\tLN:i:{s.shape[0]}{tags}\n")
+        with open(os.path.join(run_dir, f"{stem}.csv"), "w") as f:
+            f.write("Segment,Length,Haplotype,PhasedComponent\n")
+            for e, s in edge_rows(selector):
+                hp = hap_of.get(e, "")
+                pc = branch_component.get(e, "")
+                f.write(f"{e},{s.shape[0]},{hp},{pc}\n")
+
+    write_family("Assembly-Detailed", lambda e: True)
+    write_family("Assembly-Phased", lambda e: e in hap_of)
+    write_family("Assembly-Haploid", lambda e: e not in drop)
+
+    # PhasingRegions.csv (reference: AssemblyGraph2.cpp): one row per
+    # phased component with its branch count and total phased length.
+    comp_stats: Dict[int, List[int]] = {}
+    for b in bubbles:
+        st = comp_stats.setdefault(b.component, [0, 0])
+        st[0] += 1
+        for e in b.branch_edges:
+            if ag.is_assembled_edge(e):
+                st[1] += int(ag.raw_sequence(e).shape[0])
+    with open(os.path.join(run_dir, "PhasingRegions.csv"), "w") as f:
+        f.write("PhasedComponent,BubbleCount,PhasedLength\n")
+        for cid in sorted(comp_stats):
+            f.write(f"{cid},{comp_stats[cid][0]},{comp_stats[cid][1]}\n")
     return stats
