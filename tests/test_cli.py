@@ -103,3 +103,38 @@ def test_assemble_cli_end_to_end(tmp_path, capsys):
                 assert len(body) > 0
     finally:
         server.shutdown()
+
+
+def test_save_and_cleanup_binary_data(tmp_path, capsys):
+    import os
+    import shutil
+
+    from shasta_tpu.__main__ import main
+
+    run_dir = str(tmp_path / "run")
+    fa = str(tmp_path / "in.fasta")
+    genome = synth.random_genome(20000, seed=91)
+    synth.write_fasta(fa, synth.sample_reads(genome, 80, 3000, seed=92, both_strands=True))
+    assert (
+        main([
+            "--input", fa, "--config", "Nanopore-May2022",
+            "--assemblyDirectory", run_dir,
+            "--Reads.minReadLength", "500",
+            "--Kmers.k", "8", "--Kmers.probability", "0.1",
+            "--MinHash.maxBucketSize", "60",
+            "--Align.minAlignedMarkerCount", "20",
+            "--MarkerGraph.minCoverage", "3",
+        ])
+        == 0
+    )
+    assert main(["--command", "saveBinaryData", "--assemblyDirectory", run_dir]) == 0
+    assert os.path.isdir(os.path.join(run_dir, "DataOnDisk"))
+    assert main(["--command", "cleanupBinaryData", "--assemblyDirectory", run_dir]) == 0
+    assert os.path.islink(os.path.join(run_dir, "Data"))
+    # Stage data still reachable through the symlink.
+    from shasta_tpu.data.store import RunStore
+    from shasta_tpu.data.reads import ReadStore
+
+    store = RunStore(run_dir, create=False)
+    reads = ReadStore.from_arrays(store.load_stage("Reads"))
+    assert reads.read_count > 0
