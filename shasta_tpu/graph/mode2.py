@@ -73,41 +73,93 @@ def create_marker_graph_edges_strict(
     ord0 = (i0 - moff[orid]).astype(np.int32)
     ord1 = (i1 - moff[orid]).astype(np.int32)
 
-    # Intervening RLE sequence key per interval.
+    # Intervening RLE sequence per interval, extracted for ALL
+    # intervals in one flat vectorized gather (the per-interval loop
+    # was the scaling bottleneck of strict edge creation).
     k = markers.k
     pos0 = markers.positions[i0].astype(np.int64)
     pos1 = markers.positions[i1].astype(np.int64)
-    seq_keys = np.empty(i0.shape[0], dtype=object)
-    from shasta_tpu.graph.assembly_graph import oriented_base_repeat
+    n_int = i0.shape[0]
+    seq_lo = pos0 + k
+    seq_len = np.maximum(pos1 - seq_lo, 0)
+    total = int(seq_len.sum())
+    starts = np.concatenate(([0], np.cumsum(seq_len)))
+    int_id = np.repeat(np.arange(n_int, dtype=np.int64), seq_len)
+    pos_in = np.arange(total, dtype=np.int64) - starts[int_id]
+    pos_flat = seq_lo[int_id] + pos_in
+    rid = (orid >> 1).astype(np.int64)
+    lo_off = reads.offsets[rid]
+    hi_off = reads.offsets[rid + 1]
+    comp = (orid & 1).astype(bool)
+    idx_flat = np.where(
+        comp[int_id],
+        hi_off[int_id] - 1 - pos_flat,
+        lo_off[int_id] + pos_flat,
+    )
+    b_flat = reads.rle_bases[idx_flat].astype(np.uint64)
+    b_flat = np.where(comp[int_id], np.uint64(3) - b_flat, b_flat)
 
-    for t in range(i0.shape[0]):
-        lo = pos0[t] + k
-        hi = pos1[t]
-        if hi > lo:
-            b, _ = oriented_base_repeat(
-                reads, int(orid[t]), np.arange(lo, hi, dtype=np.int64)
-            )
-            seq_keys[t] = b.tobytes()
-        else:
-            # Overlapping markers: the offset defines the sequence.
-            seq_keys[t] = bytes([255, int(hi - lo + 256) % 256])
+    # 64-bit polynomial content hash per interval (wrap-around mod
+    # 2^64), plus offset sentinel for overlapping markers.
+    P = np.uint64(0x100000001B3)
+    max_len = int(seq_len.max()) if n_int else 0
+    powtab = np.ones(max(max_len, 1), dtype=np.uint64)
+    with np.errstate(over="ignore"):  # wrap-around mod 2^64 is intended
+        for t in range(1, max_len):
+            powtab[t] = powtab[t - 1] * P
+    h = np.zeros(n_int, dtype=np.uint64)
+    if total:
+        contrib = (b_flat + np.uint64(1)) * powtab[pos_in]
+        np.add.at(h, int_id, contrib)
+    overlap = pos1 < seq_lo
+    h[overlap] = np.uint64(0xFFFF000000000000) + (seq_lo - pos1)[overlap].astype(
+        np.uint64
+    )
 
-    # Group by (src, tgt, sequence).
-    order = np.lexsort((ord0, orid, np.array([hash(x) for x in seq_keys]), tgt, src))
+    # Group by (src, tgt, length, hash).
+    order = np.lexsort((ord0, orid, h, seq_len, tgt, src))
     src, tgt, orid, ord0, ord1 = (
         src[order], tgt[order], orid[order], ord0[order], ord1[order]
     )
-    seq_keys = seq_keys[order]
-
+    h_s, len_s = h[order], seq_len[order]
     new_edge = np.empty(src.shape[0], dtype=bool)
     new_edge[0] = True
-    for t in range(1, src.shape[0]):
-        new_edge[t] = (
-            src[t] != src[t - 1]
-            or tgt[t] != tgt[t - 1]
-            or seq_keys[t] != seq_keys[t - 1]
-        )
+    new_edge[1:] = (
+        (src[1:] != src[:-1])
+        | (tgt[1:] != tgt[:-1])
+        | (len_s[1:] != len_s[:-1])
+        | (h_s[1:] != h_s[:-1])
+    )
     group = np.cumsum(new_edge) - 1
+
+    # Exactness audit: equal hash within a group must mean equal
+    # content; verify every interval against its group head (one flat
+    # vectorized compare; a 64-bit collision would be astronomically
+    # rare but must not silently merge distinct sequences).
+    if total:
+        head_of_group = np.flatnonzero(new_edge)
+        head_of_int = head_of_group[group]
+        orig = np.empty(n_int, np.int64)
+        orig = order  # sorted position -> original interval id
+        a_id = orig
+        b_id = orig[head_of_int]
+        same_pair = a_id != b_id
+        check = np.flatnonzero(same_pair)
+        if check.shape[0]:
+            la = starts[a_id[check]]
+            lb = starts[b_id[check]]
+            ln = seq_len[a_id[check]]
+            tot2 = int(ln.sum())
+            cid = np.repeat(np.arange(check.shape[0]), ln)
+            off = np.arange(tot2, dtype=np.int64) - np.concatenate(
+                ([0], np.cumsum(ln))
+            )[:-1][cid]
+            if not np.array_equal(
+                b_flat[la[cid] + off], b_flat[lb[cid] + off]
+            ):
+                raise RuntimeError(
+                    "strict-edge hash collision detected; please report"
+                )
     n_groups = int(group[-1]) + 1
     cov = np.bincount(group, minlength=n_groups)
     strand1 = np.bincount(group, weights=(orid & 1), minlength=n_groups)

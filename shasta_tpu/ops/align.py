@@ -654,6 +654,40 @@ class _StreamingRunner:
             res, mets = _collect_bucket(pending)
             yield tags, res, mets
 
+    def collect_fused(self):
+        """Fetch all pallas batches of the same output width in ONE
+        device->host transfer (a device-side concatenate), instead of
+        one round trip per batch — the tunneled TPU pays ~150 ms
+        latency per fetch. jnp batches fall back to per-batch collect."""
+        import jax.numpy as jnp
+
+        groups: Dict[int, List[int]] = {}
+        other: List[int] = []
+        for bi, (tags, pending) in enumerate(self.batches):
+            kind, payload, n_real = pending[0]
+            if kind == "pallas":
+                groups.setdefault(int(payload.shape[1]), []).append(bi)
+            else:
+                other.append(bi)
+        for width, idxs in groups.items():
+            fused = np.asarray(
+                jnp.concatenate([self.batches[bi][1][0][1] for bi in idxs])
+            )
+            lo = 0
+            for bi in idxs:
+                tags, pending = self.batches[bi]
+                n_real = pending[0][2]
+                n_total = pending[0][1].shape[0]
+                res, mets = _collect_bucket(
+                    [("pallas", fused[lo : lo + n_total], n_real)]
+                )
+                lo += n_total
+                yield tags, res, mets
+        for bi in other:
+            tags, pending = self.batches[bi]
+            res, mets = _collect_bucket(pending)
+            yield tags, res, mets
+
 
 def align_candidates(
     markers,
@@ -774,7 +808,7 @@ def align_candidates(
 
     res_of: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     met_of = np.zeros((n_pairs, 10), np.int64)
-    for tags, res, mets in runner.collect():
+    for tags, res, mets in runner.collect_fused():
         for t, p in enumerate(tags):
             res_of[p] = res[t]
             met_of[p] = mets[t]
