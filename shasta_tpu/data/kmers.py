@@ -34,14 +34,30 @@ import numpy as np
 from shasta_tpu.ops import hashing
 
 
+# Per-byte reverse complement of 4 packed bases: byte b -> the 4 bases
+# complemented and in reverse order.
+_RC_BYTE = np.array(
+    [
+        sum(((3 - ((b >> (2 * i)) & 3)) << (2 * (3 - i))) for i in range(4))
+        for b in range(256)
+    ],
+    dtype=np.uint32,
+)
+
+
 def reverse_complement_kmers(kmer_ids: np.ndarray, k: int) -> np.ndarray:
-    """Vectorized reverse complement of packed k-mer ids."""
-    x = np.asarray(kmer_ids, dtype=np.uint64)
-    out = np.zeros_like(x)
-    for _ in range(k):
-        out = (out << np.uint64(2)) | (np.uint64(3) - (x & np.uint64(3)))
-        x = x >> np.uint64(2)
-    return out.astype(np.uint32)
+    """Vectorized reverse complement of packed k-mer ids (byte-table
+    lookup: 4 bases per byte, bytes reassembled in reverse order)."""
+    x = np.asarray(kmer_ids, dtype=np.uint32)
+    out = (
+        (_RC_BYTE[x & np.uint32(0xFF)] << np.uint32(24))
+        | (_RC_BYTE[(x >> np.uint32(8)) & np.uint32(0xFF)] << np.uint32(16))
+        | (_RC_BYTE[(x >> np.uint32(16)) & np.uint32(0xFF)] << np.uint32(8))
+        | _RC_BYTE[(x >> np.uint32(24)) & np.uint32(0xFF)]
+    )
+    # The 16-base reversal above assumes k = 16; shift down to the
+    # actual k (packed ids occupy the low 2k bits).
+    return (out >> np.uint32(32 - 2 * k)).astype(np.uint32)
 
 
 def is_rle_kmer(kmer_ids: np.ndarray, k: int) -> np.ndarray:

@@ -46,38 +46,53 @@ def flag_palindromic_reads(
     # data this eliminates nearly every read; the reference instead
     # aligns all of them.)
     counts = np.diff(koff)
-    n_pos = kmer_flat.shape[0]
-    orid_of_p = np.repeat(np.arange(n_or, dtype=np.int64), counts)
-    read_of_p = orid_of_p >> 1
-    order = np.lexsort((kmer_flat, orid_of_p))
-    sk = kmer_flat[order]
-    so = orid_of_p[order]
-    # Group by (orid, kmer): multiplicity of each kmer on each strand.
-    new_grp = np.empty(n_pos, dtype=bool)
-    if n_pos:
-        new_grp[0] = True
-        new_grp[1:] = (sk[1:] != sk[:-1]) | (so[1:] != so[:-1])
-        gid = np.cumsum(new_grp) - 1
-        mult = np.bincount(gid)
-        g_orid = so[new_grp]
-        g_kmer = sk[new_grp]
-        # Match strand-0 groups against strand-1 groups of the same read.
-        key_read = g_orid >> 1
-        # Sort groups by (read, kmer, strand) so a read's matching
-        # 0/1-strand groups are adjacent.
-        gorder = np.lexsort((g_orid & 1, g_kmer, key_read))
-        kr, kk, st, mu = (
-            key_read[gorder], g_kmer[gorder], (g_orid & 1)[gorder], mult[gorder]
+    # The strand-1 marker multiset is exactly the reverse complement of
+    # the strand-0 multiset, so the read-vs-own-RC common count is the
+    # multiset intersection of the strand-0 k-mers with their own
+    # reverse complements — computable with ONE single-key sort over
+    # the strand-0 half of the markers.
+    from shasta_tpu.data.kmers import reverse_complement_kmers
+
+    n_pos0 = int(counts[0::2].sum())
+    if n_pos0:
+        read_of0 = np.repeat(
+            np.arange(n_reads, dtype=np.int64), counts[0::2]
         )
-        common = np.zeros(n_reads, dtype=np.int64)
-        if kr.shape[0] > 1:
-            pairm = (
-                (kr[1:] == kr[:-1]) & (kk[1:] == kk[:-1])
-                & (st[:-1] == 0) & (st[1:] == 1)
-            )
-            np.add.at(
-                common, kr[1:][pairm], np.minimum(mu[1:][pairm], mu[:-1][pairm])
-            )
+        # Flat indices of all strand-0 markers: per-read range starts
+        # repeated plus within-range offsets (pure arithmetic, no
+        # full-length mask).
+        counts0 = counts[0::2]
+        cum0 = np.concatenate(([0], np.cumsum(counts0)))[:-1]
+        pos0 = (
+            np.repeat(koff[0:n_or:2] - cum0, counts0)
+            + np.arange(n_pos0, dtype=np.int64)
+        )
+        k0 = markers.kmer_ids[pos0].astype(np.uint64)
+        rc0 = reverse_complement_kmers(k0.astype(np.uint32), markers.k).astype(
+            np.uint64
+        )
+        # Pack the side flag into the low bit so ONE value sort (no
+        # argsort + gathers) groups (read, kmer) with sides adjacent.
+        r64 = read_of0.astype(np.uint64) << np.uint64(33)
+        both = np.concatenate(
+            [r64 | (k0 << np.uint64(1)), r64 | (rc0 << np.uint64(1)) | np.uint64(1)]
+        )
+        both.sort()
+        vals = both >> np.uint64(1)
+        bits = both & np.uint64(1)
+        new_grp = np.empty(vals.shape[0], bool)
+        new_grp[0] = True
+        new_grp[1:] = vals[1:] != vals[:-1]
+        bounds = np.flatnonzero(new_grp)
+        tot_per = np.empty(bounds.shape[0], np.int64)
+        tot_per[:-1] = np.diff(bounds)
+        tot_per[-1] = vals.shape[0] - bounds[-1]
+        n_b = np.add.reduceat(bits, bounds).astype(np.int64)
+        n_a = tot_per - n_b
+        g_read = (vals[bounds] >> np.uint64(32)).astype(np.int64)
+        common = np.bincount(
+            g_read, weights=np.minimum(n_a, n_b), minlength=n_reads
+        ).astype(np.int64)
         total0 = counts[0::2]
         frac_cap = np.where(total0 > 0, common / np.maximum(total0, 1), 0.0)
         # Both criteria must hold, and each is bounded by frac_cap, so
