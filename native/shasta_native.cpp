@@ -278,4 +278,61 @@ int flag_chimeric_reads(
     return 0;
 }
 
+// For each read: is (read, 1) reachable from (read, 0) within
+// max_distance edges? (strand separation method 1's first phase,
+// reference: flagCrossStrandReadGraphEdges1ThreadFunction,
+// src/AssemblerReadGraph.cpp:1015-1041)
+int near_strand_jump(
+    int64_t n_reads,
+    const int64_t* orid0,
+    const int64_t* orid1,
+    const int64_t* adj_off,    // [2*n_reads + 1]
+    const int64_t* adj_edges,  // CSR of incident edge ids
+    int64_t max_distance,
+    uint8_t* is_near)          // [2*n_reads] out
+{
+    const int64_t n_or = 2 * n_reads;
+    std::vector<uint8_t> seen(n_or, 0);
+    std::vector<int64_t> touched;
+    std::deque<int64_t> frontier;
+
+    for (int64_t v = 0; v < n_or; ++v) is_near[v] = 0;
+
+    for (int64_t read = 0; read < n_reads; ++read) {
+        const int64_t start = 2 * read;
+        const int64_t goal = start + 1;
+        bool found = false;
+        touched.clear();
+        frontier.clear();
+        frontier.push_back(start);
+        seen[start] = 1;
+        touched.push_back(start);
+        int64_t d = 0;
+        while (!frontier.empty() && d < max_distance && !found) {
+            ++d;
+            const size_t level = frontier.size();
+            for (size_t t = 0; t < level && !found; ++t) {
+                const int64_t v0 = frontier.front();
+                frontier.pop_front();
+                for (int64_t a = adj_off[v0]; a < adj_off[v0 + 1]; ++a) {
+                    const int64_t ei = adj_edges[a];
+                    const int64_t v1 = (orid0[ei] == v0) ? orid1[ei] : orid0[ei];
+                    if (v1 == goal) { found = true; break; }
+                    if (!seen[v1]) {
+                        seen[v1] = 1;
+                        touched.push_back(v1);
+                        frontier.push_back(v1);
+                    }
+                }
+            }
+        }
+        if (found) {
+            is_near[start] = 1;
+            is_near[goal] = 1;
+        }
+        for (const int64_t v : touched) seen[v] = 0;
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -571,11 +571,15 @@ def flag_cross_strand_edges1(
         return 0
     n_or = graph.n_oriented_reads
 
-    near = np.zeros(n_or, dtype=bool)
-    for read_id in range(n_reads):
-        v0, v1 = 2 * read_id, 2 * read_id + 1
-        if _shortest_path_exists(graph, v0, v1, max_distance):
-            near[v0] = near[v1] = True
+    from shasta_tpu import native
+
+    near = native.near_strand_jump_native(graph, n_reads, max_distance)
+    if near is None:
+        near = np.zeros(n_or, dtype=bool)
+        for read_id in range(n_reads):
+            v0, v1 = 2 * read_id, 2 * read_id + 1
+            if _shortest_path_exists(graph, v0, v1, max_distance):
+                near[v0] = near[v1] = True
 
     if not near.any():
         return 0

@@ -224,3 +224,22 @@ def poa_msa_native(seqs):
         (n, 0), np.uint8
     )
     return [mat[i] for i in range(n)]
+
+
+def near_strand_jump_native(graph, n_reads: int, max_distance: int):
+    """Per-oriented-read near-strand-jump flags (strand separation
+    method 1 phase 1), or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(2 * n_reads, np.uint8)
+    lib.near_strand_jump(
+        ctypes.c_int64(n_reads),
+        _i64p(np.ascontiguousarray(graph.orid0, np.int64)),
+        _i64p(np.ascontiguousarray(graph.orid1, np.int64)),
+        _i64p(np.ascontiguousarray(graph.adj_offsets, np.int64)),
+        _i64p(np.ascontiguousarray(graph.adj_edges, np.int64)),
+        ctypes.c_int64(max_distance),
+        _u8p(out),
+    )
+    return out.astype(bool)

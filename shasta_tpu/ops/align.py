@@ -426,10 +426,15 @@ def _dispatch_bucket(
     if use_pallas:
         # The Pallas kernel streams blocks through VMEM, so HBM would
         # allow much larger batches — but every distinct batch size is
-        # a separate (slow) kernel compilation, so stick to the same
-        # _MAX_BATCH the jnp path uses and rely on the persistent
-        # compilation cache.
+        # a separate (slow) kernel compilation, so batch sizes stay
+        # coarse and rely on the persistent compilation cache. Small
+        # shapes (e.g. band discovery at (128,128,128)) scale the batch
+        # up so a launch carries comparable work to the full-alignment
+        # shapes, reducing per-launch relay overhead.
         max_b = _MAX_BATCH
+        if os.environ.get("SHASTA_TPU_BIGBATCH", "1") != "0":
+            factor = max(1, (512 * 512 * 128) // max(1, LA * LB * W))
+            max_b = min(4096, _MAX_BATCH * factor)
     else:
         max_b = max(8, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
     max_b -= max_b % 8

@@ -67,7 +67,7 @@ class ReadGraphOptions:
     creation_method: int = 0
     max_alignment_count: int = 6
     max_chimeric_read_distance: int = 2
-    strand_separation_method: int = 0
+    strand_separation_method: int = 1  # reference default (AssemblerOptions.cpp:508)
     cross_strand_max_distance: int = 6
     remove_conflicts: bool = False
     flag_inconsistent_alignments_triangle_error_threshold: int = 200

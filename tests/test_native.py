@@ -93,3 +93,34 @@ def test_transitive_reduction_native_matches_python(monkeypatch):
     )
     MG.transitive_reduction(mg2, low_coverage_threshold=1, max_distance=30)
     assert np.array_equal(mg.removed_tr, mg2.removed_tr)
+
+
+def test_near_strand_jump_matches_python():
+    import numpy as np
+
+    from shasta_tpu import native
+    from shasta_tpu.graph import read_graph as RG
+    from shasta_tpu.graph.read_graph import _shortest_path_exists
+    from tests.test_read_graph import make_alignments
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    n_reads = 40
+    rows = []
+    for _ in range(120):
+        a, b = rng.choice(n_reads, 2, replace=False)
+        rows.append((min(a, b), max(a, b), bool(rng.integers(0, 2)), 50))
+    al = make_alignments(rows)
+    g = RG.build_read_graph(al, n_reads, np.ones(len(rows), bool))
+
+    for d in (1, 2, 3):
+        got = native.near_strand_jump_native(g, n_reads, d)
+        want = np.zeros(2 * n_reads, bool)
+        for r in range(n_reads):
+            if _shortest_path_exists(g, 2 * r, 2 * r + 1, d):
+                want[2 * r] = want[2 * r + 1] = True
+        assert np.array_equal(got, want), d
