@@ -76,11 +76,17 @@ def main():
     run()
 
     best = 0.0
+    bench_start = time.monotonic()
     for _ in range(5):
         t0 = time.monotonic()
         al = run()
         dt = time.monotonic() - t0
         best = max(best, cand.count / dt)
+        # The tunneled TPU's throughput occasionally collapses for
+        # minutes at a time; don't let a trough run the clock out —
+        # best-of-whatever-completed is still a valid measurement.
+        if time.monotonic() - bench_start > 600:
+            break
 
     print(
         json.dumps(
