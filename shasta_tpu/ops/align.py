@@ -477,19 +477,37 @@ def _dispatch_bucket(
             )
             pending.append(("pallas", fused, hi - lo))
         else:
-            dirs, best_i, best_d, best_val = banded_forward(
-                a,
-                a_len,
-                b,
-                b_len,
-                bm,
-                W=W,
-                match=params.match_score,
-                mismatch=params.mismatch_score,
-                gap=params.gap_score,
+            # The row-scan jnp path dispatches one op per DP row; on a
+            # remote-relay TPU that is catastrophic (~150 ms/dispatch),
+            # so force it onto the host CPU backend when available.
+            import contextlib
+
+            import jax as _jax
+
+            from shasta_tpu.utils.jaxsetup import cpu_device
+
+            dev = cpu_device()
+            ctx = (
+                _jax.default_device(dev)
+                if dev is not None and _jax.default_backend() != "cpu"
+                else contextlib.nullcontext()
             )
-            n_steps = int(LA + LB)
-            m0, m1 = traceback(dirs, a, b, bm, best_i, best_d, n_steps=n_steps)
+            with ctx:
+                dirs, best_i, best_d, best_val = banded_forward(
+                    a,
+                    a_len,
+                    b,
+                    b_len,
+                    bm,
+                    W=W,
+                    match=params.match_score,
+                    mismatch=params.mismatch_score,
+                    gap=params.gap_score,
+                )
+                n_steps = int(LA + LB)
+                m0, m1 = traceback(
+                    dirs, a, b, bm, best_i, best_d, n_steps=n_steps
+                )
             pending.append(("jnp", (m0, m1), hi - lo))
     return pending
 

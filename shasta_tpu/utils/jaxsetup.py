@@ -35,5 +35,26 @@ def configure() -> None:
         except Exception:
             pass  # older jax without these options
 
+    # Keep the host CPU platform available alongside a TPU platform:
+    # shape buckets the Pallas kernel cannot serve fall back to the
+    # jnp scan implementation, which must NEVER run through a remote
+    # TPU relay (per-row dispatches at ~150 ms latency each).
+    try:
+        plats = os.environ.get("JAX_PLATFORMS", "")
+        if plats and "cpu" not in plats:
+            jax.config.update("jax_platforms", plats + ",cpu")
+    except Exception:
+        pass
+
+
+def cpu_device():
+    """The host CPU device, or None when unavailable."""
+    import jax
+
+    try:
+        return jax.devices("cpu")[0]
+    except Exception:
+        return None
+
 
 configure()
