@@ -48,3 +48,53 @@ def test_sharded_candidates_match_host():
     assert np.array_equal(host.read_id1[kh], sharded.read_id1[ks])
     assert np.array_equal(host.same_strand[kh], sharded.same_strand[ks])
     assert np.array_equal(host.frequency[kh], sharded.frequency[ks])
+
+
+@pytest.mark.slow
+def test_sharded_union_find_matches_host():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    import numpy as np
+
+    from shasta_tpu.graph.marker_graph import union_find_labels
+    from shasta_tpu.parallel.mesh import make_mesh, sharded_union_find
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    e = 8192  # divisible by 8
+    u = rng.integers(0, n, e).astype(np.int32)
+    v = rng.integers(0, n, e).astype(np.int32)
+    host = union_find_labels(n, u, v)
+
+    mesh = make_mesh(8)
+    dev = np.asarray(sharded_union_find(mesh, n, u, v, n_rounds=24))
+    assert np.array_equal(dev, host)
+
+
+@pytest.mark.slow
+def test_sharded_banded_forward_matches_host():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    import numpy as np
+
+    from shasta_tpu.ops.align import banded_forward
+    from shasta_tpu.parallel.mesh import make_mesh, sharded_banded_forward
+
+    rng = np.random.default_rng(4)
+    B, LA, LB, W = 16, 64, 64, 32
+    a = rng.integers(0, 50, (B, LA)).astype(np.int32)
+    b = a.copy()  # self-alignments give nontrivial scores
+    a_len = np.full(B, LA, np.int32)
+    b_len = np.full(B, LB, np.int32)
+    band_min = np.full(B, -W // 2, np.int32)
+
+    _, hbi, hbd, hbv = banded_forward(
+        a, a_len, b, b_len, band_min, W=W, match=6, mismatch=-1, gap=-1
+    )
+    mesh = make_mesh(8)
+    dbi, dbd, dbv = sharded_banded_forward(
+        mesh, a, a_len, b, b_len, band_min, W=W
+    )
+    assert np.array_equal(np.asarray(dbv), np.asarray(hbv))
+    assert np.array_equal(np.asarray(dbi), np.asarray(hbi))
+    assert np.array_equal(np.asarray(dbd), np.asarray(hbd))
