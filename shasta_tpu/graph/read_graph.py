@@ -669,7 +669,14 @@ def edge_average_offsets(graph: ReadGraph, alignments: AlignmentStore) -> np.nda
     n = alignments.count
     counts = np.diff(alignments.offsets).astype(np.float64)
     diffs = alignments.ord0.astype(np.int64) - alignments.ord1.astype(np.int64)
-    sums = np.add.reduceat(diffs, alignments.offsets[:-1], dtype=np.int64) if n else np.zeros(0, np.int64)
+    # Sentinel element so a zero-count alignment at the end produces a
+    # valid reduceat index (its sum is masked out below anyway).
+    diffs = np.concatenate([diffs, np.zeros(1, np.int64)])
+    sums = (
+        np.add.reduceat(diffs, alignments.offsets[:-1], dtype=np.int64)
+        if n
+        else np.zeros(0, np.int64)
+    )
     sums = np.where(counts > 0, sums, 0)
     with np.errstate(divide="ignore", invalid="ignore"):
         avg = np.where(counts > 0, sums / np.maximum(counts, 1.0), 0.0)
