@@ -1,12 +1,13 @@
 """Medium-scale pipeline benchmark: 1 Mb genome, ~25x coverage, 1%
 errors, full pipeline wall-clock on one chip.
 
-Reference measurement (2026-08, v5e single chip via tunnel, warm
-compile cache): 208 s end to end; hot stages: alignments 54 s
-(61.5k candidates at 10 kb reads), palindrome flagging 61 s
-(dominated by one-time kernel compiles for the 1024-marker shapes),
-edge consensus 24 s (noisy-edge MSA path), union-find 16 s.
-Output: 22 segments, N50 66 kb over the 1 Mb genome.
+Reference measurements (2026-08, v5e single chip via tunnel, warm
+compile cache, healthy relay): ~104 s end to end after the
+palindrome pre-filter, pipelined alignment dispatch, fused fetches,
+and native POA consensus landed (hot stages: alignments ~37 s,
+palindrome ~18 s, edge consensus ~10 s). Output: 22 segments,
+N50 66 kb over the 1 Mb genome. The same script scaled 5x
+(5 Mb / 12.5k reads) runs in ~640 s.
 """
 import sys, time, json, tempfile, os
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
