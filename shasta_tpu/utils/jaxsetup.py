@@ -39,10 +39,13 @@ def configure() -> None:
     # shape buckets the Pallas kernel cannot serve fall back to the
     # jnp scan implementation, which must NEVER run through a remote
     # TPU relay (per-row dispatches at ~150 ms latency each).
+    # Respect an explicit jax.config platform choice (e.g. tests force
+    # "cpu" via jax.config.update) — only the value actually in effect
+    # is extended, never overridden from the environment.
     try:
-        plats = os.environ.get("JAX_PLATFORMS", "")
-        if plats and "cpu" not in plats:
-            jax.config.update("jax_platforms", plats + ",cpu")
+        cur = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+        if cur and "cpu" not in cur.split(","):
+            jax.config.update("jax_platforms", cur + ",cpu")
     except Exception:
         pass
 
