@@ -82,3 +82,24 @@ def read_fasta_codes(path):
     if cur:
         seqs.append(B.encode_str("".join(cur)))
     return seqs
+
+
+@pytest.mark.slow
+def test_e2e_circular_genome(tmp_path):
+    # Reads sampled across the wrap point of a circular genome: chain
+    # condensation must handle the resulting cycle (no branch entry
+    # point) without losing it or spinning.
+    genome = synth.random_genome(20000, seed=77)
+    doubled = np.concatenate([genome, genome])
+    rng = np.random.default_rng(78)
+    reads = [doubled[s : s + 3000] for s in rng.integers(0, 20000, 120)]
+    reads = [
+        r if i % 2 == 0 else B.reverse_complement(r)
+        for i, r in enumerate(reads)
+    ]
+    fa = os.path.join(tmp_path, "r.fasta")
+    synth.write_fasta(fa, reads)
+    summary = run_assembly([fa], os.path.join(tmp_path, "run"), small_config())
+    # The whole circle assembles into a handful of long segments.
+    assert summary["assembledSegmentCount"] <= 4
+    assert summary["totalAssembledSegmentLength"] >= 18000
