@@ -110,8 +110,13 @@ def assemble_marker_graph_vertices(
         p = pos + j
         idx = np.where(rev, hi - 1 - p, lo + p)
         rc = reads.repeat_counts[idx].astype(np.int64).clip(0, max_repeat - 1)
-        hist = np.zeros((n_v, max_repeat), dtype=np.int32)
-        np.add.at(hist, (v_of, rc), 1)
+        # bincount over a fused (vertex, repeat) key with the width
+        # trimmed to the largest repeat actually present: orders of
+        # magnitude cheaper than a scatter-add into (n_v, 256).
+        width = int(rc.max()) + 1 if rc.shape[0] else 1
+        hist = np.bincount(
+            v_of * width + rc, minlength=n_v * width
+        ).reshape(n_v, width)
         if caller == "Modal":
             out[:, j] = np.argmax(hist, axis=1)
         elif caller == "Median":
@@ -230,8 +235,10 @@ def assemble_marker_graph_edges(
     # Mode-1 best offsets for all such edges in one histogram pass
     # (ties -> smaller offset, like the reference's max_element).
     sel = is_mode1[edge_of_iv] & (iv_off <= k)
-    hist = np.zeros((n_edges, k + 1), dtype=np.int32)
-    np.add.at(hist, (edge_of_iv[sel], iv_off[sel]), 1)
+    hist = np.bincount(
+        edge_of_iv[sel] * np.int64(k + 1) + iv_off[sel],
+        minlength=n_edges * (k + 1),
+    ).reshape(n_edges, k + 1)
     best_offset_all = np.argmax(hist, axis=1)
 
     for e in range(n_edges):

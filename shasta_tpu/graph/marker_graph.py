@@ -318,8 +318,9 @@ def create_marker_graph_vertices(
         bad_dup = np.zeros(reps.shape[0], dtype=bool)
 
     if min_coverage_per_strand > 0:
-        c0 = np.zeros(reps.shape[0], dtype=np.int64)
-        np.add.at(c0, inverse, 1 - strand_of_marker)
+        c0 = np.bincount(
+            inverse, weights=1 - strand_of_marker, minlength=reps.shape[0]
+        ).astype(np.int64)
         c1 = cov - c0
         bad_strand = (c0 < min_coverage_per_strand) | (c1 < min_coverage_per_strand)
     else:

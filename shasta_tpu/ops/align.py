@@ -431,7 +431,7 @@ def _dispatch_bucket(
         # shapes (e.g. band discovery at (128,128,128)) scale the batch
         # up so a launch carries comparable work to the full-alignment
         # shapes, reducing per-launch relay overhead.
-        max_b = _MAX_BATCH
+        max_b = int(os.environ.get("SHASTA_TPU_MAXBATCH", _MAX_BATCH))
         if os.environ.get("SHASTA_TPU_BIGBATCH", "1") != "0":
             factor = max(1, (512 * 512 * 128) // max(1, LA * LB * W))
             max_b = min(4096, _MAX_BATCH * factor)
