@@ -109,8 +109,13 @@ def create_marker_graph_edges_strict(
             powtab[t] = powtab[t - 1] * P
     h = np.zeros(n_int, dtype=np.uint64)
     if total:
-        contrib = (b_flat + np.uint64(1)) * powtab[pos_in]
-        np.add.at(h, int_id, contrib)
+        with np.errstate(over="ignore"):  # wrap mod 2^64 is intended
+            contrib = (b_flat + np.uint64(1)) * powtab[pos_in]
+        # Segment sums via reduceat (int_id is sorted by construction);
+        # uint64 wrap-around is preserved by summing in uint64 chunks.
+        starts_nonempty = starts[:-1][seq_len > 0]
+        sums = np.add.reduceat(contrib, starts_nonempty)
+        h[seq_len > 0] = sums
     overlap = pos1 < seq_lo
     h[overlap] = np.uint64(0xFFFF000000000000) + (seq_lo - pos1)[overlap].astype(
         np.uint64

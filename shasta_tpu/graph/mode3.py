@@ -270,8 +270,7 @@ def segment_oriented_read_infos(m3: Mode3Graph, mg: MarkerGraph):
     key = seg * np.int64(m3.journey_offsets.shape[0]) + orid
     contrib = (pos - o0) + (pos + 1 - o1)
     uniq, inv = np.unique(key, return_inverse=True)
-    sums = np.zeros(uniq.shape[0], np.int64)
-    np.add.at(sums, inv, contrib)
+    sums = np.bincount(inv, weights=contrib).astype(np.int64)
     counts = np.bincount(inv) * 2
     g_seg = (uniq // m3.journey_offsets.shape[0]).astype(np.int64)
     g_orid = (uniq % m3.journey_offsets.shape[0]).astype(np.int64)
