@@ -882,3 +882,74 @@ def flag_inconsistent_alignments(
     for ei in flagged_ids:
         graph.inconsistent[ei] = True
     return len(flagged_ids)
+
+
+def remove_read_graph_bridges(
+    graph: ReadGraph,
+    alignments: AlignmentStore,
+    n_reads: int,
+    max_distance: int = 2,
+) -> Tuple[ReadGraph, np.ndarray, int]:
+    """Remove read graph bridges (reference: removeReadGraphBridges +
+    ReadGraph::findBridges, src/AssemblerReadGraph.cpp /
+    src/ReadGraph.cpp): for each read, the neighbors within
+    ``max_distance`` edges of (read, 0) are grouped into connected
+    components of their induced subgraph; direct edges leading outside
+    the largest component are bridges, and their alignments are
+    dropped. Returns (new_graph, keep_alignment, n_removed).
+    """
+    keep = np.zeros(alignments.count, dtype=bool)
+    keep[graph.alignment_id] = True
+    before = int(keep.sum())
+
+    adj_off, adj_e = graph.adj_offsets, graph.adj_edges
+    orid0, orid1 = graph.orid0, graph.orid1
+
+    for read0 in range(n_reads):
+        v0 = 2 * read0
+        # BFS neighborhood (excluding the start vertex).
+        seen = {v0}
+        order_found = []
+        frontier = [v0]
+        for _ in range(max_distance):
+            nxt = []
+            for u in frontier:
+                for ei in adj_e[adj_off[u] : adj_off[u + 1]]:
+                    w = int(orid1[ei]) if orid0[ei] == u else int(orid0[ei])
+                    if w not in seen:
+                        seen.add(w)
+                        order_found.append(w)
+                        nxt.append(w)
+            frontier = nxt
+            if not frontier:
+                break
+        if not order_found:
+            continue
+        neighbors = sorted(order_found)
+        index = {w: i for i, w in enumerate(neighbors)}
+
+        dsu = _DSU(len(neighbors))
+        for w1 in neighbors:
+            for ei in adj_e[adj_off[w1] : adj_off[w1 + 1]]:
+                w2 = int(orid1[ei]) if orid0[ei] == w1 else int(orid0[ei])
+                if w2 <= w1:
+                    continue
+                j = index.get(w2)
+                if j is not None:
+                    dsu.union(index[w1], j)
+
+        comp_sizes: Dict[int, int] = {}
+        for i in range(len(neighbors)):
+            r = dsu.find(i)
+            comp_sizes[r] = comp_sizes.get(r, 0) + 1
+        largest = max(comp_sizes, key=lambda r: (comp_sizes[r], -r))
+
+        # Direct edges of v0 leaving the largest component are bridges.
+        for ei in adj_e[adj_off[v0] : adj_off[v0 + 1]]:
+            w = int(orid1[ei]) if orid0[ei] == v0 else int(orid0[ei])
+            i = index.get(w)
+            if i is not None and dsu.find(i) != largest:
+                keep[graph.alignment_id[ei]] = False
+
+    removed = before - int(keep.sum())
+    return build_read_graph(alignments, n_reads, keep), keep, removed

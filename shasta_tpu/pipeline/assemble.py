@@ -778,7 +778,26 @@ def run_assembly(
                     f"Iteration {it}: kept {kept} alignments, "
                     f"dropped {dropped} discordant."
                 )
-                if dropped == 0:
+                # Bridge removal after the pseudo-path refinement
+                # (reference: srcMain/main.cpp:890-896).
+                total_bridges = 0
+                for _ in range(
+                    a.config.assembly.iterative_bridge_removal_iteration_count
+                ):
+                    a.read_graph, _, n_removed = RG.remove_read_graph_bridges(
+                        a.read_graph,
+                        a.alignments,
+                        a.reads.read_count,
+                        a.config.assembly.iterative_bridge_removal_max_distance,
+                    )
+                    total_bridges += n_removed
+                    if n_removed == 0:
+                        break
+                if total_bridges:
+                    a.log.line(f"Removed {total_bridges} read graph bridges.")
+                    a.create_marker_graph_vertices()
+                    a.create_marker_graph_edges()
+                if dropped == 0 and total_bridges == 0:
                     break
     if a.config.assembly.mode == 2:
         mode2_stats = a.assemble_mode2()

@@ -111,6 +111,8 @@ class AssemblyOptions:
     iterative: bool = False
     iterative_iteration_count: int = 3
     iterative_pseudo_path_align_min_score: float = 1.0
+    iterative_bridge_removal_iteration_count: int = 3
+    iterative_bridge_removal_max_distance: int = 2
 
 
 @dataclass

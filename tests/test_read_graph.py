@@ -204,3 +204,24 @@ def test_flag_inconsistent_alignments_consistent_triangle():
     g = RG.build_read_graph(al, 3, np.ones(3, bool))
     assert RG.flag_inconsistent_alignments(g, al, 3) == 0
     assert not g.inconsistent.any()
+
+
+def test_remove_read_graph_bridges():
+    # A dense 5-read clique with a single pendant read hanging off one
+    # member: from that member's viewpoint the pendant is a size-1
+    # secondary component, so the bridge alignment is removed and the
+    # clique survives intact.
+    rows = []
+    for i in range(5):
+        for j in range(i + 1, 5):
+            rows.append((i, j, True, 50))
+    rows.append((4, 5, True, 40))  # the bridge to the pendant read
+    al = make_alignments(rows)
+    g = RG.build_read_graph(al, 6, np.ones(len(rows), bool))
+
+    g2, keep, removed = RG.remove_read_graph_bridges(g, al, 6, max_distance=2)
+    assert removed == 1
+    bridge_id = len(rows) - 1
+    assert not keep[bridge_id]
+    assert keep[:bridge_id].all()
+    assert g2.edge_count == 2 * int(keep.sum())
