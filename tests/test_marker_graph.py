@@ -261,3 +261,25 @@ def test_cleanup_duplicate_markers_noop_when_clean():
     mg = MG.create_marker_graph_vertices(m, u, v, min_coverage=2, max_coverage=10)
     out = MG.cleanup_duplicate_markers(m, mg, u, v, min_coverage=2)
     assert out is mg
+
+
+def test_cleanup_duplicate_markers_create_singletons():
+    # With createNewVertices allowed (minCoverage <= 1), pattern-1
+    # duplicates become singleton vertices instead of disappearing.
+    m = make_markers([[i + 1, i + 2, i + 3] for i in range(8)])
+    u = np.array([0, 1, 6, 6, 5, 4, 11, 11])
+    v = np.array([6, 6, 12, 18, 11, 11, 17, 23])
+    mg = MG.create_marker_graph_vertices(
+        m, u, v, min_coverage=2, max_coverage=100, allow_duplicate_markers=True
+    )
+    out = MG.cleanup_duplicate_markers(
+        m, mg, u, v, min_coverage=1, pattern1_threshold=0.5,
+        pattern1_create_new_vertices=True,
+    )
+    # Duplicates 0, 1 (and RCs 5, 4) each got their own vertex.
+    for dup in (0, 1, 4, 5):
+        assert out.vertex_table[dup] >= 0
+    # Each singleton vertex holds exactly one marker.
+    cov = np.diff(out.vertex_offsets)
+    assert (cov == 1).sum() >= 4
+    assert MG.check_strand_symmetry(out)
