@@ -96,6 +96,8 @@ def test_assemble_cli_end_to_end(tmp_path, capsys):
                      "/localReadGraph?readId=0&strand=0",
                      "/localMarkerGraph?vertexId=0&maxDistance=2",
                      "/alignmentMatrix?readId0=0&readId1=1",
+                     "/assemblyGraph?segment=0&maxDistance=2",
+                     "/alignment?readId0=0&strand0=0&readId1=1&strand1=0",
                      "/assemblySummary.json"):
             with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
                 assert r.status == 200
