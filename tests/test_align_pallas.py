@@ -89,3 +89,48 @@ def test_matches_jnp_kernel(seed):
             assert metrics[t, 5] == omin and metrics[t, 6] == omax
             assert metrics[t, 7] == ms and metrics[t, 8] == md
             assert metrics[t, 9] == bestp[t]
+
+
+def test_edge_cases_match_jnp_kernel():
+    # Empty pairs, length-1 sequences, bands hugging the clamp limits,
+    # and a full-batch pad block all in one batch.
+    B, LA, LB, W = 8, 128, 128, 128
+    rng = np.random.default_rng(9)
+    a = np.full((B, LA), -1, np.int32)
+    b = np.full((B, LB), -2, np.int32)
+    a_len = np.zeros(B, np.int32)
+    b_len = np.zeros(B, np.int32)
+    bm = np.zeros(B, np.int32)
+
+    g = rng.integers(0, 30, 300).astype(np.int32)
+    # 0: empty a.
+    b[0, :50] = g[:50]; b_len[0] = 50
+    # 1: empty b.
+    a[1, :50] = g[:50]; a_len[1] = 50
+    # 2: single markers, matching.
+    a[2, 0] = 7; b[2, 0] = 7; a_len[2] = 1; b_len[2] = 1
+    # 3: band clamped at the left limit.
+    a[3, :60] = g[:60]; b[3, :60] = g[:60]
+    a_len[3] = 60; b_len[3] = 60; bm[3] = -(LA + W)
+    # 4: band at the right limit.
+    a[4, :60] = g[:60]; b[4, :60] = g[:60]
+    a_len[4] = 60; b_len[4] = 60; bm[4] = LB
+    # 5: identical max-length sequences.
+    a[5] = g[:LA]; b[5] = g[:LA]; a_len[5] = LA; b_len[5] = LB
+    # 6-7: left as fully empty padding.
+
+    fused = np.asarray(
+        AP.banded_align_pairs(
+            a, a_len, b, b_len, bm, LA=LA, LB=LB, W=W,
+            match=6, mismatch=-1, gap=-1,
+        )
+    )
+    # Empty inputs, clamped bands, and padding produce no matches.
+    for t in (0, 1, 3, 4, 6, 7):
+        assert fused[t, 0] == 0, t
+    # The single matching marker aligns.
+    assert fused[2, 0] == 1
+    assert fused[2, 16] == 0  # ordinal1 of the single match
+    # Identical sequences align completely.
+    assert fused[5, 0] == LA
+    assert np.array_equal(fused[5, 16:16 + LA], np.arange(LA))
