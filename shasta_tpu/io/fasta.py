@@ -118,19 +118,37 @@ def parse_fasta_bytes(data: bytes) -> ParsedReads:
 
 def merge_parsed(parts: List[ParsedReads]) -> ParsedReads:
     """Concatenate reads from several input files (reference: the
-    addReads-per-file loop at srcMain/main.cpp:544)."""
+    addReads-per-file loop at srcMain/main.cpp:544). Parts may come
+    from either parser: when every part carries pre-encoded 2-bit
+    codes (native path) the merge stays in code space; a mix converts
+    code parts to ASCII first."""
     names: List[str] = []
     metadata: List[str] = []
-    seqs = []
-    total = 0
     for p in parts:
         names.extend(p.names)
         metadata.extend(p.metadata if p.metadata else [""] * p.read_count)
-        seqs.append(p.seq_ascii)
-        total += p.seq_ascii.shape[0]
     offsets = np.zeros(len(names) + 1, dtype=np.int64)
-    lengths = np.concatenate([np.diff(p.offsets) for p in parts]) if parts else np.zeros(0, np.int64)
+    lengths = (
+        np.concatenate([np.diff(p.offsets) for p in parts])
+        if parts
+        else np.zeros(0, np.int64)
+    )
     np.cumsum(lengths, out=offsets[1:])
+
+    all_codes = parts and all(p.codes is not None for p in parts)
+    if all_codes:
+        return ParsedReads(
+            names=names,
+            seq_ascii=np.zeros(0, np.uint8),
+            offsets=offsets,
+            metadata=metadata,
+            codes=np.concatenate([p.codes for p in parts]),
+        )
+
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = [
+        p.seq_ascii if p.codes is None else lut[p.codes] for p in parts
+    ]
     return ParsedReads(
         names=names,
         seq_ascii=np.concatenate(seqs) if seqs else np.zeros(0, np.uint8),

@@ -107,3 +107,35 @@ def test_apply_desired_coverage():
     assert sorted(out.raw_lengths.tolist()) == [3000, 5000]
     # No-op when coverage already below target.
     assert apply_desired_coverage(store, 10**9).read_count == 4
+
+
+def test_merge_parsed_native_codes():
+    # merge_parsed must preserve the native parser's pre-encoded codes
+    # (a merge that drops them crashed multi-file assemblies).
+    import numpy as np
+
+    from shasta_tpu.io.fasta import ParsedReads, merge_parsed
+
+    p1 = ParsedReads(
+        names=["a"], seq_ascii=np.zeros(0, np.uint8),
+        offsets=np.array([0, 4], np.int64), metadata=[""],
+        codes=np.array([0, 1, 2, 3], np.uint8),
+    )
+    p2 = ParsedReads(
+        names=["b"], seq_ascii=np.zeros(0, np.uint8),
+        offsets=np.array([0, 3], np.int64), metadata=[""],
+        codes=np.array([3, 2, 1], np.uint8),
+    )
+    m = merge_parsed([p1, p2])
+    assert m.codes is not None
+    assert np.array_equal(m.codes, [0, 1, 2, 3, 3, 2, 1])
+    assert m.offsets.tolist() == [0, 4, 7]
+
+    # Mixed native/ASCII parts fall back to ASCII ("ACGT" for codes).
+    p3 = ParsedReads(
+        names=["c"], seq_ascii=np.frombuffer(b"GG", np.uint8),
+        offsets=np.array([0, 2], np.int64), metadata=[""],
+    )
+    m2 = merge_parsed([p1, p3])
+    assert m2.codes is None
+    assert m2.seq_ascii.tobytes() == b"ACGTGG"
