@@ -145,7 +145,12 @@ def merge_parsed(parts: List[ParsedReads]) -> ParsedReads:
             codes=np.concatenate([p.codes for p in parts]),
         )
 
-    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    # 256-entry LUT: the native parser emits code 255 for invalid
+    # bases (native/shasta_native.cpp fasta_fill), so map 0-3 to ACGT
+    # and everything else to 'N' — build_read_store's invalid-base
+    # filtering then treats them as on the ASCII path.
+    lut = np.full(256, ord("N"), dtype=np.uint8)
+    lut[:4] = np.frombuffer(b"ACGT", dtype=np.uint8)
     seqs = [
         p.seq_ascii if p.codes is None else lut[p.codes] for p in parts
     ]

@@ -268,7 +268,16 @@ def _bucket(n: int, buckets) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    # Beyond the precomputed buckets (ultra-long reads / very wide
+    # phase-1 bands) extend in power-of-2 steps instead of silently
+    # clamping — clamping would crash _pad_rows (length) or clip the
+    # band so discovery misses the true diagonal (width). Each new
+    # size is a one-time kernel compile, amortized by the persistent
+    # compilation cache.
+    b = buckets[-1]
+    while b < n:
+        b *= 2
+    return b
 
 
 # ---------------------------------------------------------------------------

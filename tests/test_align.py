@@ -176,3 +176,17 @@ def test_compressed_alignment_empty():
     assert blob == b""
     r0, r1 = decompress_alignment(blob)
     assert r0.shape[0] == 0 and r1.shape[0] == 0
+
+
+def test_bucket_extends_beyond_table():
+    # Oversized inputs must extend in power-of-2 steps, never clamp
+    # (clamping crashed padding for >32768-marker reads and clipped
+    # phase-1 bands wider than 2048).
+    from shasta_tpu.ops.align import _bucket, _LEN_BUCKETS, _W_BUCKETS
+
+    assert _bucket(100, _LEN_BUCKETS) == 128
+    assert _bucket(32768, _LEN_BUCKETS) == 32768
+    assert _bucket(32769, _LEN_BUCKETS) == 65536
+    assert _bucket(200000, _LEN_BUCKETS) == 262144
+    assert _bucket(2049, _W_BUCKETS) == 4096
+    assert _bucket(6500, _W_BUCKETS) == 8192

@@ -139,3 +139,24 @@ def test_merge_parsed_native_codes():
     m2 = merge_parsed([p1, p3])
     assert m2.codes is None
     assert m2.seq_ascii.tobytes() == b"ACGTGG"
+
+
+def test_merge_parsed_mixed_with_invalid_native_codes():
+    # The native parser emits code 255 for invalid bases (e.g. 'N');
+    # a mixed native/ASCII merge must map those to 'N', not crash.
+    import numpy as np
+
+    from shasta_tpu.io.fasta import ParsedReads, merge_parsed
+
+    p1 = ParsedReads(
+        names=["a"], seq_ascii=np.zeros(0, np.uint8),
+        offsets=np.array([0, 5], np.int64), metadata=[""],
+        codes=np.array([0, 255, 2, 3, 255], np.uint8),
+    )
+    p2 = ParsedReads(
+        names=["b"], seq_ascii=np.frombuffer(b"TT", np.uint8),
+        offsets=np.array([0, 2], np.int64), metadata=[""],
+    )
+    m = merge_parsed([p1, p2])
+    assert m.codes is None
+    assert m.seq_ascii.tobytes() == b"ANGTNTT"
