@@ -60,6 +60,12 @@ class ReadStore:
     is_palindromic: Optional[np.ndarray] = None  # bool [n_reads]
     is_chimeric: Optional[np.ndarray] = None  # bool [n_reads]
     discards: DiscardCounts = field(default_factory=DiscardCounts)
+    # 1 = RLE (default); 0 = raw: ``rle_bases`` holds the raw sequence
+    # and ``repeat_counts`` is all ones, so every downstream consumer
+    # (markers, consensus, RLE->raw expansion) works unchanged
+    # (reference: src/Reads.hpp representation flag, set by the
+    # Nanopore-Phased configs).
+    representation: int = 1
 
     def __post_init__(self):
         n = self.read_count
@@ -117,6 +123,7 @@ class ReadStore:
                 self.metadata if self.metadata else [""] * self.read_count,
                 dtype=np.str_,
             ),
+            "representation": np.array([self.representation], np.int64),
         }
 
     @classmethod
@@ -130,14 +137,22 @@ class ReadStore:
             metadata=list(a["metadata"]),
             is_palindromic=a["is_palindromic"].copy(),
             is_chimeric=a["is_chimeric"].copy(),
+            representation=(
+                int(a["representation"][0]) if "representation" in a else 1
+            ),
         )
 
 
 def build_read_store(
     parsed: ParsedReads,
     min_read_length: int = 0,
+    representation: int = 1,
 ) -> ReadStore:
-    """Encode, filter, and RLE-compress parsed reads (vectorized)."""
+    """Encode, filter, and (for representation=1) RLE-compress parsed
+    reads (vectorized). representation=0 stores the raw sequence with
+    unit repeat counts (reference: src/Reads.hpp raw mode)."""
+    if representation not in (0, 1):
+        raise ValueError(f"Reads.representation must be 0 or 1, got {representation}")
     codes = (
         parsed.codes
         if getattr(parsed, "codes", None) is not None
@@ -176,6 +191,22 @@ def build_read_store(
     kept_lengths = raw_lengths[keep_ids]
     kept_offsets = np.zeros(keep_ids.shape[0] + 1, dtype=np.int64)
     np.cumsum(kept_lengths, out=kept_offsets[1:])
+
+    if representation == 0:
+        # Raw mode: store the sequence as-is with unit repeat counts;
+        # no run-length filter applies (runs are not encoded).
+        return ReadStore(
+            rle_bases=kept_codes.astype(np.uint8),
+            repeat_counts=np.ones(kept_codes.shape[0], np.uint8),
+            offsets=kept_offsets,
+            raw_lengths=kept_lengths.astype(np.int64),
+            names=[parsed.names[i] for i in keep_ids],
+            metadata=(
+                [parsed.metadata[i] for i in keep_ids] if parsed.metadata else []
+            ),
+            discards=discards,
+            representation=0,
+        )
 
     rle_bases, counts, rle_offsets = R.rle_encode_flat(kept_codes, kept_offsets)
 
@@ -251,4 +282,5 @@ def apply_desired_coverage(store: ReadStore, desired_coverage: int) -> "ReadStor
         names=[store.names[i] for i in keep_ids],
         metadata=[store.metadata[i] for i in keep_ids] if store.metadata else [],
         discards=store.discards,
+        representation=store.representation,
     )

@@ -366,11 +366,36 @@ def create_marker_graph_vertices(
 def check_strand_symmetry(mg: MarkerGraph) -> bool:
     """Audit the reference's strand-symmetry invariant
     (reference: Assembler::checkMarkerGraphIsStrandSymmetric,
-    src/Assembler.hpp:1542): rc is an involution with no fixed issues."""
+    src/Assembler.hpp:1542): rc is an involution on vertices, and —
+    once edges exist — rc_edge is an involution mapping each edge to
+    one with swapped, reverse-complemented endpoints."""
     rc = mg.rc_vertex
     if (rc < 0).any():
         return False
-    return bool(np.array_equal(rc[rc], np.arange(mg.vertex_count, dtype=np.int64)))
+    if not np.array_equal(rc[rc], np.arange(mg.vertex_count, dtype=np.int64)):
+        return False
+    if mg.rc_edge is None or mg.rc_edge.shape[0] == 0:
+        return True
+    re = mg.rc_edge
+    if (re < 0).any():
+        return False
+    n_edges = re.shape[0]
+    if not np.array_equal(re[re], np.arange(n_edges, dtype=np.int64)):
+        return False
+    if not np.array_equal(mg.source[re], rc[mg.target]):
+        return False
+    return bool(np.array_equal(mg.target[re], rc[mg.source]))
+
+
+def audit_strand_symmetry(mg: MarkerGraph, where: str) -> None:
+    """In-pipeline strand-symmetry audit, run as a first-class stage
+    like the reference's SHASTA_ASSERT-backed check (reference:
+    checkMarkerGraphIsStrandSymmetric run from srcMain/main.cpp)."""
+    if not check_strand_symmetry(mg):
+        raise RuntimeError(
+            f"Marker graph strand symmetry violated after {where}; "
+            "this indicates a bug in vertex/edge creation."
+        )
 
 
 # ---------------------------------------------------------------------------

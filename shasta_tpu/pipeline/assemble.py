@@ -136,7 +136,9 @@ class Assembler:
             parsed_list = [FIO.parse_file(p) for p in input_files]
             merged = FIO.merge_parsed(parsed_list) if len(parsed_list) > 1 else parsed_list[0]
             self.reads = build_read_store(
-                merged, min_read_length=self.config.reads.min_read_length
+                merged,
+                min_read_length=self.config.reads.min_read_length,
+                representation=self.config.reads.representation,
             )
             if self.config.reads.desired_coverage > 0:
                 from shasta_tpu.data.reads import apply_desired_coverage
@@ -430,6 +432,7 @@ class Assembler:
                 min_coverage_per_strand=cm.min_coverage_per_strand,
                 allow_duplicate_markers=cm.allow_duplicate_markers,
             )
+            MG.audit_strand_symmetry(self.marker_graph, "vertex creation")
         if cm.allow_duplicate_markers and cm.cleanup_duplicate_markers:
             # (reference: srcMain/main.cpp:925-934)
             with self.log.stage("cleanupDuplicateMarkers"):
@@ -484,10 +487,12 @@ class Assembler:
                 MG.prune(
                     self.marker_graph, iteration_count=cm.prune_iteration_count
                 )
+            MG.audit_strand_symmetry(self.marker_graph, "strict edge creation")
             self.store.save_stage("MarkerGraph", self.marker_graph.arrays())
             return
         with self.log.stage("createMarkerGraphEdges"):
             MG.create_marker_graph_edges(self.markers, self.marker_graph)
+        MG.audit_strand_symmetry(self.marker_graph, "edge creation")
         with self.log.stage("transitiveReduction"):
             MG.transitive_reduction(
                 self.marker_graph,
@@ -753,6 +758,13 @@ def run_assembly(
     srcMain/main.cpp:516-830 + mode0Assembly :845-1045)."""
     t0 = time.monotonic()
     a = Assembler(run_dir, config)
+    from shasta_tpu.utils.perf import Tee
+
+    with Tee(os.path.join(run_dir, "stdout.log")):
+        return _run_assembly_stages(a, input_files, t0)
+
+
+def _run_assembly_stages(a: "Assembler", input_files: List[str], t0: float) -> Dict:
     a.add_reads(input_files)
     a.select_kmers()
     a.find_markers()

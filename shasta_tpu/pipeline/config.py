@@ -14,6 +14,9 @@ from typing import Dict, List, Optional
 
 @dataclass
 class ReadsOptions:
+    # 1 = run-length encoded (default), 0 = raw sequence (used by the
+    # Phased configs; reference: src/Reads.hpp representation flag).
+    representation: int = 1
     min_read_length: int = 10000
     desired_coverage: int = 0  # 0 = no coverage-based cutoff
     no_cache: bool = False

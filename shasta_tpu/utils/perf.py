@@ -41,3 +41,38 @@ class PerformanceLog:
         if self._f:
             self._f.close()
             self._f = None
+
+
+class Tee:
+    """Duplicate stdout to a log file for the duration of a run
+    (reference: src/Tee.hpp, engaged at srcMain/main.cpp:334-337 to
+    produce stdout.log). Use as a context manager."""
+
+    def __init__(self, path: str):
+        self._path = path
+        self._f: Optional[TextIO] = None
+        self._saved = None
+
+    def __enter__(self):
+        self._f = open(self._path, "w")
+        self._saved = sys.stdout
+        sys.stdout = self
+        return self
+
+    def __exit__(self, *exc):
+        sys.stdout = self._saved
+        if self._f:
+            self._f.close()
+            self._f = None
+        return False
+
+    def write(self, s):
+        self._saved.write(s)
+        if self._f:
+            self._f.write(s)
+        return len(s)
+
+    def flush(self):
+        self._saved.flush()
+        if self._f:
+            self._f.flush()

@@ -103,3 +103,38 @@ def test_e2e_circular_genome(tmp_path):
     # The whole circle assembles into a handful of long segments.
     assert summary["assembledSegmentCount"] <= 4
     assert summary["totalAssembledSegmentLength"] >= 18000
+
+
+@pytest.mark.slow
+def test_e2e_raw_representation(tmp_path):
+    # Reads.representation=0 (raw, no RLE — used by the Phased
+    # configs; reference: src/Reads.hpp): the pipeline must run
+    # end-to-end on the raw sequence and reconstruct the genome.
+    genome = synth.random_genome(25000, seed=21)
+    reads = synth.sample_reads(genome, 130, 3000, seed=22, both_strands=True)
+    fasta_path = os.path.join(tmp_path, "reads.fasta")
+    synth.write_fasta(fasta_path, reads)
+
+    cfg = small_config()
+    cfg.reads.representation = 0
+    run_dir = os.path.join(tmp_path, "run")
+    summary = run_assembly([fasta_path], run_dir, cfg)
+
+    assert summary["totalAssembledSegmentLength"] > 0.8 * 25000
+    # Raw mode: stored base count equals raw base count.
+    assert summary["rleBaseCount"] == summary["rawBaseCount"]
+    contigs = read_fasta_codes(os.path.join(run_dir, "Assembly.fasta"))
+    gs = B.decode_to_str(genome)
+    gs_rc = B.decode_to_str(B.reverse_complement(genome))
+    for c in contigs:
+        cs = B.decode_to_str(c)
+        assert cs in gs or cs in gs_rc
+    # Representation round-trips through the stage store.
+    from shasta_tpu.data.reads import ReadStore
+    from shasta_tpu.data.store import RunStore
+    store = RunStore(run_dir, create=False)
+    rs = ReadStore.from_arrays(store.load_stage("Reads"))
+    assert rs.representation == 0
+    assert (rs.repeat_counts == 1).all()
+    # stdout.log Tee (reference: srcMain/main.cpp:334-337).
+    assert os.path.exists(os.path.join(run_dir, "stdout.log"))

@@ -283,3 +283,27 @@ def test_cleanup_duplicate_markers_create_singletons():
     cov = np.diff(out.vertex_offsets)
     assert (cov == 1).sum() >= 4
     assert MG.check_strand_symmetry(out)
+
+
+def test_audit_strand_symmetry_catches_corruption():
+    # The in-pipeline audit must catch a broken rc involution
+    # (vertex level) and broken rc edge pairing (edge level).
+    import pytest
+
+    _, _, mg = full_pipeline_to_marker_graph(
+        genome_size=8000, n_reads=60, read_len=2000, seed=5
+    )
+    MG.audit_strand_symmetry(mg, "test")  # clean graph passes
+
+    rc_save = mg.rc_vertex.copy()
+    if mg.vertex_count >= 2:
+        mg.rc_vertex[0], mg.rc_vertex[1] = mg.rc_vertex[1], mg.rc_vertex[0]
+        if not MG.check_strand_symmetry(mg):
+            with pytest.raises(RuntimeError):
+                MG.audit_strand_symmetry(mg, "test")
+        mg.rc_vertex = rc_save
+    if mg.rc_edge is not None and mg.rc_edge.shape[0] >= 1:
+        mg.rc_edge = mg.rc_edge.copy()
+        mg.rc_edge[0] = -1
+        with pytest.raises(RuntimeError):
+            MG.audit_strand_symmetry(mg, "test")
