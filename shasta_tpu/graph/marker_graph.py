@@ -263,6 +263,7 @@ def create_marker_graph_vertices(
     max_coverage: int = 100,
     min_coverage_per_strand: int = 0,
     allow_duplicate_markers: bool = False,
+    labels: Optional[np.ndarray] = None,
 ) -> MarkerGraph:
     """Union markers, filter by coverage, flag bad sets, renumber.
 
@@ -282,7 +283,13 @@ def create_marker_graph_vertices(
             vertex_markers=np.zeros(0, np.int64),
             rc_vertex=np.zeros(0, np.int64),
         )
-    label = union_find_labels(total, unite_u, unite_v)
+    # A mesh-sharded union-find may supply precomputed labels (they
+    # are verified identical to the host labeling by construction).
+    label = (
+        labels
+        if labels is not None
+        else union_find_labels(total, unite_u, unite_v)
+    )
 
     # Coverage per set.
     reps, inverse, cov = np.unique(label, return_inverse=True, return_counts=True)

@@ -411,6 +411,43 @@ def _pad_rows(rows: List[np.ndarray], width: int, pad: int) -> np.ndarray:
     return out
 
 
+def _pad_from_csr(
+    flat: np.ndarray,
+    off: np.ndarray,
+    lens: np.ndarray,
+    ids: np.ndarray,
+    L: int,
+    pad: int,
+) -> np.ndarray:
+    """Padded (len(ids), L) int32 matrix of CSR rows ``ids`` — one
+    vectorized gather instead of a per-row Python loop (the reference
+    hands each thread contiguous marker spans; here the batch is built
+    in one shot, reference: AssemblerAlign.cpp:308 work distribution)."""
+    ids = np.asarray(ids, np.int64)
+    ar = np.arange(L, dtype=np.int64)
+    idx = off[ids][:, None] + ar[None, :]
+    valid = ar[None, :] < lens[ids][:, None]
+    np.minimum(idx, max(flat.shape[0] - 1, 0), out=idx)
+    if flat.shape[0] == 0:
+        return np.full((ids.shape[0], L), pad, np.int32)
+    return np.where(valid, flat[idx], np.int32(pad)).astype(np.int32, copy=False)
+
+
+def _bucket_vec(n: np.ndarray, buckets) -> np.ndarray:
+    """Vectorized _bucket: smallest bucket >= n, extending past the
+    table in power-of-2 steps."""
+    b = np.asarray(buckets, np.int64)
+    n = np.asarray(n, np.int64)
+    idx = np.searchsorted(b, n)
+    out = b[np.minimum(idx, len(b) - 1)]
+    over = n > b[-1]
+    if over.any():
+        steps = np.ceil(np.log2(n[over] / b[-1])).astype(np.int64)
+        out = out.copy()
+        out[over] = b[-1] * (1 << steps)
+    return out
+
+
 def _dispatch_bucket(
     a_rows: List[np.ndarray],
     b_rows: List[np.ndarray],
@@ -425,11 +462,14 @@ def _dispatch_bucket(
     batch costs exactly one device->host round trip.
     """
     from shasta_tpu.ops import align_pallas
+    from shasta_tpu.parallel.context import current_mesh
 
     LA = _bucket(max(r.shape[0] for r in a_rows), _LEN_BUCKETS)
     LB = _bucket(max(r.shape[0] for r in b_rows), _LEN_BUCKETS)
     n = len(a_rows)
     use_pallas = _pallas_available() and align_pallas.supported(LA, W)
+    mesh = current_mesh()
+    mesh_d = mesh.devices.size if mesh is not None else 1
 
     pending = []
     if use_pallas:
@@ -447,6 +487,10 @@ def _dispatch_bucket(
     else:
         max_b = max(8, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
     max_b -= max_b % 8
+    if mesh_d > 1:
+        # Pairs shard data-parallel over the mesh: per-batch size must
+        # divide evenly across devices.
+        max_b = max(mesh_d, max_b - (max_b % mesh_d))
     for lo in range(0, n, max_b):
         hi = min(lo + max_b, n)
         if hi - lo == max_b:
@@ -459,6 +503,8 @@ def _dispatch_bucket(
             # reuses the SAME compiled kernel as the full batches —
             # each new (B, LA, LB, W) shape costs a fresh compilation.
             B = max_b
+        if mesh_d > 1 and B % mesh_d:
+            B += mesh_d - (B % mesh_d)
         pad = B - (hi - lo)
         a = _pad_rows(a_rows[lo:hi] + [np.zeros(0, np.int32)] * pad, LA, -1)
         b = _pad_rows(b_rows[lo:hi] + [np.zeros(0, np.int32)] * pad, LB, -2)
@@ -471,20 +517,45 @@ def _dispatch_bucket(
         bm = np.concatenate([band_mins[lo:hi], np.zeros(pad)]).astype(np.int32)
 
         if use_pallas:
-            fused = align_pallas.banded_align_pairs(
-                a,
-                a_len,
-                b,
-                b_len,
-                bm,
-                LA=LA,
-                LB=LB,
+            if mesh_d > 1:
+                # Pairs shard over the mesh; each device runs the same
+                # Pallas kernel on its 1/D slice of the batch.
+                from shasta_tpu.parallel.mesh import sharded_pallas_align
+
+                fused = sharded_pallas_align(
+                    mesh, a, a_len, b, b_len, bm,
+                    LA=LA, LB=LB, W=W,
+                    match=params.match_score,
+                    mismatch=params.mismatch_score,
+                    gap=params.gap_score,
+                )
+            else:
+                fused = align_pallas.banded_align_pairs(
+                    a,
+                    a_len,
+                    b,
+                    b_len,
+                    bm,
+                    LA=LA,
+                    LB=LB,
+                    W=W,
+                    match=params.match_score,
+                    mismatch=params.mismatch_score,
+                    gap=params.gap_score,
+                )
+            pending.append(("pallas", fused, hi - lo))
+        elif mesh_d > 1:
+            from shasta_tpu.parallel.mesh import sharded_forward_traceback
+
+            m0, m1 = sharded_forward_traceback(
+                mesh, a, a_len, b, b_len, bm,
                 W=W,
                 match=params.match_score,
                 mismatch=params.mismatch_score,
                 gap=params.gap_score,
+                n_steps=int(LA + LB),
             )
-            pending.append(("pallas", fused, hi - lo))
+            pending.append(("jnp", (m0, m1), hi - lo))
         else:
             # The row-scan jnp path dispatches one op per DP row; on a
             # remote-relay TPU that is catastrophic (~150 ms/dispatch),

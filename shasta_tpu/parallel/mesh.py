@@ -27,7 +27,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8
+    from jax import shard_map as _shard_map_new
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map_new(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from shasta_tpu.utils import jaxsetup  # noqa: F401
 from shasta_tpu.ops.align import _banded_forward
@@ -74,6 +84,45 @@ def sharded_banded_forward(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(fn)(a, a_len, b, b_len, band_min)
+
+
+def sharded_forward_traceback(
+    mesh: Mesh,
+    a: np.ndarray,  # (B, LA) int32, B divisible by mesh size
+    a_len: np.ndarray,
+    b: np.ndarray,  # (B, LB)
+    b_len: np.ndarray,
+    band_min: np.ndarray,
+    *,
+    W: int,
+    match: int,
+    mismatch: int,
+    gap: int,
+    n_steps: int,
+):
+    """Forward DP + traceback for one shape bucket, pairs data-parallel
+    over the mesh. Each device runs the identical batched scan on its
+    pair shard; results are identical to the single-device path (the
+    1-vs-N-device pipeline identity test relies on this)."""
+    from shasta_tpu.ops.align import traceback as _traceback
+
+    axis = mesh.axis_names[0]
+
+    def local(a, a_len, b, b_len, bm):
+        dirs, best_i, best_d, _best_val = _banded_forward(
+            a, a_len, b, b_len, bm, W, match, mismatch, gap
+        )
+        m0, m1 = _traceback(dirs, a, b, bm, best_i, best_d, n_steps=n_steps)
+        return m0, m1  # (n_steps, B_local) each
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(None, axis), P(None, axis)),
         check_rep=False,
     )
     return jax.jit(fn)(a, a_len, b, b_len, band_min)
@@ -206,20 +255,23 @@ def sharded_find_candidates(
         src_dev = np.clip(src_dev, 0, D - 1)
         dest_dev = buckets % D
 
-        counts = np.bincount(src_dev * D + dest_dev, minlength=D * D)
+        lin = src_dev * D + dest_dev
+        counts = np.bincount(lin, minlength=D * D)
         cap = max(8, int(counts.max()))
         # Fields: orid, bucket, hash_high lo16, hash_high hi16 — the
         # full 32 collision-filter bits survive int32 transport.
-        buf = np.full((D, D, cap, 4), -1, np.int32)
-        fill = np.zeros((D, D), np.int64)
-        for t in range(orids.shape[0]):
-            s, d = int(src_dev[t]), int(dest_dev[t])
-            w = fill[s, d]
-            buf[s, d, w, 0] = orids[t]
-            buf[s, d, w, 1] = buckets[t] & 0x7FFFFFFF
-            buf[s, d, w, 2] = hash_high[t] & 0xFFFF
-            buf[s, d, w, 3] = (hash_high[t] >> 16) & 0xFFFF
-            fill[s, d] = w + 1
+        # Vectorized fill: sort entries by (src, dest) cell, slot =
+        # rank within the cell.
+        order0 = np.argsort(lin, kind="stable")
+        lin_s = lin[order0]
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        slot = np.arange(lin_s.shape[0], dtype=np.int64) - starts[lin_s]
+        buf = np.full((D * D, cap, 4), -1, np.int32)
+        buf[lin_s, slot, 0] = orids[order0]
+        buf[lin_s, slot, 1] = (buckets[order0] & 0x7FFFFFFF).astype(np.int32)
+        buf[lin_s, slot, 2] = (hash_high[order0] & 0xFFFF).astype(np.int32)
+        buf[lin_s, slot, 3] = ((hash_high[order0] >> 16) & 0xFFFF).astype(np.int32)
+        buf = buf.reshape(D, D, cap, 4)
 
         # Device all_to_all: buf[s] lives on device s; after the
         # exchange device d holds buf[:, d] (all entries destined to
@@ -328,6 +380,108 @@ def sharded_union_find(
         check_rep=False,
     )
     return jax.jit(fn)(u, v)
+
+
+def sharded_pallas_align(
+    mesh: Mesh,
+    a: np.ndarray,
+    a_len: np.ndarray,
+    b: np.ndarray,
+    b_len: np.ndarray,
+    band_min: np.ndarray,
+    *,
+    LA: int,
+    LB: int,
+    W: int,
+    match: int,
+    mismatch: int,
+    gap: int,
+):
+    """The fused Pallas alignment kernel with pairs sharded over the
+    mesh (multi-chip TPU pods; single-chip runs call the kernel
+    directly)."""
+    from shasta_tpu.ops import align_pallas
+
+    axis = mesh.axis_names[0]
+
+    def local(a, a_len, b, b_len, bm):
+        return align_pallas.banded_align_pairs(
+            a, a_len, b, b_len, bm,
+            LA=LA, LB=LB, W=W, match=match, mismatch=mismatch, gap=gap,
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return jax.jit(fn)(a, a_len, b, b_len, band_min)
+
+
+def sharded_union_find_labels(
+    mesh: Mesh, n: int, u: np.ndarray, v: np.ndarray
+) -> np.ndarray:
+    """Host wrapper around :func:`sharded_union_find` for the pipeline:
+    pads the unite pairs to the mesh size, runs the device min-hooking
+    rounds, then verifies convergence the way the reference audits its
+    parent-flattening passes (reference:
+    src/AssemblerMarkerGraph.cpp:141-151) — any residual unions (rare:
+    components with very long hooking chains) are finished on host, so
+    the result is always exactly the min-member labeling of
+    ``union_find_labels``."""
+    from shasta_tpu.graph.marker_graph import union_find_labels
+
+    if u.shape[0] == 0:
+        return np.arange(n, dtype=np.int64)
+    if n >= 2**31:
+        # Device labels are int32 (TPU-friendly); beyond that the
+        # label table must be sharded too (future work) — host path.
+        return union_find_labels(n, u, v)
+    D = mesh.devices.size
+    u = np.asarray(u, np.int64)
+    v = np.asarray(v, np.int64)
+    pad = (-u.shape[0]) % D
+    if pad:
+        # Self-loop padding unites nothing.
+        u_p = np.concatenate([u, np.zeros(pad, np.int64)])
+        v_p = np.concatenate([v, np.zeros(pad, np.int64)])
+    else:
+        u_p, v_p = u, v
+    label = np.asarray(
+        sharded_union_find(
+            mesh,
+            n,
+            jnp.asarray(u_p.astype(np.int32)),
+            jnp.asarray(v_p.astype(np.int32)),
+        )
+    ).astype(np.int64)
+    # Convergence audit + host finish for any stragglers.
+    while True:
+        nl = label[label]
+        if np.array_equal(nl, label):
+            break
+        label = nl
+    lu, lv = label[u], label[v]
+    diff = lu != lv
+    if diff.any():
+        lo = np.minimum(lu[diff], lv[diff])
+        hi = np.maximum(lu[diff], lv[diff])
+        while True:
+            np.minimum.at(label, hi, lo)
+            while True:
+                nl = label[label]
+                if np.array_equal(nl, label):
+                    break
+                label = nl
+            lu, lv = label[u], label[v]
+            diff = lu != lv
+            if not diff.any():
+                break
+            lo = np.minimum(lu[diff], lv[diff])
+            hi = np.maximum(lu[diff], lv[diff])
+    return label
 
 
 # ---------------------------------------------------------------------------

@@ -53,12 +53,24 @@ class Assembler:
     Assembler stages (reference: src/Assembler.hpp) so Python-driven
     stage-wise runs look the same."""
 
-    def __init__(self, run_dir: str, config: Optional[AssemblyConfig] = None):
+    def __init__(
+        self,
+        run_dir: str,
+        config: Optional[AssemblyConfig] = None,
+        mesh=None,
+    ):
         self.run_dir = run_dir
         os.makedirs(run_dir, exist_ok=True)
         self.store = RunStore(run_dir)
         self.config = config or AssemblyConfig()
         self.log = PerformanceLog(os.path.join(run_dir, "performance.log"))
+        # Multi-device execution: when a jax.sharding.Mesh is supplied
+        # the collective-bearing stages (LowHash bucket all-to-all,
+        # alignment batches, union-find hooking rounds) run sharded
+        # over it — the TPU-native counterpart of the reference's
+        # thread pool (reference: src/MultithreadedObject.hpp:33-99).
+        # Output is identical to the single-device path (tested).
+        self.mesh = mesh
 
         self.reads: Optional[ReadStore] = None
         self.kmer_table: Optional[KmerTable] = None
@@ -233,7 +245,21 @@ class Assembler:
                 min_frequency=cm.min_frequency,
             )
             lh_stats: Dict = {}
-            if cm.version == 1:
+            if (
+                self.mesh is not None
+                and self.mesh.devices.size > 1
+                and cm.version == 0
+            ):
+                # LowHash buckets exchanged via device all-to-all
+                # (reference analog: the shared-memory bucket fill,
+                # src/LowHash0.cpp:169-182). Produces the identical
+                # candidate set as the host path.
+                from shasta_tpu.parallel.mesh import sharded_find_candidates
+
+                self.candidates = sharded_find_candidates(
+                    self.mesh, self.markers, params, self.reads.is_palindromic
+                )
+            elif cm.version == 1:
                 # LowHash1: records common-feature ordinals per
                 # candidate (reference: AssemblerLowHash.cpp:137).
                 with_ords = LH.find_candidates_lowhash1(
@@ -283,8 +309,10 @@ class Assembler:
             self.store.save_stage("AlignmentCandidates", self.candidates.arrays())
 
     def compute_alignments(self) -> None:
+        from shasta_tpu.parallel.context import use_mesh
+
         ca = self.config.align
-        with self.log.stage("computeAlignments"):
+        with self.log.stage("computeAlignments"), use_mesh(self.mesh):
             params = AlignParams(
                 match_score=ca.match_score,
                 mismatch_score=ca.mismatch_score,
@@ -405,10 +433,25 @@ class Assembler:
             u, v = MG.gather_unite_pairs(
                 self.markers, self.read_graph, self.alignments, self.reads.is_chimeric
             )
+            labels = None
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                # Union-find min-hooking rounds run edge-parallel over
+                # the mesh (reference analog: the lock-free CAS DSU,
+                # src/dset64-gccAtomic.hpp); the wrapper verifies
+                # convergence so labels match the host path exactly.
+                from shasta_tpu.parallel.mesh import sharded_union_find_labels
+
+                labels = sharded_union_find_labels(
+                    self.mesh, self.markers.total_count, u, v
+                )
             min_cov = cm.min_coverage
             if min_cov == 0:
                 # Histogram of disjoint-set sizes for auto selection.
-                label = MG.union_find_labels(self.markers.total_count, u, v)
+                label = (
+                    labels
+                    if labels is not None
+                    else MG.union_find_labels(self.markers.total_count, u, v)
+                )
                 _, counts = np.unique(label, return_counts=True)
                 hist = np.bincount(counts)
                 # DisjointSetsHistogram.csv (reference:
@@ -431,6 +474,7 @@ class Assembler:
                 max_coverage=cm.max_coverage,
                 min_coverage_per_strand=cm.min_coverage_per_strand,
                 allow_duplicate_markers=cm.allow_duplicate_markers,
+                labels=labels,
             )
             MG.audit_strand_symmetry(self.marker_graph, "vertex creation")
         if cm.allow_duplicate_markers and cm.cleanup_duplicate_markers:
@@ -753,11 +797,15 @@ def run_assembly(
     input_files: List[str],
     run_dir: str,
     config: Optional[AssemblyConfig] = None,
+    mesh=None,
 ) -> Dict:
     """The full mode-0 pipeline (reference call sequence:
-    srcMain/main.cpp:516-830 + mode0Assembly :845-1045)."""
+    srcMain/main.cpp:516-830 + mode0Assembly :845-1045).
+
+    ``mesh``: optional jax.sharding.Mesh — when provided, the hot
+    stages execute sharded over its devices with identical output."""
     t0 = time.monotonic()
-    a = Assembler(run_dir, config)
+    a = Assembler(run_dir, config, mesh=mesh)
     from shasta_tpu.utils.perf import Tee
 
     with Tee(os.path.join(run_dir, "stdout.log")):

