@@ -278,6 +278,56 @@ int flag_chimeric_reads(
     return 0;
 }
 
+// Strand separation method 2's sequential spanning-forest pass
+// (reference: flagCrossStrandReadGraphEdges2,
+// src/AssemblerReadGraph.cpp:1051): process RC edge pairs in the
+// caller-supplied order over a union-find of oriented reads; a pair
+// whose addition would merge a component with its own reverse
+// complement is flagged cross-strand and not added. The ordering
+// (decreasing aligned-marker count) is computed vectorized in Python;
+// this is just the inherently sequential DSU sweep.
+int cross_strand_edges2(
+    int64_t n_or,
+    const int64_t* orid0,
+    const int64_t* orid1,
+    const int64_t* pairs,      // even edge ids, processing order
+    int64_t n_pairs,
+    uint8_t* crosses,          // [n_edges] in/out
+    int64_t* n_flagged)
+{
+    std::vector<int64_t> parent(n_or);
+    for (int64_t i = 0; i < n_or; ++i) parent[i] = i;
+    auto find = [&parent](int64_t x) {
+        while (parent[x] != x) { parent[x] = parent[parent[x]]; x = parent[x]; }
+        return x;
+    };
+    auto unite = [&parent, &find](int64_t a, int64_t b) {
+        const int64_t ra = find(a), rb = find(b);
+        if (ra != rb) parent[ra > rb ? ra : rb] = (ra > rb ? rb : ra);
+    };
+
+    int64_t flagged = 0;
+    for (int64_t t = 0; t < n_pairs; ++t) {
+        const int64_t e = pairs[t];
+        int64_t A0 = orid0[e], B0 = orid1[e];
+        int64_t A1 = orid0[e + 1], B1 = orid1[e + 1];
+        if ((A1 >> 1) != (A0 >> 1)) { const int64_t tmp = A1; A1 = B1; B1 = tmp; }
+        const int64_t a0 = find(A0), b0 = find(B0);
+        const int64_t b1 = find(B1);
+        if (a0 == b0) continue;
+        if (a0 == b1) {
+            crosses[e] = 1;
+            crosses[e + 1] = 1;
+            flagged += 2;
+            continue;
+        }
+        unite(a0, b0);
+        unite(find(A1), b1);
+    }
+    *n_flagged = flagged;
+    return 0;
+}
+
 // For each read: is (read, 1) reachable from (read, 0) within
 // max_distance edges? (strand separation method 1's first phase,
 // reference: flagCrossStrandReadGraphEdges1ThreadFunction,

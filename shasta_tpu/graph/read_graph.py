@@ -432,6 +432,27 @@ def flag_cross_strand_edges2(
     Sets graph.crosses_strands in place; returns the flagged count.
     """
     n_or = graph.n_oriented_reads
+    pairs = np.arange(0, graph.edge_count, 2, dtype=np.int64)
+    aids = graph.alignment_id[pairs]
+    mc = alignments.marker_count[aids]
+    ok = np.ones(pairs.shape[0], dtype=bool)
+    if is_chimeric is not None:
+        ok &= ~is_chimeric[alignments.read_id0[aids]]
+        ok &= ~is_chimeric[alignments.read_id1[aids]]
+    pairs, mc = pairs[ok], mc[ok]
+    # Decreasing marker count; ties by edge id ascending (matches the
+    # reference's per-bucket insertion order).
+    order = np.lexsort((pairs, -mc.astype(np.int64)))
+    ordered = pairs[order]
+
+    # Native sequential DSU sweep (the ordering above is the
+    # vectorized part; the sweep itself is inherently sequential).
+    from shasta_tpu import native
+
+    flagged = native.cross_strand_edges2_native(graph, ordered)
+    if flagged is not None:
+        return flagged
+
     parent = list(range(n_or))
 
     def find(x: int) -> int:
@@ -445,20 +466,8 @@ def flag_cross_strand_edges2(
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    pairs = np.arange(0, graph.edge_count, 2, dtype=np.int64)
-    aids = graph.alignment_id[pairs]
-    mc = alignments.marker_count[aids]
-    ok = np.ones(pairs.shape[0], dtype=bool)
-    if is_chimeric is not None:
-        ok &= ~is_chimeric[alignments.read_id0[aids]]
-        ok &= ~is_chimeric[alignments.read_id1[aids]]
-    pairs, mc = pairs[ok], mc[ok]
-    # Decreasing marker count; ties by edge id ascending (matches the
-    # reference's per-bucket insertion order).
-    order = np.lexsort((pairs, -mc.astype(np.int64)))
-
     flagged = 0
-    for e in pairs[order]:
+    for e in ordered:
         A0, B0 = int(graph.orid0[e]), int(graph.orid1[e])
         A1, B1 = int(graph.orid0[e + 1]), int(graph.orid1[e + 1])
         if (A1 >> 1) != (A0 >> 1):  # normalization may have swapped
@@ -802,86 +811,176 @@ def flag_inconsistent_alignments(
     Sets graph.inconsistent in place; returns the flagged edge count.
     """
     offsets = edge_average_offsets(graph, alignments)
-    adj_off, adj_e = graph.adj_offsets, graph.adj_edges
     orid0, orid1 = graph.orid0, graph.orid1
 
-    def other(ei, v):
-        return int(orid1[ei]) if orid0[ei] == v else int(orid0[ei])
+    # ---- Vectorized triangle enumeration (replaces the former
+    # O(deg^3) per-vertex Python loops; the reference runs this pass
+    # multithreaded, here it is one set of array passes). Triangles
+    # (v0 < v1 < v2, v0 on strand 0) are wedges around the middle
+    # vertex v1 closed by an edge (v0, v2). ----
+    dead0 = graph.crosses_strands | graph.inconsistent
+    live = ~dead0
+    if is_chimeric is not None:
+        live &= ~is_chimeric[orid0 >> 1] & ~is_chimeric[orid1 >> 1]
+    eids = np.flatnonzero(live)
+    if eids.shape[0] == 0:
+        return 0
+    p = orid0[eids]  # p < q by construction
+    q = orid1[eids]
+    n_or = graph.n_oriented_reads
 
-    def oriented(ei, u):
-        """Offset from u to the other endpoint."""
-        v = other(ei, u)
-        return offsets[ei] if u < v else -offsets[ei]
+    # CSR of edges by higher endpoint (lower neighbors of each vertex)
+    # and by lower endpoint (higher neighbors).
+    ord_by_q = np.argsort(q, kind="stable")
+    low_e = eids[ord_by_q]  # edge ids grouped by their higher endpoint
+    low_cnt = np.bincount(q, minlength=n_or)
+    low_off = np.concatenate(([0], np.cumsum(low_cnt)))
+    ord_by_p = np.argsort(p, kind="stable")
+    high_e = eids[ord_by_p]
+    high_cnt = np.bincount(p, minlength=n_or)
+    high_off = np.concatenate(([0], np.cumsum(high_cnt)))
 
-    flagged_ids = set()
-
-    for read0 in range(n_reads):
-        if is_chimeric is not None and is_chimeric[read0]:
-            continue
-        v0 = 2 * read0
-        for e01 in adj_e[adj_off[v0] : adj_off[v0 + 1]]:
-            e01 = int(e01)
-            v1 = other(e01, v0)
-            if v1 < v0:
-                continue
-            if is_chimeric is not None and is_chimeric[v1 >> 1]:
-                continue
-            if graph.crosses_strands[e01] or graph.inconsistent[e01] or e01 in flagged_ids:
-                continue
-            off01 = oriented(e01, v0)
-            for e12 in adj_e[adj_off[v1] : adj_off[v1 + 1]]:
-                e12 = int(e12)
-                v2 = other(e12, v1)
-                if v2 < v1:
-                    continue
-                if is_chimeric is not None and is_chimeric[v2 >> 1]:
-                    continue
-                if graph.crosses_strands[e12] or graph.inconsistent[e12] or e12 in flagged_ids:
-                    continue
-                off12 = oriented(e12, v1)
-                for e20 in adj_e[adj_off[v2] : adj_off[v2 + 1]]:
-                    e20 = int(e20)
-                    if graph.crosses_strands[e20] or graph.inconsistent[e20] or e20 in flagged_ids:
-                        continue
-                    if other(e20, v2) != v0:
-                        continue
-                    err = off01 + off12 + oriented(e20, v2)
-                    if abs(err) < triangle_error_threshold:
-                        continue
-
-                    # Least-squares cleanup of the local neighborhood.
-                    dead = graph.crosses_strands | graph.inconsistent
-                    for fe in flagged_ids:
-                        dead[fe] = True
-                    verts, edges = _local_neighborhood(
-                        graph, (v0, v1, v2), least_square_max_distance,
-                        is_chimeric, dead,
+    # Wedge expansion around every middle vertex v1.
+    n_wedge_v = low_cnt * high_cnt
+    total = int(n_wedge_v.sum())
+    tris = []
+    if total:
+        wedge_v1 = np.repeat(np.arange(n_or, dtype=np.int64), n_wedge_v)
+        starts = np.concatenate(([0], np.cumsum(n_wedge_v)))
+        t = np.arange(total, dtype=np.int64) - starts[wedge_v1]
+        i_low = t // high_cnt[wedge_v1]
+        i_high = t - i_low * high_cnt[wedge_v1]
+        e01 = low_e[low_off[wedge_v1] + i_low]
+        e12 = high_e[high_off[wedge_v1] + i_high]
+        v0 = orid0[e01]
+        v2 = orid1[e12]
+        # v0 must be on strand 0 (the loop starts at (read0, 0)).
+        sel = (v0 & 1) == 0
+        e01, e12, v0, v2 = e01[sel], e12[sel], v0[sel], v2[sel]
+        wv1 = wedge_v1[sel]
+        # Closing edges (v0, v2): all parallel edges via key ranges.
+        keys = p.astype(np.int64) * n_or + q.astype(np.int64)
+        kord = np.argsort(keys, kind="stable")
+        keys_s = keys[kord]
+        e_by_key = eids[kord]
+        want = v0 * n_or + v2
+        lo_i = np.searchsorted(keys_s, want, side="left")
+        hi_i = np.searchsorted(keys_s, want, side="right")
+        n_close = hi_i - lo_i
+        have = n_close > 0
+        if have.any():
+            e01, e12, v0, v2, wv1 = (
+                e01[have], e12[have], v0[have], v2[have], wv1[have]
+            )
+            lo_i, n_close = lo_i[have], n_close[have]
+            # Expand parallel closing edges.
+            rep = np.repeat(np.arange(lo_i.shape[0]), n_close)
+            kidx = np.repeat(lo_i, n_close) + (
+                np.arange(int(n_close.sum()), dtype=np.int64)
+                - np.repeat(
+                    np.concatenate(([0], np.cumsum(n_close)))[:-1], n_close
+                )
+            )
+            e20 = e_by_key[kidx]
+            e01x, e12x, v0x, v1x, v2x = (
+                e01[rep], e12[rep], v0[rep], wv1[rep], v2[rep]
+            )
+            # Closure error with lowest-first edge offsets:
+            # v0->v1 (+), v1->v2 (+), v2->v0 (-).
+            err = offsets[e01x] + offsets[e12x] - offsets[e20]
+            bad = np.abs(err) >= triangle_error_threshold
+            if bad.any():
+                # Replay order = the original nested-loop visit order:
+                # (v0, pos(e01) in adj[v0], pos(e12) in adj[v1],
+                #  pos(e20) in adj[v2]).
+                i01 = _pos_in_adj(graph, e01x[bad], v0x[bad])
+                i12 = _pos_in_adj(graph, e12x[bad], v1x[bad])
+                i20 = _pos_in_adj(graph, e20[bad], v2x[bad])
+                order = np.lexsort((i20, i12, i01, v0x[bad]))
+                bidx = np.flatnonzero(bad)[order]
+                tris = list(
+                    zip(
+                        v0x[bidx].tolist(), v1x[bidx].tolist(),
+                        v2x[bidx].tolist(), e01x[bidx].tolist(),
+                        e12x[bidx].tolist(), e20[bidx].tolist(),
                     )
-                    edges = [e for e in edges if not dead[e]]
-                    if not edges:
-                        continue
-                    vindex = {v: i for i, v in enumerate(verts)}
-                    while edges:
-                        x = _least_square_positions(vindex, edges, graph, offsets)
-                        worst, worst_res = None, -1.0
-                        for ei in edges:
-                            u, w = int(orid0[ei]), int(orid1[ei])
-                            if u > w:
-                                u, w = w, u
-                            res = abs(
-                                (x[vindex[w]] - x[vindex[u]]) + offsets[ei]
-                            )
-                            if res > worst_res:
-                                worst, worst_res = ei, res
-                        if worst_res < least_square_error_threshold:
-                            break
-                        flagged_ids.add(worst)
-                        flagged_ids.add(worst ^ 1)
-                        edges = [e for e in edges if e != worst and e != (worst ^ 1)]
+                )
+
+    # ---- Least-squares repair, replayed over the (few) violating
+    # triangles in visit order, with live flag re-checks exactly like
+    # the sequential loop. ----
+    flagged_ids = set()
+    # Flag re-checks happen at the same granularity as the sequential
+    # loop: e01 once per (v0, e01) group, e12 once per (v0, e01, e12)
+    # group, e20 per triangle (flags set mid-group do not retroactively
+    # skip the rest of that group).
+    cur01 = cur12 = None
+    allow01 = allow12 = False
+    for v0, v1, v2, e01, e12, e20 in tris:
+        if (v0, e01) != cur01:
+            cur01 = (v0, e01)
+            allow01 = e01 not in flagged_ids
+            cur12 = None
+        if not allow01:
+            continue
+        if (v0, e01, e12) != cur12:
+            cur12 = (v0, e01, e12)
+            allow12 = e12 not in flagged_ids
+        if not allow12:
+            continue
+        if e20 in flagged_ids:
+            continue
+        dead = graph.crosses_strands | graph.inconsistent
+        for fe in flagged_ids:
+            dead[fe] = True
+        verts, edges = _local_neighborhood(
+            graph, (v0, v1, v2), least_square_max_distance,
+            is_chimeric, dead,
+        )
+        edges = [e for e in edges if not dead[e]]
+        if not edges:
+            continue
+        vindex = {v: i for i, v in enumerate(verts)}
+        while edges:
+            x = _least_square_positions(vindex, edges, graph, offsets)
+            worst, worst_res = None, -1.0
+            for ei in edges:
+                u, w = int(orid0[ei]), int(orid1[ei])
+                if u > w:
+                    u, w = w, u
+                res = abs((x[vindex[w]] - x[vindex[u]]) + offsets[ei])
+                if res > worst_res:
+                    worst, worst_res = ei, res
+            if worst_res < least_square_error_threshold:
+                break
+            flagged_ids.add(worst)
+            flagged_ids.add(worst ^ 1)
+            edges = [e for e in edges if e != worst and e != (worst ^ 1)]
 
     for ei in flagged_ids:
         graph.inconsistent[ei] = True
     return len(flagged_ids)
+
+
+def _pos_in_adj(graph: ReadGraph, edges: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Position of each edge within the adjacency list of the given
+    endpoint (for replaying the sequential visit order)."""
+    # Build (vertex, position) -> edge from the CSR once; invert to
+    # edge+endpoint -> position.
+    n_inc = graph.adj_edges.shape[0]
+    inc_vertex = np.repeat(
+        np.arange(graph.n_oriented_reads, dtype=np.int64),
+        np.diff(graph.adj_offsets),
+    )
+    inc_pos = np.arange(n_inc, dtype=np.int64) - graph.adj_offsets[inc_vertex]
+    # Each (edge, endpoint) pair appears exactly once.
+    key_inc = graph.adj_edges * (2 ** 1) + (
+        inc_vertex == graph.orid1[graph.adj_edges]
+    ).astype(np.int64)
+    pos_of = np.zeros(2 * graph.edge_count, dtype=np.int64)
+    pos_of[key_inc] = inc_pos
+    want = edges * 2 + (verts == graph.orid1[edges]).astype(np.int64)
+    return pos_of[want]
 
 
 def remove_read_graph_bridges(

@@ -243,3 +243,26 @@ def near_strand_jump_native(graph, n_reads: int, max_distance: int):
         _u8p(out),
     )
     return out.astype(bool)
+
+
+def cross_strand_edges2_native(graph, pairs_in_order: np.ndarray):
+    """Strand separation method 2's sequential DSU sweep (reference:
+    flagCrossStrandReadGraphEdges2, src/AssemblerReadGraph.cpp:1051),
+    or None if the native library is unavailable. Sets
+    graph.crosses_strands in place and returns the flagged count."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    crosses = np.ascontiguousarray(graph.crosses_strands, np.uint8)
+    n_flagged = np.zeros(1, np.int64)
+    lib.cross_strand_edges2(
+        ctypes.c_int64(graph.n_oriented_reads),
+        _i64p(np.ascontiguousarray(graph.orid0, np.int64)),
+        _i64p(np.ascontiguousarray(graph.orid1, np.int64)),
+        _i64p(np.ascontiguousarray(pairs_in_order, np.int64)),
+        ctypes.c_int64(pairs_in_order.shape[0]),
+        _u8p(crosses),
+        _i64p(n_flagged),
+    )
+    graph.crosses_strands[:] = crosses.astype(bool)
+    return int(n_flagged[0])

@@ -461,17 +461,47 @@ def _dispatch_bucket(
     deferred so that all buckets/batches overlap on device and each
     batch costs exactly one device->host round trip.
     """
-    from shasta_tpu.ops import align_pallas
-    from shasta_tpu.parallel.context import current_mesh
-
     LA = _bucket(max(r.shape[0] for r in a_rows), _LEN_BUCKETS)
     LB = _bucket(max(r.shape[0] for r in b_rows), _LEN_BUCKETS)
     n = len(a_rows)
+    use_pallas, mesh, mesh_d = _dispatch_mode(LA, W)
+
+    pending = []
+    for lo, hi, B in _batch_plan(n, LA, LB, W, use_pallas, mesh_d):
+        pad = B - (hi - lo)
+        a = _pad_rows(a_rows[lo:hi] + [np.zeros(0, np.int32)] * pad, LA, -1)
+        b = _pad_rows(b_rows[lo:hi] + [np.zeros(0, np.int32)] * pad, LB, -2)
+        a_len = np.array(
+            [r.shape[0] for r in a_rows[lo:hi]] + [0] * pad, np.int32
+        )
+        b_len = np.array(
+            [r.shape[0] for r in b_rows[lo:hi]] + [0] * pad, np.int32
+        )
+        bm = np.concatenate([band_mins[lo:hi], np.zeros(pad)]).astype(np.int32)
+        pending.append(
+            _dispatch_padded(
+                a, a_len, b, b_len, bm, LA, LB, W, hi - lo, params,
+                use_pallas, mesh, mesh_d,
+            )
+        )
+    return pending
+
+
+def _dispatch_mode(LA: int, W: int):
+    """(use_pallas, mesh, mesh_devices) for a shape bucket."""
+    from shasta_tpu.ops import align_pallas
+    from shasta_tpu.parallel.context import current_mesh
+
     use_pallas = _pallas_available() and align_pallas.supported(LA, W)
     mesh = current_mesh()
     mesh_d = mesh.devices.size if mesh is not None else 1
+    return use_pallas, mesh, mesh_d
 
-    pending = []
+
+def _batch_plan(n: int, LA: int, LB: int, W: int, use_pallas: bool, mesh_d: int):
+    """Chunk n pairs into (lo, hi, padded_B) batches."""
+    if n == 0:
+        return
     if use_pallas:
         # The Pallas kernel streams blocks through VMEM, so HBM would
         # allow much larger batches — but every distinct batch size is
@@ -505,17 +535,71 @@ def _dispatch_bucket(
             B = max_b
         if mesh_d > 1 and B % mesh_d:
             B += mesh_d - (B % mesh_d)
-        pad = B - (hi - lo)
-        a = _pad_rows(a_rows[lo:hi] + [np.zeros(0, np.int32)] * pad, LA, -1)
-        b = _pad_rows(b_rows[lo:hi] + [np.zeros(0, np.int32)] * pad, LB, -2)
-        a_len = np.array(
-            [r.shape[0] for r in a_rows[lo:hi]] + [0] * pad, np.int32
-        )
-        b_len = np.array(
-            [r.shape[0] for r in b_rows[lo:hi]] + [0] * pad, np.int32
-        )
-        bm = np.concatenate([band_mins[lo:hi], np.zeros(pad)]).astype(np.int32)
+        yield lo, hi, B
 
+
+def _dispatch_csr(
+    flat: np.ndarray,
+    off: np.ndarray,
+    lens: np.ndarray,
+    ids_a: np.ndarray,
+    ids_b: np.ndarray,
+    band_mins: np.ndarray,
+    W: int,
+    LA: int,
+    LB: int,
+    params: AlignParams,
+):
+    """CSR-driven dispatch: builds each padded batch with one gather
+    (no per-pair Python). ids_a/ids_b index rows of the (flat, off,
+    lens) CSR; all pairs share the (LA, LB, W) shape bucket."""
+    n = ids_a.shape[0]
+    use_pallas, mesh, mesh_d = _dispatch_mode(LA, W)
+    pending = []
+    for lo, hi, B in _batch_plan(n, LA, LB, W, use_pallas, mesh_d):
+        pad = B - (hi - lo)
+        ia = np.concatenate([ids_a[lo:hi], np.zeros(pad, np.int64)])
+        ib = np.concatenate([ids_b[lo:hi], np.zeros(pad, np.int64)])
+        a = _pad_from_csr(flat, off, lens, ia, LA, -1)
+        b = _pad_from_csr(flat, off, lens, ib, LB, -2)
+        a_len = lens[ia].astype(np.int32)
+        b_len = lens[ib].astype(np.int32)
+        if pad:
+            a_len[hi - lo :] = 0
+            b_len[hi - lo :] = 0
+            a[hi - lo :] = -1
+            b[hi - lo :] = -2
+        bm = np.concatenate(
+            [band_mins[lo:hi], np.zeros(pad)]
+        ).astype(np.int32)
+        pending.append(
+            _dispatch_padded(
+                a, a_len, b, b_len, bm, LA, LB, W, hi - lo, params,
+                use_pallas, mesh, mesh_d,
+            )
+        )
+    return pending
+
+
+def _dispatch_padded(
+    a: np.ndarray,
+    a_len: np.ndarray,
+    b: np.ndarray,
+    b_len: np.ndarray,
+    bm: np.ndarray,
+    LA: int,
+    LB: int,
+    W: int,
+    n_real: int,
+    params: AlignParams,
+    use_pallas: bool,
+    mesh,
+    mesh_d: int,
+):
+    """Dispatch one already-padded batch; returns a pending entry."""
+    from shasta_tpu.ops import align_pallas
+
+    if True:
         if use_pallas:
             if mesh_d > 1:
                 # Pairs shard over the mesh; each device runs the same
@@ -543,7 +627,7 @@ def _dispatch_bucket(
                     mismatch=params.mismatch_score,
                     gap=params.gap_score,
                 )
-            pending.append(("pallas", fused, hi - lo))
+            return ("pallas", fused, n_real)
         elif mesh_d > 1:
             from shasta_tpu.parallel.mesh import sharded_forward_traceback
 
@@ -555,7 +639,7 @@ def _dispatch_bucket(
                 gap=params.gap_score,
                 n_steps=int(LA + LB),
             )
-            pending.append(("jnp", (m0, m1), hi - lo))
+            return ("jnp", (m0, m1), n_real)
         else:
             # The row-scan jnp path dispatches one op per DP row; on a
             # remote-relay TPU that is catastrophic (~150 ms/dispatch),
@@ -588,8 +672,7 @@ def _dispatch_bucket(
                 m0, m1 = traceback(
                     dirs, a, b, bm, best_i, best_d, n_steps=n_steps
                 )
-            pending.append(("jnp", (m0, m1), hi - lo))
-    return pending
+            return ("jnp", (m0, m1), n_real)
 
 
 def _collect_bucket(pending):
@@ -710,38 +793,63 @@ def _grouped_run(
     return results, metrics  # type: ignore[return-value]
 
 
-class _StreamingRunner:
-    """Accumulates pairs and dispatches a batch as soon as a shape
+class _CsrStreamingRunner:
+    """Accumulates pair row-ids (into a shared CSR of marker
+    sequences) per shape bucket and dispatches a batch as soon as a
     bucket fills, so downstream stages can overlap the device work of
-    earlier stages with dispatch of later ones."""
+    earlier stages. Batches are built with one gather per batch — no
+    per-pair Python array handling."""
 
-    def __init__(self, params: AlignParams):
+    def __init__(self, flat, off, lens, params: AlignParams):
+        self.flat, self.off, self.lens = flat, off, lens
         self.params = params
+        # key -> list of (ids_a, ids_b, band_min, width, tags) column chunks
         self.buffers: Dict[Tuple[int, int, int], List] = {}
+        self.counts: Dict[Tuple[int, int, int], int] = {}
         self.batches: List = []
 
-    def add(self, a: np.ndarray, b: np.ndarray, band_min: int, width: int, tag):
-        key = (
-            _bucket(a.shape[0], _LEN_BUCKETS),
-            _bucket(b.shape[0], _LEN_BUCKETS),
-            _bucket(int(width), _W_BUCKETS),
+    def add_many(self, ids_a, ids_b, band_mins, widths, tags):
+        ids_a = np.asarray(ids_a, np.int64)
+        ids_b = np.asarray(ids_b, np.int64)
+        band_mins = np.asarray(band_mins, np.int64)
+        widths = np.asarray(widths, np.int64)
+        tags = np.asarray(tags, np.int64)
+        key_mat = np.stack(
+            [
+                _bucket_vec(self.lens[ids_a], _LEN_BUCKETS),
+                _bucket_vec(self.lens[ids_b], _LEN_BUCKETS),
+                _bucket_vec(widths, _W_BUCKETS),
+            ],
+            axis=1,
         )
-        buf = self.buffers.setdefault(key, [])
-        buf.append((a, b, int(band_min), int(width), tag))
-        if len(buf) >= _MAX_BATCH:
-            self._flush(key)
+        uk, inv = np.unique(key_mat, axis=0, return_inverse=True)
+        for ki in range(uk.shape[0]):
+            sel = np.flatnonzero(inv == ki)
+            key = tuple(int(x) for x in uk[ki])
+            self.buffers.setdefault(key, []).append(
+                (ids_a[sel], ids_b[sel], band_mins[sel], widths[sel], tags[sel])
+            )
+            self.counts[key] = self.counts.get(key, 0) + sel.shape[0]
+            if self.counts[key] >= _MAX_BATCH:
+                self._flush(key)
 
     def _flush(self, key):
         buf = self.buffers.pop(key, None)
+        self.counts.pop(key, None)
         if not buf:
             return
-        w = key[2]
+        la_k, lb_k, w_k = key
+        ids_a = np.concatenate([c[0] for c in buf])
+        ids_b = np.concatenate([c[1] for c in buf])
+        bmins = np.concatenate([c[2] for c in buf])
+        widths = np.concatenate([c[3] for c in buf])
+        tags = np.concatenate([c[4] for c in buf])
         # Centre each band inside the padded width.
-        bm = np.array([b0 - (w - wd) // 2 for (_, _, b0, wd, _) in buf], np.int32)
-        pending = _dispatch_bucket(
-            [x[0] for x in buf], [x[1] for x in buf], bm, w, self.params
+        bm = (bmins - (w_k - widths) // 2).astype(np.int32)
+        pending = _dispatch_csr(
+            self.flat, self.off, self.lens,
+            ids_a, ids_b, bm, w_k, la_k, lb_k, self.params,
         )
-        tags = [x[4] for x in buf]
         lo = 0
         for entry in pending:
             n_real = entry[2]
@@ -813,53 +921,31 @@ def align_candidates(
     or0 = (read_id0.astype(np.int64) << 1)
     or1 = (read_id1.astype(np.int64) << 1) | (~same_strand).astype(np.int64)
 
-    koff = markers.offsets
+    koff = np.asarray(markers.offsets, np.int64)
+    klen = np.diff(koff)
     kmer_flat = markers.kmer_ids.astype(np.int32)
+    n_or = markers.oriented_read_count
 
-    # Downsampled marker selection (strand-symmetric hash threshold).
+    # Downsampled marker selection (strand-symmetric hash threshold),
+    # as one global CSR: ds_kmer_flat/ds_off index downsampled markers
+    # per oriented read; ds_ord_flat maps each back to its original
+    # ordinal (reference keeps (ordinal, kmer) pairs per read:
+    # AssemblerAlign3.cpp:76-80). All array passes — no per-pair
+    # Python prep, so host time stays flat as candidates grow.
     ds_threshold = np.uint32(
         min(int(params.downsampling_factor * float(2**32)), 2**32 - 1)
     )
-    ds_flat = ds_hash_table[markers.kmer_ids] < ds_threshold
+    ds_sel = np.flatnonzero(ds_hash_table[markers.kmer_ids] < ds_threshold)
+    orid_of_sel = np.searchsorted(koff, ds_sel, side="right") - 1
+    ds_kmer_flat = kmer_flat[ds_sel]
+    ds_ord_flat = ds_sel - koff[orid_of_sel]
+    ds_len = np.bincount(orid_of_sel, minlength=n_or).astype(np.int64)
+    ds_off = np.zeros(n_or + 1, np.int64)
+    np.cumsum(ds_len, out=ds_off[1:])
 
-    _full_cache: Dict[int, np.ndarray] = {}
-    _ds_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-
-    def full_seq(orid: int) -> np.ndarray:
-        r = _full_cache.get(orid)
-        if r is None:
-            r = _full_cache[orid] = kmer_flat[koff[orid] : koff[orid + 1]]
-        return r
-
-    def ds_seq(orid: int) -> Tuple[np.ndarray, np.ndarray]:
-        r = _ds_cache.get(orid)
-        if r is None:
-            lo, hi = koff[orid], koff[orid + 1]
-            sel = np.flatnonzero(ds_flat[lo:hi])
-            r = _ds_cache[orid] = (kmer_flat[lo:hi][sel], sel)
-        return r  # (kmers, original ordinals)
-
-    # ---- Phase 1: band finding on downsampled sequences ----
-    # The reference aligns the downsampled sequences with full
-    # (unbanded) SeqAn (AssemblerAlign3.cpp:96-130); here the same DP
-    # kernel runs with a band wide enough to cover the whole matrix,
-    # so no separate dot-diagonal prepass is needed.
-    ds_a: List[np.ndarray] = []
-    ds_b: List[np.ndarray] = []
-    ds_ord_a: List[np.ndarray] = []
-    ds_ord_b: List[np.ndarray] = []
-    for p in range(n_pairs):
-        ka, oa = ds_seq(int(or0[p]))
-        kb, ob = ds_seq(int(or1[p]))
-        ds_a.append(ka)
-        ds_b.append(kb)
-        ds_ord_a.append(oa)
-        ds_ord_b.append(ob)
-
-    run_idx = [
-        p for p in range(n_pairs)
-        if ds_a[p].shape[0] > 0 and ds_b[p].shape[0] > 0
-    ]
+    la_ds = ds_len[or0]
+    lb_ds = ds_len[or1]
+    run_idx = np.flatnonzero((la_ds > 0) & (lb_ds > 0))
 
     # ---- Pipelined phase 1 -> phase 2 ----
     # Phase-1 batches are dispatched all at once; as each batch's
@@ -868,44 +954,65 @@ def align_candidates(
     # the phase-1 fetches and band mapping overlap the device work of
     # phase 2. The DP i axis is oriented read 0, j axis is oriented
     # read 1; the band is on j - i = ordinal1 - ordinal0 = -offset.
-    runner = _StreamingRunner(params)
-    if run_idx:
-        # Full-matrix band for phase 1: j - i ranges over [-LA, LB].
-        widths_ds = np.array(
-            [ds_a[p].shape[0] + ds_b[p].shape[0] + 1 for p in run_idx], np.int64
+    runner = _CsrStreamingRunner(kmer_flat, koff, klen, params)
+    if run_idx.shape[0]:
+        # Full-matrix band for phase 1: j - i ranges over [-LA, LB]
+        # (the reference aligns the downsampled sequences unbanded,
+        # AssemblerAlign3.cpp:96-130).
+        widths_ds = la_ds[run_idx] + lb_ds[run_idx] + 1
+        bmins_ds = -la_ds[run_idx]
+        key_mat = np.stack(
+            [
+                _bucket_vec(la_ds[run_idx], _LEN_BUCKETS),
+                _bucket_vec(lb_ds[run_idx], _LEN_BUCKETS),
+                _bucket_vec(widths_ds, _W_BUCKETS),
+            ],
+            axis=1,
         )
-        bmins_ds = np.array([-ds_a[p].shape[0] for p in run_idx], np.int64)
-        ph1 = _dispatch_grouped(
-            [ds_a[i] for i in run_idx],
-            [ds_b[i] for i in run_idx],
-            bmins_ds,
-            widths_ds,
-            params,
-        )
-        for local_idxs, pending in ph1:
+        uk, inv = np.unique(key_mat, axis=0, return_inverse=True)
+        ph1 = []
+        for ki in range(uk.shape[0]):
+            sel = np.flatnonzero(inv == ki)
+            idxs = run_idx[sel]
+            la_k, lb_k, w_k = (int(x) for x in uk[ki])
+            # Centre each pair's band inside the padded width.
+            bm = (bmins_ds[sel] - (w_k - widths_ds[sel]) // 2).astype(np.int32)
+            pending = _dispatch_csr(
+                ds_kmer_flat, ds_off, ds_len,
+                or0[idxs], or1[idxs], bm, w_k, la_k, lb_k, params,
+            )
+            lo = 0
+            for entry in pending:
+                n_real = entry[2]
+                ph1.append((idxs[lo : lo + n_real], [entry]))
+                lo += n_real
+        for idx_arr, pending in ph1:
             res, _mets = _collect_bucket(pending)
-            for t, li in enumerate(local_idxs):
-                p = run_idx[li]
+            bands = np.full((idx_arr.shape[0], 2), 0, np.int64)
+            ok = np.zeros(idx_arr.shape[0], bool)
+            for t in range(idx_arr.shape[0]):
                 o0, o1 = res[t]
                 if o0.shape[0] == 0:
                     continue
-                # Map downsampled match indices back to original
-                # ordinals (reference keeps (ordinal, kmer) pairs:
-                # AssemblerAlign3.cpp:76-80).
+                p = int(idx_arr[t])
                 off = (
-                    ds_ord_a[p][o0].astype(np.int64)
-                    - ds_ord_b[p][o1].astype(np.int64)
+                    ds_ord_flat[ds_off[or0[p]] + o0.astype(np.int64)]
+                    - ds_ord_flat[ds_off[or1[p]] + o1.astype(np.int64)]
                 )
                 bmin = int(off.min()) - params.band_extend
                 bmax = int(off.max()) + params.band_extend
                 if bmax - bmin > params.max_band:
                     continue  # reference: AssemblerAlign3.cpp:233-239
-                runner.add(
-                    full_seq(int(or0[p])),
-                    full_seq(int(or1[p])),
-                    -bmax,
-                    bmax - bmin + 1,
-                    p,
+                bands[t] = (bmin, bmax)
+                ok[t] = True
+            sel = np.flatnonzero(ok)
+            if sel.shape[0]:
+                ps = idx_arr[sel]
+                runner.add_many(
+                    or0[ps], or1[ps],
+                    -bands[sel, 1],
+                    bands[sel, 1] - bands[sel, 0] + 1,
+                    ps,
                 )
     runner.flush_all()
 
@@ -926,8 +1033,8 @@ def align_candidates(
     first1, last1 = metrics[:, 3], metrics[:, 4]
     omin, omax = metrics[:, 5], metrics[:, 6]
     mskip, mdrift = metrics[:, 7], metrics[:, 8]
-    n0 = np.array([koff[int(or0[p]) + 1] - koff[int(or0[p])] for p in full_idx], np.int64)
-    n1 = np.array([koff[int(or1[p]) + 1] - koff[int(or1[p])] for p in full_idx], np.int64)
+    n0 = klen[or0[full_idx]] if full_idx.shape[0] else np.zeros(0, np.int64)
+    n1 = klen[or1[full_idx]] if full_idx.shape[0] else np.zeros(0, np.int64)
 
     with np.errstate(divide="ignore", invalid="ignore"):
         range0 = np.maximum(last0 + 1 - first0, 1)

@@ -225,3 +225,115 @@ def test_remove_read_graph_bridges():
     assert not keep[bridge_id]
     assert keep[:bridge_id].all()
     assert g2.edge_count == 2 * int(keep.sum())
+
+
+def _flag_inconsistent_oracle(
+    graph, alignments, n_reads, is_chimeric=None,
+    triangle_error_threshold=200, least_square_error_threshold=200,
+    least_square_max_distance=1,
+):
+    """Sequential nested-loop reference for flag_inconsistent_alignments
+    (the pre-vectorization implementation, kept as the test oracle)."""
+    offsets = RG.edge_average_offsets(graph, alignments)
+    adj_off, adj_e = graph.adj_offsets, graph.adj_edges
+    orid0, orid1 = graph.orid0, graph.orid1
+
+    def other(ei, v):
+        return int(orid1[ei]) if orid0[ei] == v else int(orid0[ei])
+
+    def oriented(ei, u):
+        v = other(ei, u)
+        return offsets[ei] if u < v else -offsets[ei]
+
+    flagged_ids = set()
+    for read0 in range(n_reads):
+        if is_chimeric is not None and is_chimeric[read0]:
+            continue
+        v0 = 2 * read0
+        for e01 in adj_e[adj_off[v0]:adj_off[v0 + 1]]:
+            e01 = int(e01)
+            v1 = other(e01, v0)
+            if v1 < v0:
+                continue
+            if is_chimeric is not None and is_chimeric[v1 >> 1]:
+                continue
+            if graph.crosses_strands[e01] or graph.inconsistent[e01] or e01 in flagged_ids:
+                continue
+            off01 = oriented(e01, v0)
+            for e12 in adj_e[adj_off[v1]:adj_off[v1 + 1]]:
+                e12 = int(e12)
+                v2 = other(e12, v1)
+                if v2 < v1:
+                    continue
+                if is_chimeric is not None and is_chimeric[v2 >> 1]:
+                    continue
+                if graph.crosses_strands[e12] or graph.inconsistent[e12] or e12 in flagged_ids:
+                    continue
+                off12 = oriented(e12, v1)
+                for e20 in adj_e[adj_off[v2]:adj_off[v2 + 1]]:
+                    e20 = int(e20)
+                    if graph.crosses_strands[e20] or graph.inconsistent[e20] or e20 in flagged_ids:
+                        continue
+                    if other(e20, v2) != v0:
+                        continue
+                    err = off01 + off12 + oriented(e20, v2)
+                    if abs(err) < triangle_error_threshold:
+                        continue
+                    dead = graph.crosses_strands | graph.inconsistent
+                    for fe in flagged_ids:
+                        dead[fe] = True
+                    verts, edges = RG._local_neighborhood(
+                        graph, (v0, v1, v2), least_square_max_distance,
+                        is_chimeric, dead,
+                    )
+                    edges = [e for e in edges if not dead[e]]
+                    if not edges:
+                        continue
+                    vindex = {v: i for i, v in enumerate(verts)}
+                    while edges:
+                        x = RG._least_square_positions(vindex, edges, graph, offsets)
+                        worst, worst_res = None, -1.0
+                        for ei in edges:
+                            u, w = int(orid0[ei]), int(orid1[ei])
+                            if u > w:
+                                u, w = w, u
+                            res = abs((x[vindex[w]] - x[vindex[u]]) + offsets[ei])
+                            if res > worst_res:
+                                worst, worst_res = ei, res
+                        if worst_res < least_square_error_threshold:
+                            break
+                        flagged_ids.add(worst)
+                        flagged_ids.add(worst ^ 1)
+                        edges = [e for e in edges if e != worst and e != (worst ^ 1)]
+    for ei in flagged_ids:
+        graph.inconsistent[ei] = True
+    return len(flagged_ids)
+
+
+def test_flag_inconsistent_vectorized_matches_oracle():
+    # Randomized graphs with mostly-consistent offsets plus injected
+    # outliers: the vectorized triangle enumeration + ordered replay
+    # must match the sequential nested-loop oracle exactly.
+    rng = np.random.default_rng(11)
+    n_reads = 25
+    pos = rng.integers(0, 2000, n_reads)  # latent positions
+    rows = []
+    seen = set()
+    for _ in range(150):
+        r0, r1 = sorted(rng.integers(0, n_reads, 2).tolist())
+        if r0 == r1 or (r0, r1) in seen:
+            continue
+        seen.add((r0, r1))
+        d = int(pos[r0] - pos[r1])
+        if rng.random() < 0.15:
+            d += int(rng.integers(300, 900))  # inconsistent outlier
+        rows.append((r0, r1, True, int(rng.integers(20, 200)), d))
+    al = make_alignments_with_offsets(rows)
+    chim = rng.random(n_reads) < 0.1
+
+    g_vec = RG.build_read_graph(al, n_reads, np.ones(len(rows), bool))
+    g_ora = RG.build_read_graph(al, n_reads, np.ones(len(rows), bool))
+    n_vec = RG.flag_inconsistent_alignments(g_vec, al, n_reads, chim)
+    n_ora = _flag_inconsistent_oracle(g_ora, al, n_reads, chim)
+    assert n_vec == n_ora
+    assert np.array_equal(g_vec.inconsistent, g_ora.inconsistent)

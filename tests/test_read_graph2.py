@@ -118,3 +118,41 @@ def test_flag_cross_strand_edges2():
     # With the cross edges excluded, (0,0) and (0,1) are disconnected.
     label = RG.connected_components_excluding_cross(g)
     assert label[0] != label[1]
+
+
+def test_cross_strand_edges2_native_parity():
+    # The native DSU sweep must match the Python implementation flag
+    # for flag on a randomized dense graph.
+    import pytest
+
+    from shasta_tpu import native
+    from tests.test_read_graph import make_alignments
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    n_reads = 60
+    rows = []
+    seen = set()
+    for _ in range(400):
+        r0, r1 = sorted(rng.integers(0, n_reads, 2).tolist())
+        if r0 == r1 or (r0, r1) in seen:
+            continue
+        seen.add((r0, r1))
+        rows.append((r0, r1, bool(rng.integers(0, 2)), int(rng.integers(1, 200))))
+    al = make_alignments(rows)
+    g_native, _ = RG.create_read_graph(al, n_reads=n_reads, max_alignment_count=8)
+    g_py, _ = RG.create_read_graph(al, n_reads=n_reads, max_alignment_count=8)
+
+    f_native = RG.flag_cross_strand_edges2(g_native, al, n_reads=n_reads)
+
+    saved = native.cross_strand_edges2_native
+    native.cross_strand_edges2_native = lambda *a, **k: None
+    try:
+        f_py = RG.flag_cross_strand_edges2(g_py, al, n_reads=n_reads)
+    finally:
+        native.cross_strand_edges2_native = saved
+
+    assert f_native == f_py
+    assert np.array_equal(g_native.crosses_strands, g_py.crosses_strands)
