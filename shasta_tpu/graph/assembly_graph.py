@@ -595,6 +595,102 @@ def remove_low_coverage_cross_edges(
 # ---------------------------------------------------------------------------
 
 
+def assemble_chain(
+    mg: MarkerGraph,
+    markers: MarkerStore,
+    vertex_repeats: np.ndarray,
+    edge_consensus: EdgeConsensus,
+    chain: np.ndarray,
+    kmer_first: Optional[np.ndarray] = None,
+    vertex_cov: Optional[np.ndarray] = None,
+):
+    """Stitch one marker-graph edge chain into (rle, rep, raw)
+    sequence (reference: AssembledSegment::assemble /
+    computeVertexOffsets / computeVertexAssembledPortion,
+    src/AssembledSegment.cpp:52-180). Shared by mode-0 segment
+    assembly and mode-2 branch assembly (arbitrary paths)."""
+    k = markers.k
+    if kmer_first is None:
+        kmer_first = (
+            markers.kmer_ids[mg.vertex_markers[mg.vertex_offsets[:-1]]]
+            if mg.vertex_count
+            else np.zeros(0, np.uint32)
+        )
+    if vertex_cov is None:
+        vertex_cov = mg.vertex_coverage()
+
+    chain = np.asarray(chain, np.int64)
+    n_e = chain.shape[0]
+    # Vertices along the chain.
+    v_ids = np.empty(n_e + 1, dtype=np.int64)
+    v_ids[0] = mg.source[chain[0]]
+    v_ids[1:] = mg.target[chain]
+
+    # Per-vertex sequences and repeat counts.
+    v_seqs = [unpack_kmer(int(kmer_first[v]), k) for v in v_ids]
+    v_reps = [vertex_repeats[v] for v in v_ids]
+    v_cov = vertex_cov[v_ids]
+
+    # Edge fills.
+    e_seq = []
+    e_rep = []
+    e_overlap = np.empty(n_e, dtype=np.int64)
+    for t, e in enumerate(chain):
+        s, r, o = edge_consensus.get(int(e))
+        e_seq.append(s)
+        e_rep.append(r)
+        e_overlap[t] = o
+
+    # Vertex offsets (reference: computeVertexOffsets).
+    v_off = np.zeros(n_e + 1, dtype=np.int64)
+    for i in range(n_e):
+        if e_overlap[i] > 0:
+            v_off[i + 1] = v_off[i] + k - e_overlap[i]
+        else:
+            v_off[i + 1] = v_off[i] + k + e_seq[i].shape[0]
+
+    # Assembled portion per vertex (reference:
+    # computeVertexAssembledPortion — overlap resolution by
+    # coverage, ties by lower vertex id).
+    first = np.zeros(n_e + 1, dtype=np.int64)
+    second = np.full(n_e + 1, k, dtype=np.int64)
+    for i in range(n_e + 1):
+        for j in range(i - 1, -1, -1):
+            if v_off[j] + k < v_off[i]:
+                break
+            if v_cov[j] > v_cov[i] or (
+                v_cov[j] == v_cov[i] and v_ids[j] < v_ids[i]
+            ):
+                first[i] = v_off[j] + k - v_off[i]
+                break
+        for j in range(i + 1, n_e + 1):
+            if v_off[i] + k < v_off[j]:
+                break
+            if v_cov[j] > v_cov[i] or (
+                v_cov[j] == v_cov[i] and v_ids[j] < v_ids[i]
+            ):
+                second[i] = v_off[j] - v_off[i]
+                break
+        if second[i] <= first[i]:
+            first[i] = 0
+            second[i] = 0
+
+    # Stitch (reference: AssembledSegment::assemble).
+    rle: List[np.ndarray] = []
+    rep: List[np.ndarray] = []
+    for i in range(n_e + 1):
+        rle.append(v_seqs[i][first[i] : second[i]])
+        rep.append(v_reps[i][first[i] : second[i]].astype(np.int32))
+        if i < n_e and e_seq[i].shape[0] > 0:
+            rle.append(e_seq[i])
+            rep.append(e_rep[i])
+    rle_arr = np.concatenate(rle) if rle else np.zeros(0, np.uint8)
+    rep_arr = np.concatenate(rep) if rep else np.zeros(0, np.int32)
+    rep_arr = np.maximum(rep_arr, 1)
+    raw_arr = np.repeat(rle_arr, rep_arr)
+    return rle_arr, rep_arr, raw_arr
+
+
 def assemble_segments(
     ag: AssemblyGraph,
     mg: MarkerGraph,
@@ -623,74 +719,10 @@ def assemble_segments(
             raw_offsets[a + 1] = raw_offsets[a]
             continue
         chain = ag.chain(a)
-        n_e = chain.shape[0]
-        # Vertices along the chain.
-        v_ids = np.empty(n_e + 1, dtype=np.int64)
-        v_ids[0] = mg.source[chain[0]]
-        v_ids[1:] = mg.target[chain]
-
-        # Per-vertex sequences and repeat counts.
-        v_seqs = [unpack_kmer(int(kmer_first[v]), k) for v in v_ids]
-        v_reps = [vertex_repeats[v] for v in v_ids]
-        v_cov = vertex_cov[v_ids]
-
-        # Edge fills.
-        e_seq = []
-        e_rep = []
-        e_overlap = np.empty(n_e, dtype=np.int64)
-        for t, e in enumerate(chain):
-            s, r, o = edge_consensus.get(int(e))
-            e_seq.append(s)
-            e_rep.append(r)
-            e_overlap[t] = o
-
-        # Vertex offsets (reference: computeVertexOffsets).
-        v_off = np.zeros(n_e + 1, dtype=np.int64)
-        for i in range(n_e):
-            if e_overlap[i] > 0:
-                v_off[i + 1] = v_off[i] + k - e_overlap[i]
-            else:
-                v_off[i + 1] = v_off[i] + k + e_seq[i].shape[0]
-
-        # Assembled portion per vertex (reference:
-        # computeVertexAssembledPortion — overlap resolution by
-        # coverage, ties by lower vertex id).
-        first = np.zeros(n_e + 1, dtype=np.int64)
-        second = np.full(n_e + 1, k, dtype=np.int64)
-        for i in range(n_e + 1):
-            for j in range(i - 1, -1, -1):
-                if v_off[j] + k < v_off[i]:
-                    break
-                if v_cov[j] > v_cov[i] or (
-                    v_cov[j] == v_cov[i] and v_ids[j] < v_ids[i]
-                ):
-                    first[i] = v_off[j] + k - v_off[i]
-                    break
-            for j in range(i + 1, n_e + 1):
-                if v_off[i] + k < v_off[j]:
-                    break
-                if v_cov[j] > v_cov[i] or (
-                    v_cov[j] == v_cov[i] and v_ids[j] < v_ids[i]
-                ):
-                    second[i] = v_off[j] - v_off[i]
-                    break
-            if second[i] <= first[i]:
-                first[i] = 0
-                second[i] = 0
-
-        # Stitch (reference: AssembledSegment::assemble).
-        rle: List[np.ndarray] = []
-        rep: List[np.ndarray] = []
-        for i in range(n_e + 1):
-            rle.append(v_seqs[i][first[i] : second[i]])
-            rep.append(v_reps[i][first[i] : second[i]].astype(np.int32))
-            if i < n_e and e_seq[i].shape[0] > 0:
-                rle.append(e_seq[i])
-                rep.append(e_rep[i])
-        rle_arr = np.concatenate(rle) if rle else np.zeros(0, np.uint8)
-        rep_arr = np.concatenate(rep) if rep else np.zeros(0, np.int32)
-        rep_arr = np.maximum(rep_arr, 1)
-        raw_arr = np.repeat(rle_arr, rep_arr)
+        rle_arr, rep_arr, raw_arr = assemble_chain(
+            mg, markers, vertex_repeats, edge_consensus, chain,
+            kmer_first=kmer_first, vertex_cov=vertex_cov,
+        )
 
         rle_rows.append(rle_arr)
         rep_rows.append(rep_arr)

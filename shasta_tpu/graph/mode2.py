@@ -325,6 +325,12 @@ def create_marker_graph_secondary_edges(
         setattr(
             mg, name, np.concatenate([getattr(mg, name), np.zeros(n_new, bool)])
         )
+    # Track which edges are secondary (AssemblyGraph2 branches record
+    # containsSecondaryEdges; reference: AssemblyGraph2Edge::Branch).
+    prev = getattr(mg, "is_secondary", None)
+    if prev is None:
+        prev = np.zeros(n_old, bool)
+    mg.is_secondary = np.concatenate([prev, np.ones(n_new, bool)])
     new_offsets = mg.interval_offsets[-1] + np.cumsum([0] + lengths)
     mg.interval_offsets = np.concatenate([mg.interval_offsets, new_offsets[1:]])
     mg.interval_orid = np.concatenate(

@@ -607,39 +607,29 @@ class Assembler:
         self.store.save_stage("AssemblyGraph", self.assembly_graph.arrays())
 
     def assemble_mode2(self) -> Dict:
-        """Mode 2: bubbles + phasing on top of the strict-edge graph
-        (reference: mode2Assembly, srcMain/main.cpp:1049)."""
-        from shasta_tpu.graph import mode2 as M2
+        """Mode 2: the full AssemblyGraph2 pipeline — bubbles,
+        superbubble resolution, weak/degenerate branch removal, bad
+        bubble removal, hierarchical phasing, bubble chains, phasing
+        regions, and the Detailed/Haploid/Phased output family
+        (reference: mode2Assembly, srcMain/main.cpp:1049 +
+        src/AssemblyGraph2.cpp:44-233)."""
+        from shasta_tpu.graph import mode2_graph as M2G
+        from shasta_tpu.graph.assembly_graph import assemble_chain
 
         ca = self.config.assembly
         mg = self.marker_graph
         with self.log.stage("createAssemblyGraphEdges"):
             self.assembly_graph = AG.create_assembly_graph(mg)
-        with self.log.stage("findBubbles"):
-            self.bubbles = M2.find_bubbles(self.assembly_graph, mg)
-        with self.log.stage("phaseBubbles"):
-            n_components = M2.phase_bubbles(
-                self.bubbles,
-                min_log_p=ca.phasing_min_log_p,
-                epsilon=ca.phasing_epsilon,
-            )
-            self.log.line(
-                f"Phased {len(self.bubbles)} bubbles into "
-                f"{n_components} components."
-            )
         with self.log.stage("assembleMarkerGraphVertices"):
             self.vertex_repeats = AG.assemble_marker_graph_vertices(
                 self.reads, self.markers, mg,
                 caller=_vertex_caller_name(ca.consensus_caller),
             )
         with self.log.stage("assembleMarkerGraphEdges"):
-            needed = np.zeros(mg.edge_count, dtype=bool)
-            for a in range(self.assembly_graph.edge_count):
-                if self.assembly_graph.is_assembled_edge(a):
-                    needed[self.assembly_graph.chain(a)] = True
+            # AssemblyGraph2 branch paths can include any alive edge.
             self.edge_consensus = AG.assemble_marker_graph_edges(
                 self.reads, self.markers, mg,
-                needed=needed,
+                needed=mg.alive(),
                 caller=get_consensus_caller(ca.consensus_caller),
                 length_threshold_markers=ca.marker_graph_edge_length_threshold_for_consensus,
             )
@@ -648,11 +638,99 @@ class Assembler:
                 self.assembly_graph, mg, self.markers,
                 self.vertex_repeats, self.edge_consensus,
             )
-        with self.log.stage("writeMode2Outputs"):
-            stats = M2.write_mode2_outputs(
-                self.run_dir, self.assembly_graph, self.bubbles,
-                self.markers.k, self.vertex_repeats,
+
+        g = M2G.AssemblyGraph2(mg, self.markers, self.markers.k)
+        kmer_first = (
+            self.markers.kmer_ids[mg.vertex_markers[mg.vertex_offsets[:-1]]]
+            if mg.vertex_count
+            else np.zeros(0, np.uint32)
+        )
+        vertex_cov = mg.vertex_coverage()
+
+        kh = self.markers.k // 2
+
+        def assemble_fn(path):
+            # Exclude the first and last k/2 RLE bases so consecutive
+            # branch sequences abut exactly — the shared vertex's k
+            # bases split k/2 + k/2 between its two edges (reference:
+            # AssemblyGraph2::assemble, src/AssemblyGraph2.cpp:816-832).
+            _, rep, raw = assemble_chain(
+                mg, self.markers, self.vertex_repeats, self.edge_consensus,
+                path, kmer_first=kmer_first, vertex_cov=vertex_cov,
             )
+            begin_skip = int(rep[:kh].sum())
+            end_skip = int(rep[rep.shape[0] - kh:].sum())
+            return raw[begin_skip : raw.shape[0] - end_skip]
+
+        g.set_assembler(assemble_fn)
+        p = M2G.Mode2Parameters(
+            prune_length=ca.prune_length,
+            strong_branch_threshold=ca.mode2_strong_branch_threshold,
+            epsilon=ca.mode2_epsilon,
+            bubble_removal_min_concordant=ca.mode2_bubble_removal_min_concordant_read_count,
+            bubble_removal_max_discordant=ca.mode2_bubble_removal_max_discordant_read_count,
+            bubble_removal_min_log_p=ca.mode2_bubble_removal_min_log_p,
+            bubble_removal_component_size_threshold=ca.mode2_bubble_removal_component_size_threshold,
+            phasing_min_concordant=ca.mode2_phasing_min_concordant_read_count,
+            phasing_max_discordant=ca.mode2_phasing_max_discordant_read_count,
+            phasing_min_log_p=ca.mode2_phasing_min_log_p,
+            superbubble_max_size=ca.mode2_superbubble_max_size,
+            superbubble_max_chunk_size=ca.mode2_superbubble_max_chunk_size,
+            superbubble_max_chunk_path_count=ca.mode2_superbubble_max_chunk_path_count,
+            superbubble_edge_length_threshold=ca.mode2_superbubble_edge_length_threshold,
+        )
+        with self.log.stage("assemblyGraph2"):
+            stats = M2G.run_assembly_graph2(g, p)
+            self.log.line(
+                f"AssemblyGraph2: {stats['phasedBubbleCount']} of "
+                f"{stats['diploidBubbleCount']} diploid bubbles phased "
+                f"into {stats['phasedComponentCount']} components; "
+                f"{stats['bubbleChainCount']} bubble chains; "
+                f"{stats['hetSnpTransitionCount']} transitions + "
+                f"{stats['hetSnpTransversionCount']} transversions."
+            )
+        self.mode2_graph = g
+        with self.log.stage("writeMode2Outputs"):
+            import os as _os
+
+            def pjoin(name):
+                return _os.path.join(self.run_dir, name)
+
+            if not ca.mode2_suppress_detailed_output:
+                M2G.write_detailed(
+                    g, pjoin("Assembly-Detailed"), True,
+                    write_gfa=not ca.mode2_suppress_gfa_output,
+                    write_fasta=not ca.mode2_suppress_fasta_output,
+                )
+                if not ca.mode2_suppress_gfa_output:
+                    M2G.write_detailed(
+                        g, pjoin("Assembly-Detailed-NoSequence"), False,
+                        write_fasta=False, write_csv=False,
+                    )
+            if not ca.mode2_suppress_haploid_output:
+                stats.update(M2G.write_haploid(
+                    g, pjoin("Assembly-Haploid"), True,
+                    write_gfa=not ca.mode2_suppress_gfa_output,
+                    write_fasta=not ca.mode2_suppress_fasta_output,
+                ))
+                if not ca.mode2_suppress_gfa_output:
+                    M2G.write_haploid(
+                        g, pjoin("Assembly-Haploid-NoSequence"), False,
+                        write_fasta=False, write_csv=False,
+                    )
+            if not ca.mode2_suppress_phased_output:
+                stats.update(M2G.write_phased(
+                    g, pjoin("Assembly-Phased"), True,
+                    write_gfa=not ca.mode2_suppress_gfa_output,
+                    write_fasta=not ca.mode2_suppress_fasta_output,
+                ))
+                if not ca.mode2_suppress_gfa_output:
+                    M2G.write_phased(
+                        g, pjoin("Assembly-Phased-NoSequence"), False,
+                        write_fasta=False, write_csv=False,
+                    )
+            M2G.write_phasing_regions(g, pjoin("PhasingRegions.csv"))
+            M2G.write_bubble_chains_csv(g, pjoin("BubbleChains.csv"))
         self.store.save_stage("AssemblyGraph", self.assembly_graph.arrays())
         return stats
 

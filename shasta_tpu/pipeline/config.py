@@ -107,9 +107,30 @@ class AssemblyOptions:
     consensus_caller: str = "Modal"
     marker_graph_edge_length_threshold_for_consensus: int = 1000
     detangle_method: int = 0
-    # Mode 2 phasing.
+    prune_length: int = 0  # Assembly.pruneLength (AssemblyGraph2 prune)
+    # Mode 2 phasing (legacy simple-phaser knobs, kept for scripts).
     phasing_epsilon: float = 0.1
     phasing_min_log_p: float = 30.0
+    # Mode 2 (AssemblyGraph2) options; names mirror the reference's
+    # Assembly.mode2.* keys (reference: src/AssemblerOptions.cpp:824-925).
+    mode2_strong_branch_threshold: int = 2
+    mode2_epsilon: float = 0.1
+    mode2_bubble_removal_min_concordant_read_count: int = 3
+    mode2_bubble_removal_max_discordant_read_count: int = 6
+    mode2_bubble_removal_min_log_p: float = 30.0
+    mode2_bubble_removal_component_size_threshold: int = 10
+    mode2_phasing_min_concordant_read_count: int = 2
+    mode2_phasing_max_discordant_read_count: int = 1
+    mode2_phasing_min_log_p: float = 10.0
+    mode2_superbubble_max_size: int = 50
+    mode2_superbubble_max_chunk_size: int = 20
+    mode2_superbubble_max_chunk_path_count: int = 20
+    mode2_superbubble_edge_length_threshold: int = 6
+    mode2_suppress_gfa_output: bool = False
+    mode2_suppress_fasta_output: bool = False
+    mode2_suppress_detailed_output: bool = False
+    mode2_suppress_phased_output: bool = False
+    mode2_suppress_haploid_output: bool = False
     # Iterative assembly (mode 0).
     iterative: bool = False
     iterative_iteration_count: int = 3

@@ -69,26 +69,45 @@ def test_mode2_end_to_end(tmp_path):
     cfg.assembly.mode = 2
     cfg.marker_graph.min_edge_coverage = 3
     cfg.marker_graph.min_edge_coverage_per_strand = 0
-    cfg.assembly.phasing_min_log_p = 10.0
+    # The reference default componentSizeThreshold=10 is tuned for
+    # human-scale runs; this 15 kb genome produces components of 3-10
+    # bubbles, which would all be squashed as "bad".
+    cfg.assembly.mode2_bubble_removal_component_size_threshold = 3
     run_dir = os.path.join(tmp_path, "run")
     summary = run_assembly([fa], run_dir, cfg)
 
     assert summary["phasedBubbleCount"] >= 3
-    for f in ("Assembly-Detailed.gfa", "Assembly-Phased.fasta", "Assembly-Haploid.fasta"):
+    for f in (
+        "Assembly-Detailed.gfa",
+        "Assembly-Detailed-NoSequence.gfa",
+        "Assembly-Phased.fasta",
+        "Assembly-Phased.gfa",
+        "Assembly-Haploid.fasta",
+        "Assembly-Haploid-NoSequence.gfa",
+        "PhasingRegions.csv",
+        "BubbleChains.csv",
+    ):
         assert os.path.exists(os.path.join(run_dir, f)), f
+    assert summary["hetSnpTransitionCount"] + summary["hetSnpTransversionCount"] > 0
 
-    # Check phasing quality: parse phased branches; for each component
-    # and haplotype, sequences should consistently match one haplotype.
+    # Check phasing quality: parse phased-region segments
+    # (PR.<chain>.<region>.<component>.<haplotype>); for each
+    # (component, haplotype) the sequences must consistently match one
+    # true haplotype.
     phased = {}
     name = None
     with open(os.path.join(run_dir, "Assembly-Phased.fasta")) as f:
         for line in f:
             if line.startswith(">"):
-                parts = line[1:].split()
-                name = (parts[0], int(parts[2]))  # (PR id, haplotype)
-            else:
+                nm = line[1:].split()[0]
+                if nm.startswith("PR."):
+                    _, cid, rid, comp, hap = nm.split(".")
+                    name = (nm, comp, int(hap))
+                else:
+                    name = None
+            elif name is not None:
                 phased.setdefault(name, []).append(line.strip())
-    assert len(phased) >= 4  # at least 2 bubbles x 2 branches
+    assert len(phased) >= 4  # at least 2 phased regions x 2 haplotypes
 
     gsA = B.decode_to_str(hapA)
     gsB = B.decode_to_str(hapB)
@@ -110,8 +129,7 @@ def test_mode2_end_to_end(tmp_path):
     # Group by (component, haplotype label); informative branches in
     # the same group must agree on the true haplotype.
     by_group = {}
-    for (nm, hap), seqs in phased.items():
-        comp = nm.split(".")[1]
+    for (nm, comp, hap), seqs in phased.items():
         h = which_hap("".join(seqs))
         if h is not None:
             by_group.setdefault((comp, hap), []).append(h)
