@@ -14,13 +14,18 @@ matrix bound are capped; by default only observations matching the
 consensus base contribute (ignoreNonConsensusBaseRepeats, :136).
 
 Model sources:
+- the 8 packaged trained models in ``consensus/models/*.csv`` —
+  the reference's built-in basecaller models (guppy-2.3.1-a ...
+  guppy-5.0.7-b, bonito-0.3.1-a, r10-guppy-3.4.8-a), extracted as
+  data tables from the builtin headers
+  (reference: src/SimpleBayesianConsensusCaller-Builtin-*.hpp) into
+  the reference's own CSV model format;
 - a CSV file in the reference's format (sections ">AT prior",
   ">GC prior", ">A likelihood" ... — conf/SimpleBayesianConsensusCaller-*.csv);
 - a built-in parametric model ("default") with a geometric-tailed
-  error profile, for use when no trained model file is given. Built-in
-  names from reference configs (e.g. "guppy-5.0.7-b") fall back to the
-  parametric model with a warning unless a file with that name is
-  found in SHASTA_TPU_BAYESIAN_MODEL_DIR.
+  error profile, for use when no trained model is named.
+  SHASTA_TPU_BAYESIAN_MODEL_DIR adds a user directory searched before
+  the packaged models.
 
 The argmax over y for a whole batch of columns is one matrix product:
 scores[y] = prior[y] + counts . L[base] — MXU-friendly when called
@@ -109,24 +114,36 @@ def parametric_model(
     return BayesianModel("parametric-default", priors, like)
 
 
+_PACKAGED_MODEL_DIR = os.path.join(os.path.dirname(__file__), "models")
+
+
+def builtin_model_names() -> List[str]:
+    """Names of the packaged trained models."""
+    if not os.path.isdir(_PACKAGED_MODEL_DIR):
+        return []
+    return sorted(
+        f[:-4] for f in os.listdir(_PACKAGED_MODEL_DIR) if f.endswith(".csv")
+    )
+
+
 def resolve_model(name: str) -> BayesianModel:
     """Name resolution: file path, $SHASTA_TPU_BAYESIAN_MODEL_DIR/name.csv,
-    or the parametric fallback."""
+    a packaged trained model, or the parametric fallback."""
     if os.path.exists(name):
         return load_model_csv(name)
     model_dir = os.environ.get("SHASTA_TPU_BAYESIAN_MODEL_DIR", "")
-    if model_dir:
-        p = os.path.join(model_dir, f"{name}.csv")
+    for d in ([model_dir] if model_dir else []) + [_PACKAGED_MODEL_DIR]:
+        p = os.path.join(d, f"{name}.csv")
         if os.path.exists(p):
             return load_model_csv(p)
-        p = os.path.join(model_dir, f"SimpleBayesianConsensusCaller-{name}.csv")
+        p = os.path.join(d, f"SimpleBayesianConsensusCaller-{name}.csv")
         if os.path.exists(p):
             return load_model_csv(p)
     if name not in ("default", "parametric"):
         warnings.warn(
             f"Bayesian model {name!r} not found; using the parametric "
-            "default model (set SHASTA_TPU_BAYESIAN_MODEL_DIR to use "
-            "trained models)."
+            "default model (valid trained models: "
+            f"{', '.join(builtin_model_names())})."
         )
     return parametric_model()
 

@@ -79,13 +79,46 @@ def test_bayesian_csv_round_trip(tmp_path):
 
 
 def test_get_consensus_caller_specs():
+    import warnings as W
+
     assert get_consensus_caller("Modal").name == "Modal"
     assert get_consensus_caller("Median").name == "Median"
-    with pytest.warns(UserWarning):
+    # Trained built-in models resolve without a fallback warning.
+    with W.catch_warnings():
+        W.simplefilter("error")
         c = get_consensus_caller("Bayesian:guppy-5.0.7-b")
     assert c.name == "Bayesian"
+    assert "guppy_5.0.7" in c.model.name or "guppy5.0.7" in c.model.name
+    # Unknown model names still fall back with a warning.
+    with pytest.warns(UserWarning):
+        get_consensus_caller("Bayesian:not-a-model")
     with pytest.raises(ValueError):
         get_consensus_caller("Nope")
+
+
+def test_bayesian_builtin_models():
+    """All 8 reference built-in models are packaged and behave
+    sensibly (reference: SimpleBayesianConsensusCaller::builtIns,
+    src/SimpleBayesianConsensusCaller-Builtin.cpp:7-19)."""
+    from shasta_tpu.consensus.bayesian import builtin_model_names
+
+    names = builtin_model_names()
+    for expect in (
+        "guppy-2.3.1-a", "guppy-3.0.5-a", "guppy-3.4.4-a", "guppy-3.6.0-a",
+        "guppy-5.0.7-a", "guppy-5.0.7-b", "bonito-0.3.1-a",
+        "r10-guppy-3.4.8-a",
+    ):
+        assert expect in names, expect
+    c = BayesianConsensusCaller("guppy-5.0.7-a")
+    assert c.model.max_output_runlength == 50
+    assert c.model.max_input_runlength == 50
+    # Unanimous short homopolymer observations predict themselves.
+    for rep in (2, 3, 5, 8):
+        bases = np.zeros(12, np.int64)
+        reps = np.full(12, rep, np.int64)
+        b, r = c(bases, reps)
+        assert b == 0
+        assert abs(r - rep) <= 1, (rep, r)
 
 
 def test_center_star_msa_identical():
