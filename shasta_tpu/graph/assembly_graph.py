@@ -603,12 +603,16 @@ def assemble_chain(
     chain: np.ndarray,
     kmer_first: Optional[np.ndarray] = None,
     vertex_cov: Optional[np.ndarray] = None,
+    with_offsets: bool = False,
 ):
     """Stitch one marker-graph edge chain into (rle, rep, raw)
     sequence (reference: AssembledSegment::assemble /
     computeVertexOffsets / computeVertexAssembledPortion,
     src/AssembledSegment.cpp:52-180). Shared by mode-0 segment
-    assembly and mode-2 branch assembly (arbitrary paths)."""
+    assembly, mode-2 branch assembly, and mode-3 path assembly
+    (arbitrary paths). With ``with_offsets`` also returns the RLE
+    offset of each chain vertex's k-mer in the stitched sequence
+    (reference: AssembledSegment::vertexOffsets)."""
     k = markers.k
     if kmer_first is None:
         kmer_first = (
@@ -688,6 +692,8 @@ def assemble_chain(
     rep_arr = np.concatenate(rep) if rep else np.zeros(0, np.int32)
     rep_arr = np.maximum(rep_arr, 1)
     raw_arr = np.repeat(rle_arr, rep_arr)
+    if with_offsets:
+        return rle_arr, rep_arr, raw_arr, v_off
     return rle_arr, rep_arr, raw_arr
 
 

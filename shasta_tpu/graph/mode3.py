@@ -45,6 +45,29 @@ class Mode3Graph:
     link_source: np.ndarray  # int64 [n_links]
     link_target: np.ndarray  # int64 [n_links]
     link_coverage: np.ndarray  # int32 [n_links]
+    # Per-journey-entry marker-graph metadata (reference:
+    # AssemblyGraphJourneyEntry::markerGraphJourneyEntries,
+    # src/mode3.hpp:75-96): the edge position within the segment chain
+    # and the read ordinals of the FIRST and LAST marker-graph
+    # interval of each journey entry.
+    journey_pos_first: np.ndarray = None  # int64 flat
+    journey_pos_last: np.ndarray = None  # int64 flat
+    journey_ord_first: np.ndarray = None  # int64 flat (ord0 of first)
+    journey_ord_last: np.ndarray = None  # int64 flat (ord1 of last)
+    # Link transitions, CSR aligned with links (reference:
+    # AssemblyGraph::transitions, src/mode3.cpp:555-596): per
+    # transition, the oriented read, its exit from the source segment
+    # (edge position + ordinal) and its entry into the target segment.
+    transition_offsets: np.ndarray = None  # int64 [n_links + 1]
+    t_orid: np.ndarray = None  # int64 flat
+    t_pos0: np.ndarray = None  # int64 (edge position in source chain)
+    t_ord0: np.ndarray = None  # int64 (ord1 of last interval in source)
+    t_pos1: np.ndarray = None  # int64 (edge position in target chain)
+    t_ord1: np.ndarray = None  # int64 (ord0 of first interval in target)
+    # Link classification (reference: Link::segmentsAreAdjacent /
+    # separation, src/mode3.cpp:600-629).
+    link_adjacent: np.ndarray = None  # bool [n_links]
+    link_separation: np.ndarray = None  # int32 [n_links]
 
     @property
     def segment_count(self) -> int:
@@ -67,6 +90,15 @@ class Mode3Graph:
             link_target=self.link_target,
             link_coverage=self.link_coverage,
         )
+        for name in (
+            "journey_pos_first", "journey_pos_last",
+            "journey_ord_first", "journey_ord_last",
+            "transition_offsets", "t_orid", "t_pos0", "t_ord0",
+            "t_pos1", "t_ord1", "link_adjacent", "link_separation",
+        ):
+            v = getattr(self, name)
+            if v is not None:
+                out[name] = v
         return out
 
 
@@ -93,46 +125,116 @@ def create_mode3_graph(
     # All (orid, ordinal0, segment) marker journey entries.
     orid = mg.interval_orid
     ord0 = mg.interval_ord0.astype(np.int64)
+    ord1 = mg.interval_ord1.astype(np.int64)
     edge_of_interval = np.repeat(
         np.arange(n_me, dtype=np.int64), np.diff(mg.interval_offsets)
     )
     seg = seg_of_edge[edge_of_interval]
     sel = seg >= 0
-    orid_s, ord_s, seg_s = orid[sel], ord0[sel], seg[sel]
+    orid_s, ord0_s, seg_s = orid[sel], ord0[sel], seg[sel]
+    ord1_s = ord1[sel]
+    pos_s = pos_of_edge[edge_of_interval][sel]
 
     # Sort by (orid, ordinal) -> marker graph journeys; condense runs
-    # of the same segment -> assembly graph journeys.
-    order = np.lexsort((ord_s, orid_s))
+    # of the same segment -> assembly graph journeys, keeping the edge
+    # position + ordinals of the first and last interval of each run.
+    order = np.lexsort((ord0_s, orid_s))
     orid_s, seg_s = orid_s[order], seg_s[order]
+    ord0_s, ord1_s, pos_s = ord0_s[order], ord1_s[order], pos_s[order]
     if orid_s.shape[0]:
-        new_entry = np.empty(orid_s.shape[0], dtype=bool)
+        n_i = orid_s.shape[0]
+        new_entry = np.empty(n_i, dtype=bool)
         new_entry[0] = True
         new_entry[1:] = (orid_s[1:] != orid_s[:-1]) | (seg_s[1:] != seg_s[:-1])
-        j_orid = orid_s[new_entry]
-        j_seg = seg_s[new_entry]
+        firsts = np.flatnonzero(new_entry)
+        lasts = np.concatenate([firsts[1:] - 1, [n_i - 1]])
+        j_orid = orid_s[firsts]
+        j_seg = seg_s[firsts]
+        j_pos_first = pos_s[firsts]
+        j_pos_last = pos_s[lasts]
+        j_ord_first = ord0_s[firsts]
+        j_ord_last = ord1_s[lasts]
     else:
         j_orid = np.zeros(0, np.int64)
         j_seg = np.zeros(0, np.int64)
+        j_pos_first = np.zeros(0, np.int64)
+        j_pos_last = np.zeros(0, np.int64)
+        j_ord_first = np.zeros(0, np.int64)
+        j_ord_last = np.zeros(0, np.int64)
 
     journey_offsets = np.zeros(n_or + 1, np.int64)
     np.cumsum(np.bincount(j_orid, minlength=n_or), out=journey_offsets[1:])
 
-    # Transitions: consecutive journey entries of the same oriented read.
+    # Transitions: consecutive journey entries of the same oriented
+    # read, grouped per (source, target) pair into links when coverage
+    # suffices (reference: findTransitions + createLinks,
+    # src/mode3.cpp:555-629).
+    n_seg = ag.edge_count
     if j_orid.shape[0] > 1:
         same = j_orid[1:] == j_orid[:-1]
         t_src = j_seg[:-1][same]
         t_tgt = j_seg[1:][same]
-        key = t_src * np.int64(ag.edge_count) + t_tgt
+        key = t_src * np.int64(n_seg) + t_tgt
+        tr_orid = j_orid[1:][same]
+        tr_pos0 = j_pos_last[:-1][same]
+        tr_ord0 = j_ord_last[:-1][same]
+        tr_pos1 = j_pos_first[1:][same]
+        tr_ord1 = j_ord_first[1:][same]
         uniq, counts = np.unique(key, return_counts=True)
         keep = counts >= min_link_coverage
         uniq, counts = uniq[keep], counts[keep]
-        link_source = uniq // ag.edge_count
-        link_target = uniq % ag.edge_count
+        link_source = uniq // n_seg
+        link_target = uniq % n_seg
         link_coverage = counts.astype(np.int32)
+        # CSR of transitions for kept links, sorted by (link, orid).
+        link_of_key = np.searchsorted(uniq, key)
+        valid = (link_of_key < uniq.shape[0]) & (
+            uniq[np.minimum(link_of_key, uniq.shape[0] - 1)] == key
+        )
+        li = link_of_key[valid]
+        t_order = np.lexsort((tr_orid[valid], li))
+        li = li[t_order]
+        t_orid = tr_orid[valid][t_order]
+        t_pos0 = tr_pos0[valid][t_order]
+        t_ord0 = tr_ord0[valid][t_order]
+        t_pos1 = tr_pos1[valid][t_order]
+        t_ord1 = tr_ord1[valid][t_order]
+        transition_offsets = np.zeros(uniq.shape[0] + 1, np.int64)
+        np.cumsum(
+            np.bincount(li, minlength=uniq.shape[0]),
+            out=transition_offsets[1:],
+        )
     else:
         link_source = np.zeros(0, np.int64)
         link_target = np.zeros(0, np.int64)
         link_coverage = np.zeros(0, np.int32)
+        transition_offsets = np.zeros(1, np.int64)
+        t_orid = t_pos0 = t_ord0 = t_pos1 = t_ord1 = np.zeros(0, np.int64)
+
+    # Link adjacency and separation (reference: createLinks,
+    # src/mode3.cpp:600-629 + linkSeparation, src/mode3.hpp:626-648).
+    n_links = link_source.shape[0]
+    link_adjacent = np.zeros(n_links, dtype=bool)
+    link_separation = np.zeros(n_links, np.int32)
+    if n_links:
+        src_last_edge = np.array(
+            [ag.chain(int(s))[-1] for s in link_source], np.int64
+        )
+        tgt_first_edge = np.array(
+            [ag.chain(int(t))[0] for t in link_target], np.int64
+        )
+        link_adjacent = mg.target[src_last_edge] == mg.source[tgt_first_edge]
+        path_len0 = np.diff(ag.chain_offsets)[link_source]
+        for l in range(n_links):
+            if link_adjacent[l]:
+                continue
+            lo, hi = transition_offsets[l], transition_offsets[l + 1]
+            sep = (
+                (t_ord1[lo:hi] - t_ord0[lo:hi])
+                - (path_len0[l] - 1 - t_pos0[lo:hi])
+                - t_pos1[lo:hi]
+            )
+            link_separation[l] = int(np.round(sep.mean())) if hi > lo else 0
 
     return Mode3Graph(
         ag=ag,
@@ -141,6 +243,18 @@ def create_mode3_graph(
         link_source=link_source,
         link_target=link_target,
         link_coverage=link_coverage,
+        journey_pos_first=j_pos_first,
+        journey_pos_last=j_pos_last,
+        journey_ord_first=j_ord_first,
+        journey_ord_last=j_ord_last,
+        transition_offsets=transition_offsets,
+        t_orid=t_orid,
+        t_pos0=t_pos0,
+        t_ord0=t_ord0,
+        t_pos1=t_pos1,
+        t_ord1=t_ord1,
+        link_adjacent=link_adjacent,
+        link_separation=link_separation,
     )
 
 

@@ -499,9 +499,12 @@ class Assembler:
 
     def create_marker_graph_edges(self) -> None:
         cm = self.config.marker_graph
-        if self.config.assembly.mode == 2:
+        if self.config.assembly.mode in (2, 3):
             # Strict edges preserve heterozygous bubbles (reference:
             # createMarkerGraphEdgesStrict); no transitive reduction.
+            # Mode 3 also uses strict edges but adds no secondary
+            # edges and does not prune (reference: mode3Assembly,
+            # srcMain/main.cpp:1116-1145).
             from shasta_tpu.graph.mode2 import create_marker_graph_edges_strict
 
             with self.log.stage("createMarkerGraphEdgesStrict"):
@@ -512,6 +515,14 @@ class Assembler:
                     min_edge_coverage=cm.min_edge_coverage,
                     min_edge_coverage_per_strand=cm.min_edge_coverage_per_strand,
                 )
+            if self.config.assembly.mode == 3:
+                MG.audit_strand_symmetry(
+                    self.marker_graph, "strict edge creation"
+                )
+                self.store.save_stage(
+                    "MarkerGraph", self.marker_graph.arrays()
+                )
+                return
             if cm.secondary_edges:
                 from shasta_tpu.graph.mode2 import (
                     create_marker_graph_secondary_edges,
@@ -750,13 +761,12 @@ class Assembler:
                 caller=_vertex_caller_name(ca.consensus_caller),
             )
         with self.log.stage("assembleMarkerGraphEdges"):
-            needed = np.zeros(mg.edge_count, dtype=bool)
-            for a in range(m3.ag.edge_count):
-                if m3.ag.is_assembled_edge(a):
-                    needed[m3.ag.chain(a)] = True
+            # Jaccard paths traverse segments on either strand, so
+            # every alive edge needs consensus (unlike mode 0, which
+            # assembles one strand per rc pair).
             self.edge_consensus = AG.assemble_marker_graph_edges(
                 self.reads, self.markers, mg,
-                needed=needed,
+                needed=mg.alive(),
                 caller=get_consensus_caller(ca.consensus_caller),
                 length_threshold_markers=ca.marker_graph_edge_length_threshold_for_consensus,
             )
@@ -771,21 +781,64 @@ class Assembler:
                 _os.path.join(self.run_dir, "Mode3-Assembly.gfa"), m3
             )
             paths = M3.find_assembly_paths(m3)
+        with self.log.stage("createJaccardGraph"):
+            # (reference: createJaccardGraph, mode3-JaccardGraph.cpp:28)
+            from shasta_tpu.graph import mode3_path as M3P
+
+            conn = M3P.Mode3Connectivity(m3, mg, self.markers)
+            jedges = M3P.create_jaccard_graph(conn)
+            n_strong = sum(1 for e in jedges.values() if e.is_strong)
+            self.log.line(
+                f"The Jaccard graph has {m3.segment_count} vertices and "
+                f"{len(jedges)} edges ({n_strong} strong)."
+            )
+            M3P.write_jaccard_edges_csv(
+                _os.path.join(self.run_dir, "JaccardGraphEdges.csv"), jedges
+            )
+            cluster_id = M3P.find_jaccard_clusters(m3.segment_count, jedges)
+        with self.log.stage("assembleJaccardPaths"):
+            # (reference: AssemblyPath::assemble,
+            # mode3-AssemblyPath.cpp:28, driven per path as the
+            # explorer does, AssemblerHttpServer-Mode3.cpp:871-907)
+            skeletons = M3P.find_jaccard_paths(m3.segment_count, jedges)
+            assembler = M3P.PathAssembler(
+                m3, conn, mg, self.markers, self.reads,
+                self.vertex_repeats, self.edge_consensus,
+                caller=get_consensus_caller(ca.consensus_caller),
+            )
+            self.mode3_paths = [
+                assembler.assemble_path(s) for s in skeletons
+            ]
+            M3P.write_paths_fasta(
+                _os.path.join(self.run_dir, "Mode3-Paths.fasta"),
+                self.mode3_paths,
+            )
+            total_path_length = int(
+                sum(p.raw.shape[0] for p in self.mode3_paths)
+            )
+            self.log.line(
+                f"Assembled {len(self.mode3_paths)} Jaccard paths, "
+                f"total {total_path_length} raw bases."
+            )
         with self.log.stage("clusterSegments"):
             # (reference: AssemblyGraph::clusterSegments, mode3.cpp:1201)
-            cluster_id = M3.cluster_segments(m3, mg, self.markers)
-            n_clusters = int(cluster_id.max()) + 1 if cluster_id.size else 0
+            cluster_id2 = M3.cluster_segments(m3, mg, self.markers)
+            n_clusters = int(cluster_id2.max()) + 1 if cluster_id2.size else 0
             self.log.line(
                 f"Found {n_clusters} segment clusters covering "
-                f"{int((cluster_id >= 0).sum())} of {m3.segment_count} segments."
+                f"{int((cluster_id2 >= 0).sum())} of {m3.segment_count} segments."
             )
         arrays = m3.arrays()
-        arrays["cluster_id"] = cluster_id
+        arrays["cluster_id"] = cluster_id2
+        arrays["jaccard_cluster_id"] = cluster_id
         self.store.save_stage("Mode3", arrays)
         return {
             "mode3SegmentCount": m3.segment_count,
             "mode3LinkCount": m3.link_count,
             "mode3PathCount": len(paths),
+            "mode3JaccardEdgeCount": len(jedges),
+            "mode3JaccardPathCount": len(self.mode3_paths),
+            "mode3JaccardPathTotalLength": total_path_length,
             "mode3ClusterCount": n_clusters,
         }
 

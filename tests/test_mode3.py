@@ -113,3 +113,51 @@ def test_mode3_segment_pair_analysis_and_clustering():
     cids = np.unique(cluster_id[cluster_id >= 0])
     if cids.shape[0]:
         assert np.array_equal(cids, np.arange(cids.shape[0]))
+
+
+@pytest.mark.slow
+def test_mode3_jaccard_paths_reconstruct(tmp_path):
+    """Jaccard-graph assembly paths stitched across links reconstruct
+    the genome from noisy reads (reference: createAssemblyPath,
+    src/mode3.cpp:1924 + AssemblyPath::assemble,
+    src/mode3-AssemblyPath.cpp:28)."""
+    from tests import synth
+    from tests.test_assembly_e2e import small_config
+    from shasta_tpu.pipeline.assemble import run_assembly
+    from shasta_tpu.data import bases as B
+
+    genome = synth.random_genome(20000, seed=91)
+    reads = synth.sample_reads(
+        genome, 160, 3000, seed=92, error_rate=0.02, both_strands=True
+    )
+    fa = os.path.join(tmp_path, "r.fasta")
+    synth.write_fasta(fa, reads)
+    cfg = small_config()
+    cfg.assembly.mode = 3
+    cfg.min_hash.min_hash_iteration_count = 20
+    run_dir = os.path.join(tmp_path, "run")
+    s = run_assembly([fa], run_dir, cfg)
+
+    assert s["mode3JaccardEdgeCount"] > 0
+    assert s["mode3JaccardPathCount"] > 0
+    # Paths cover a substantial part of the genome (both strands).
+    assert s["mode3JaccardPathTotalLength"] > 0.6 * 2 * 20000 * 0.5
+    assert os.path.exists(os.path.join(run_dir, "JaccardGraphEdges.csv"))
+
+    gs = B.decode_to_str(genome)
+    gs_rc = B.decode_to_str(B.reverse_complement(genome))
+    seqs, name = {}, None
+    with open(os.path.join(run_dir, "Mode3-Paths.fasta")) as f:
+        for line in f:
+            if line.startswith(">"):
+                name = line[1:].split()[0]
+            else:
+                seqs.setdefault(name, []).append(line.strip())
+    long_paths = [
+        "".join(p) for p in seqs.values() if len("".join(p)) >= 500
+    ]
+    assert len(long_paths) >= 4
+    # Despite 2% read error, most long paths must be EXACT substrings
+    # of the genome: segment consensus + link MSA remove the noise.
+    n_exact = sum(1 for sq in long_paths if sq in gs or sq in gs_rc)
+    assert n_exact >= 0.7 * len(long_paths), (n_exact, len(long_paths))
