@@ -54,8 +54,14 @@ def test_is_rle_kmer():
 def test_random_selection_rc_closed_and_fraction():
     table = K.select_kmers_random(k=8, probability=0.2, seed=231)
     assert table.check_rc_closed()
-    frac = table.marker_count / table.kmer_count
+    # Selection is among RLE k-mers only (reference:
+    # AssemblerKmers.cpp:107); the fraction target applies to those.
+    n_rle = 4 * 3 ** 7
+    frac = table.marker_count / n_rle
     assert 0.15 < frac < 0.25
+    # Non-RLE k-mers are never markers.
+    ids = np.flatnonzero(table.is_marker).astype(np.uint32)
+    assert K.is_rle_kmer(ids, 8).all()
 
 
 def test_rolling_kmers():

@@ -1,0 +1,143 @@
+"""Reference-parity harness (see docs/ReferenceParity.md).
+
+The reference binary cannot be built in this environment (no Boost /
+SeqAn / spoa, zero egress), so parity is established via:
+- running on the reference's own TinyTest asset with a built-in
+  configuration (the reference CI's smoke invocation);
+- output file-family parity against the reference's writers
+  (reference: srcMain/main.cpp:822-830 + Assembler*.cpp ofstream
+  family);
+- golden-metric regression pinning the key metrics of a fixed-seed
+  run (regenerate deliberately with SHASTA_TPU_REGEN_GOLDEN=1).
+"""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from shasta_tpu.pipeline.assemble import run_assembly
+from shasta_tpu.pipeline.config import AssemblyConfig
+from shasta_tpu.pipeline.configurations import get_configuration
+
+from tests import synth
+from tests.test_assembly_e2e import small_config
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "mode0_metrics.json")
+
+# The file family a mode-0 run directory must contain (reference:
+# srcMain/main.cpp:822-830 writes the summaries; the rest come from
+# the per-stage writers).
+MODE0_FILE_FAMILY = [
+    "Assembly.fasta",
+    "Assembly.gfa",
+    "Assembly-BothStrands.gfa",
+    "AssemblySummary.html",
+    "AssemblySummary.json",
+    "index.html",
+    "shasta.conf",
+    "performance.log",
+    "stdout.log",
+    "ReadLengthHistogram.csv",
+]
+
+# Metrics pinned by the golden snapshot. Deterministic by design:
+# every stage is seeded and tie-breaking is pinned (docs/Design.md).
+GOLDEN_KEYS = [
+    "readCount",
+    "rawBaseCount",
+    "rleBaseCount",
+    "markerCount",
+    "alignmentCandidateCount",
+    "alignmentCount",
+    "chimericReadCount",
+    "palindromicReadCount",
+    "markerGraphVertexCount",
+    "markerGraphEdgeCount",
+    "assembledSegmentCount",
+    "totalAssembledSegmentLength",
+    "longestAssembledSegmentLength",
+    "assembledSegmentN50",
+]
+
+
+def _golden_run(tmp_path):
+    genome = synth.random_genome(25000, seed=4242)
+    reads = synth.sample_reads(genome, 130, 3000, seed=4243, both_strands=True)
+    fa = os.path.join(tmp_path, "reads.fasta")
+    synth.write_fasta(fa, reads)
+    run_dir = os.path.join(tmp_path, "run")
+    summary = run_assembly([fa], run_dir, small_config())
+    return run_dir, summary
+
+
+@pytest.mark.slow
+def test_output_file_family_and_golden_metrics(tmp_path):
+    run_dir, summary = _golden_run(tmp_path)
+
+    for f in MODE0_FILE_FAMILY:
+        assert os.path.exists(os.path.join(run_dir, f)), f
+
+    # AssemblySummary.json agrees with the in-memory summary.
+    with open(os.path.join(run_dir, "AssemblySummary.json")) as f:
+        js = json.load(f)
+    for k in GOLDEN_KEYS:
+        assert js[k] == summary[k], k
+
+    got = {k: int(summary[k]) for k in GOLDEN_KEYS}
+    if os.environ.get("SHASTA_TPU_REGEN_GOLDEN"):
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        with open(GOLDEN, "w") as f:
+            json.dump(got, f, indent=2, sort_keys=True)
+        pytest.skip("golden regenerated")
+    assert os.path.exists(GOLDEN), (
+        "golden snapshot missing; run with SHASTA_TPU_REGEN_GOLDEN=1"
+    )
+    with open(GOLDEN) as f:
+        want = json.load(f)
+    assert got == want, {
+        k: (want.get(k), got[k]) for k in got if want.get(k) != got[k]
+    }
+
+
+@pytest.mark.slow
+def test_reference_tinytest_asset(tmp_path):
+    """Run on the reference's own CI smoke input
+    (/root/reference/tests/TinyTest.fasta.gz with a built-in
+    configuration; the reference CI then checks ShastaRun/
+    Assembly.fasta exists). The full Nanopore-Sep2020 settings are too
+    slow for the CPU test budget (k=14 tables + 400 kb read
+    alignments), so alignment-heavy knobs are reduced; read handling
+    (k=14, RLE, minReadLength=10000) stays faithful."""
+    asset = "/root/reference/tests/TinyTest.fasta.gz"
+    if not os.path.exists(asset):
+        pytest.skip("reference asset unavailable")
+    cfg = AssemblyConfig.from_conf_text(get_configuration("Nanopore-Sep2020"))
+    # CPU-feasible overrides (documented deviation for test budget).
+    cfg.min_hash.min_hash_iteration_count = 6
+    cfg.align.align_method = 0
+    cfg.marker_graph.min_coverage = 2
+    cfg.marker_graph.min_edge_coverage = 1
+
+    run_dir = os.path.join(tmp_path, "ShastaRun")
+    summary = run_assembly([asset], run_dir, cfg)
+
+    # The CI smoke assertion, and more.
+    assert os.path.exists(os.path.join(run_dir, "Assembly.fasta"))
+    for f in MODE0_FILE_FAMILY:
+        assert os.path.exists(os.path.join(run_dir, f)), f
+
+    # Input accounting parity: 20 reads in the asset; those >= the
+    # configured minimum length are used, the rest discarded.
+    with gzip.open(asset, "rt") as f:
+        lengths = [
+            len(line.strip()) for line in f if not line.startswith(">")
+        ]
+    n_long = sum(1 for L in lengths if L >= cfg.reads.min_read_length)
+    assert summary["readCount"] == n_long
+    assert (
+        summary["readCount"] + summary["discardedShortReadCount"]
+        == len(lengths)
+    )
