@@ -23,6 +23,7 @@ as the ``Mode3-*`` equivalent of the reference's persisted binaries
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -100,6 +101,22 @@ class Mode3Graph:
             if v is not None:
                 out[name] = v
         return out
+
+    @classmethod
+    def from_arrays(cls, a) -> "Mode3Graph":
+        """Reattach from a persisted stage dict (inverse of
+        :meth:`arrays`; extra keys such as cluster ids are ignored)."""
+        from shasta_tpu.graph.assembly_graph import AssemblyGraph
+
+        a = dict(a)
+        ag = AssemblyGraph.from_arrays(
+            {k[3:]: v for k, v in a.items() if k.startswith("ag_")}
+        )
+        fields = {
+            f.name for f in dataclasses.fields(cls) if f.name != "ag"
+        }
+        kwargs = {k: v for k, v in a.items() if k in fields}
+        return cls(ag=ag, **kwargs)
 
 
 def create_mode3_graph(

