@@ -98,6 +98,23 @@ def test_assemble_cli_end_to_end(tmp_path, capsys):
                      "/alignmentMatrix?readId0=0&readId1=1",
                      "/assemblyGraph?segment=0&maxDistance=2",
                      "/alignment?readId0=0&strand0=0&readId1=1&strand1=0",
+                     # Extended endpoint families (reference names,
+                     # src/AssemblerHttpServer.cpp:216-250).
+                     "/blastRead?readId=0&strand=0&beginPosition=0&endPosition=400",
+                     "/exploreAlignmentCoverage?readId=0&strand=0",
+                     "/computeAllAlignments?readId=0",
+                     "/exploreAlignmentCandidateGraph?readId=0",
+                     "/exploreAlignmentGraph?readId=0",
+                     "/alignSequencesInBaseRepresentation?sequence0=ACGTACGT&sequence1=ACGGACGT",
+                     "/assessAlignments",
+                     "/markerGraphEdge?edgeId=0",
+                     "/exploreMarkerCoverage?readId=0&strand=0",
+                     "/inducedAlignment?readId0=0&readId1=1",
+                     "/followReadInMarkerGraph?readId=0&strand=0",
+                     "/exploreMarkerConnectivity?readId=0&strand=0&ordinal=0",
+                     "/assemblyGraphEdge?edgeId=0",
+                     "/exploreAssemblyGraphEdgesSupport?edgeId=0",
+                     "/compressedAssemblyGraph?edgeId=0",
                      "/assemblySummary.json"):
             with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
                 assert r.status == 200

@@ -61,6 +61,27 @@ def test_mode3_pipeline(tmp_path):
     assert s["mode3SegmentCount"] >= 1
     assert os.path.exists(os.path.join(tmp_path, "run", "Mode3-Assembly.gfa"))
 
+    # The mode-3 explorer pages render over the persisted Mode3 stage.
+    from urllib.parse import parse_qs, urlparse
+
+    from shasta_tpu.http.explore import Explorer, _routes
+
+    ex = Explorer(os.path.join(tmp_path, "run"))
+    table = _routes(ex)
+    for url in (
+        "/mode3?segmentId=0",
+        "/mode3Segment?segmentId=0",
+        "/mode3SegmentPair?segmentId0=0&segmentId1=1",
+        "/mode3Link?linkId=0",
+        "/mode3MetaAlignment?readId0=0&readId1=1",
+        "/mode3AssemblyPath?segmentId=0",
+        "/mode3LinkAssembly?linkId=0",
+    ):
+        parsed = urlparse(url)
+        body = table[parsed.path](parse_qs(parsed.query))
+        assert isinstance(body, str) and len(body) > 0, url
+        assert "not available" not in body, url
+
 
 @pytest.mark.slow
 def test_mode3_segment_pair_analysis_and_clustering():
