@@ -512,7 +512,10 @@ def _batch_plan(n: int, LA: int, LB: int, W: int, use_pallas: bool, mesh_d: int)
         # shapes, reducing per-launch relay overhead.
         max_b = int(os.environ.get("SHASTA_TPU_MAXBATCH", _MAX_BATCH))
         if os.environ.get("SHASTA_TPU_BIGBATCH", "1") != "0":
-            factor = max(1, (512 * 512 * 128) // max(1, LA * LB * W))
+            # Per-launch overhead through the relay (~30 ms) dwarfs the
+            # kernel (~4 ms/1024 pairs at (512,512,128)), so launches
+            # carry 4x the work of the old default where VMEM allows.
+            factor = max(1, (4 * 512 * 512 * 128) // max(1, LA * LB * W))
             max_b = min(4096, _MAX_BATCH * factor)
     else:
         max_b = max(8, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
@@ -538,6 +541,23 @@ def _batch_plan(n: int, LA: int, LB: int, W: int, use_pallas: bool, mesh_d: int)
         yield lo, hi, B
 
 
+def _to_device_csr(flat: np.ndarray, off: np.ndarray, lens: np.ndarray):
+    """Upload a marker CSR to the device once (int32), for device-side
+    batch gathering. Returns None when the Pallas path is off or a
+    multi-device mesh handles batching instead."""
+    from shasta_tpu.parallel.context import current_mesh
+
+    if not _pallas_available() or current_mesh() is not None:
+        return None
+    import jax.numpy as jnp
+
+    return (
+        jnp.asarray(np.ascontiguousarray(flat, np.int32)),
+        jnp.asarray(np.ascontiguousarray(off, np.int32)),
+        jnp.asarray(np.ascontiguousarray(lens, np.int32)),
+    )
+
+
 def _dispatch_csr(
     flat: np.ndarray,
     off: np.ndarray,
@@ -549,15 +569,43 @@ def _dispatch_csr(
     LA: int,
     LB: int,
     params: AlignParams,
+    dev_csr=None,
 ):
     """CSR-driven dispatch: builds each padded batch with one gather
     (no per-pair Python). ids_a/ids_b index rows of the (flat, off,
-    lens) CSR; all pairs share the (LA, LB, W) shape bucket."""
+    lens) CSR; all pairs share the (LA, LB, W) shape bucket.
+
+    With ``dev_csr`` (from :func:`_to_device_csr`), the gather runs ON
+    DEVICE: only the pair ids cross the relay per batch, removing the
+    multi-MB padded-input upload from the per-batch critical path."""
+    from shasta_tpu.ops import align_pallas
+
     n = ids_a.shape[0]
     use_pallas, mesh, mesh_d = _dispatch_mode(LA, W)
+    device_gather = dev_csr is not None and use_pallas and mesh_d == 1
     pending = []
     for lo, hi, B in _batch_plan(n, LA, LB, W, use_pallas, mesh_d):
         pad = B - (hi - lo)
+        if device_gather:
+            ia = np.concatenate(
+                [ids_a[lo:hi], np.zeros(pad, np.int64)]
+            ).astype(np.int32)
+            ib = np.concatenate(
+                [ids_b[lo:hi], np.zeros(pad, np.int64)]
+            ).astype(np.int32)
+            bm = np.concatenate(
+                [band_mins[lo:hi], np.zeros(pad)]
+            ).astype(np.int32)
+            fused = align_pallas.banded_align_pairs_csr(
+                dev_csr[0], dev_csr[1], dev_csr[2], ia, ib, bm,
+                np.int32(hi - lo),
+                LA=LA, LB=LB, W=W,
+                match=params.match_score,
+                mismatch=params.mismatch_score,
+                gap=params.gap_score,
+            )
+            pending.append(("pallas", fused, hi - lo))
+            continue
         ia = np.concatenate([ids_a[lo:hi], np.zeros(pad, np.int64)])
         ib = np.concatenate([ids_b[lo:hi], np.zeros(pad, np.int64)])
         a = _pad_from_csr(flat, off, lens, ia, LA, -1)
@@ -803,6 +851,7 @@ class _CsrStreamingRunner:
     def __init__(self, flat, off, lens, params: AlignParams):
         self.flat, self.off, self.lens = flat, off, lens
         self.params = params
+        self.dev_csr = _to_device_csr(flat, off, lens)
         # key -> list of (ids_a, ids_b, band_min, width, tags) column chunks
         self.buffers: Dict[Tuple[int, int, int], List] = {}
         self.counts: Dict[Tuple[int, int, int], int] = {}
@@ -849,6 +898,7 @@ class _CsrStreamingRunner:
         pending = _dispatch_csr(
             self.flat, self.off, self.lens,
             ids_a, ids_b, bm, w_k, la_k, lb_k, self.params,
+            dev_csr=self.dev_csr,
         )
         lo = 0
         for entry in pending:
@@ -971,6 +1021,7 @@ def align_candidates(
         )
         uk, inv = np.unique(key_mat, axis=0, return_inverse=True)
         ph1 = []
+        ds_dev_csr = _to_device_csr(ds_kmer_flat, ds_off, ds_len)
         for ki in range(uk.shape[0]):
             sel = np.flatnonzero(inv == ki)
             idxs = run_idx[sel]
@@ -980,6 +1031,7 @@ def align_candidates(
             pending = _dispatch_csr(
                 ds_kmer_flat, ds_off, ds_len,
                 or0[idxs], or1[idxs], bm, w_k, la_k, lb_k, params,
+                dev_csr=ds_dev_csr,
             )
             lo = 0
             for entry in pending:
@@ -988,23 +1040,31 @@ def align_candidates(
                 lo += n_real
         for idx_arr, pending in ph1:
             res, _mets = _collect_bucket(pending)
-            bands = np.full((idx_arr.shape[0], 2), 0, np.int64)
-            ok = np.zeros(idx_arr.shape[0], bool)
-            for t in range(idx_arr.shape[0]):
-                o0, o1 = res[t]
-                if o0.shape[0] == 0:
-                    continue
-                p = int(idx_arr[t])
+            # Vectorized band mapping: one flat pass over every matched
+            # ordinal of the whole batch, per-pair min/max via reduceat.
+            counts = np.fromiter(
+                (r[0].shape[0] for r in res), np.int64, len(res)
+            )
+            bands = np.zeros((idx_arr.shape[0], 2), np.int64)
+            ok = counts > 0
+            if ok.any():
+                o0cat = np.concatenate([r[0] for r in res]).astype(np.int64)
+                o1cat = np.concatenate([r[1] for r in res]).astype(np.int64)
+                p_of = np.repeat(idx_arr, counts)
                 off = (
-                    ds_ord_flat[ds_off[or0[p]] + o0.astype(np.int64)]
-                    - ds_ord_flat[ds_off[or1[p]] + o1.astype(np.int64)]
+                    ds_ord_flat[ds_off[or0[p_of]] + o0cat]
+                    - ds_ord_flat[ds_off[or1[p_of]] + o1cat]
                 )
-                bmin = int(off.min()) - params.band_extend
-                bmax = int(off.max()) + params.band_extend
-                if bmax - bmin > params.max_band:
-                    continue  # reference: AssemblerAlign3.cpp:233-239
-                bands[t] = (bmin, bmax)
-                ok[t] = True
+                starts = np.zeros(len(res) + 1, np.int64)
+                np.cumsum(counts, out=starts[1:])
+                nz = np.flatnonzero(ok)
+                bmin = np.minimum.reduceat(off, starts[nz]) - params.band_extend
+                bmax = np.maximum.reduceat(off, starts[nz]) + params.band_extend
+                # reference: AssemblerAlign3.cpp:233-239
+                fits = bmax - bmin <= params.max_band
+                bands[nz[fits], 0] = bmin[fits]
+                bands[nz[fits], 1] = bmax[fits]
+                ok[nz[~fits]] = False
             sel = np.flatnonzero(ok)
             if sel.shape[0]:
                 ps = idx_arr[sel]

@@ -379,6 +379,80 @@ def banded_align_pairs(
     a_pad = jnp.full((B, LAP), -1, jnp.int32)
     a_pad = jax.lax.dynamic_update_slice(a_pad, a, (0, 0))
 
+    return _invoke(
+        a_pad, b_pad, a_len, b_len, band_min, B0, BB,
+        LA=LA, LB=LB, W=W, match=match, mismatch=mismatch, gap=gap,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("LA", "LB", "W", "match", "mismatch", "gap")
+)
+def banded_align_pairs_csr(
+    flat, off, lens, ia, ib, band_min, n_real,
+    *, LA, LB, W, match, mismatch, gap
+):
+    """Forward + traceback with DEVICE-side batch construction.
+
+    flat/off/lens is the device-resident CSR of per-oriented-read
+    marker k-mer ids (uploaded once per stage); ia/ib are row ids and
+    n_real a device scalar bounding the live pairs. Only the tiny id
+    arrays cross the host->device relay per batch — the padded (B, LA)
+    inputs are gathered on device, which removes the multi-MB per-batch
+    upload that dominated alignment wall time through the tunnel.
+    Output is identical to :func:`banded_align_pairs` on the gathered
+    rows.
+    """
+    B0 = ia.shape[0]
+    BB = _block_pairs(LA, W, LB)
+    if BB == 0:
+        raise ValueError(f"shape (LA={LA}, W={W}) too large for the kernel")
+    B = ((B0 + BB - 1) // BB) * BB
+    if B != B0:
+        pad = B - B0
+        ia = jnp.concatenate([ia, jnp.zeros(pad, ia.dtype)])
+        ib = jnp.concatenate([ib, jnp.zeros(pad, ib.dtype)])
+        band_min = jnp.concatenate([band_min, jnp.zeros(pad, band_min.dtype)])
+    ia = ia.astype(jnp.int32)
+    ib = ib.astype(jnp.int32)
+    band_min = band_min.astype(jnp.int32)
+    live = jnp.arange(B, dtype=jnp.int32) < n_real
+    a_len = jnp.where(live, lens[ia], 0).astype(jnp.int32)
+    b_len = jnp.where(live, lens[ib], 0).astype(jnp.int32)
+
+    LEFTPAD, R, LBP, LAP = _geometry(LA, LB, W)
+    band_ok = (band_min >= -LEFTPAD) & (band_min <= LB)
+    a_len = jnp.where(band_ok, a_len, 0)
+    band_min = jnp.clip(band_min, -LEFTPAD, LB)
+
+    nf = flat.shape[0]
+    # Gather straight into the kernel's padded layouts.
+    ar = jnp.arange(LAP, dtype=jnp.int32)[None, :]
+    posa = off[ia][:, None].astype(jnp.int32) + ar
+    maska = ar < a_len[:, None]
+    a_pad = jnp.where(
+        maska, flat[jnp.clip(posa, 0, nf - 1)], jnp.int32(-1)
+    ).astype(jnp.int32)
+    br = jnp.arange(LBP, dtype=jnp.int32)[None, :] - LEFTPAD
+    posb = off[ib][:, None].astype(jnp.int32) + br
+    maskb = (br >= 0) & (br < b_len[:, None])
+    b_pad = jnp.where(
+        maskb, flat[jnp.clip(posb, 0, nf - 1)], jnp.int32(-2)
+    ).astype(jnp.int32)
+
+    return _invoke(
+        a_pad, b_pad, a_len, b_len, band_min, B0, BB,
+        LA=LA, LB=LB, W=W, match=match, mismatch=mismatch, gap=gap,
+    )
+
+
+def _invoke(
+    a_pad, b_pad, a_len, b_len, band_min, B0, BB,
+    *, LA, LB, W, match, mismatch, gap
+):
+    """Launch the kernel on pre-padded inputs and fuse the outputs."""
+    B = a_pad.shape[0]
+    LEFTPAD, R, LBP, LAP = _geometry(LA, LB, W)
     grid = (B // BB,)
     kernel = functools.partial(
         _kernel, LA=LA, LB=LB, W=W, LEFTPAD=LEFTPAD, match=match,

@@ -134,3 +134,45 @@ def test_edge_cases_match_jnp_kernel():
     # Identical sequences align completely.
     assert fused[5, 0] == LA
     assert np.array_equal(fused[5, 16:16 + LA], np.arange(LA))
+
+
+def test_csr_entry_matches_padded_entry():
+    """banded_align_pairs_csr (device-side gather) must produce the
+    same fused output as banded_align_pairs on the gathered rows,
+    including partial batches (n_real < padded B)."""
+    import jax.numpy as jnp
+
+    LA = LB = W = 128
+    a, a_len, b, b_len, bm = make_batch(7, B=6, LA=LA, LB=LB, W=W)
+    # Build a CSR holding all 12 rows: a rows then b rows.
+    rows = [a[t, : a_len[t]] for t in range(6)] + [
+        b[t, : b_len[t]] for t in range(6)
+    ]
+    lens = np.array([r.shape[0] for r in rows], np.int32)
+    off = np.zeros(lens.shape[0] + 1, np.int32)
+    np.cumsum(lens, out=off[1:])
+    flat = np.concatenate(rows).astype(np.int32)
+    ia = np.arange(6, dtype=np.int32)
+    ib = np.arange(6, 12, dtype=np.int32)
+
+    ref = np.asarray(
+        AP.banded_align_pairs(
+            a, a_len, b, b_len, bm, LA=LA, LB=LB, W=W,
+            match=6, mismatch=-1, gap=-1,
+        )
+    )
+    # Pad the id arrays past the live count, like _dispatch_csr does.
+    pad = 2
+    ia_p = np.concatenate([ia, np.zeros(pad, np.int32)])
+    ib_p = np.concatenate([ib, np.zeros(pad, np.int32)])
+    bm_p = np.concatenate([bm, np.zeros(pad, np.int32)])
+    got = np.asarray(
+        AP.banded_align_pairs_csr(
+            jnp.asarray(flat), jnp.asarray(off),
+            jnp.asarray(lens), ia_p, ib_p, bm_p, np.int32(6),
+            LA=LA, LB=LB, W=W, match=6, mismatch=-1, gap=-1,
+        )
+    )
+    assert np.array_equal(got[:6], ref)
+    # Padded rows beyond n_real are empty.
+    assert (got[6:, 0] == 0).all()
