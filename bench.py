@@ -58,6 +58,53 @@ def build_workload(n_reads=300, read_len=3000, genome_size=60000, seed=5):
     return markers, kt, cand
 
 
+def kernel_roofline(seed=11):
+    """Marginal kernel throughput (launch overhead excluded): time K
+    chained launches against one, fetch a single scalar. Reports DP
+    cell-updates/s — the roofline-style number for the Pallas kernel
+    itself (VERDICT round 1, item 5)."""
+    import jax.numpy as jnp
+
+    from shasta_tpu.ops.align_pallas import banded_align_pairs
+
+    B, LA, LB, W = 1024, 512, 512, 128
+    rng = np.random.default_rng(seed)
+    a = np.full((B, LA), -1, np.int32)
+    b = np.full((B, LB), -2, np.int32)
+    a_len = np.zeros(B, np.int32)
+    b_len = np.zeros(B, np.int32)
+    bm = np.full(B, -64, np.int32)
+    for t in range(B):
+        g = rng.integers(0, 8000, LB + 120).astype(np.int32)
+        la = int(rng.integers(380, 500))
+        lb = int(rng.integers(380, 500))
+        sb = int(rng.integers(0, 40))
+        a[t, :la] = g[:la]
+        bb = g[sb : sb + lb].copy()
+        nz = rng.random(lb) < 0.12
+        bb[nz] = rng.integers(0, 8000, nz.sum())
+        b[t, :lb] = bb
+        a_len[t], b_len[t] = la, lb
+    args = [jnp.asarray(x) for x in (a, a_len, b, b_len, bm)]
+    kw = dict(LA=LA, LB=LB, W=W, match=6, mismatch=-1, gap=-1)
+
+    def launch():
+        return banded_align_pairs(*args, **kw).astype(jnp.int32).sum()
+
+    np.asarray(launch())  # warm
+    K = 6
+    t_single = t_chain = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        np.asarray(launch())
+        t_single = min(t_single, time.monotonic() - t0)
+        t0 = time.monotonic()
+        np.asarray(jnp.stack([launch() for _ in range(K)]))
+        t_chain = min(t_chain, time.monotonic() - t0)
+    per_kernel = max(1e-9, (t_chain - t_single) / (K - 1))
+    return B * LA * W / per_kernel / 1e9, B / per_kernel
+
+
 def main():
     from shasta_tpu.ops.align import AlignParams, align_candidates
 
@@ -88,6 +135,11 @@ def main():
         if time.monotonic() - bench_start > 600:
             break
 
+    try:
+        gcells, kernel_pairs = kernel_roofline()
+    except Exception:
+        gcells, kernel_pairs = 0.0, 0.0
+
     print(
         json.dumps(
             {
@@ -95,6 +147,8 @@ def main():
                 "value": round(best, 1),
                 "unit": "alignments/s",
                 "vs_baseline": round(best / REFERENCE_ALIGNMENTS_PER_SEC, 4),
+                "kernel_gcells_per_sec": round(gcells, 2),
+                "kernel_pairs_per_sec": round(kernel_pairs, 0),
             }
         )
     )
