@@ -448,6 +448,49 @@ def _bucket_vec(n: np.ndarray, buckets) -> np.ndarray:
     return out
 
 
+class _ProfTimer:
+    """Env-gated stage timer for align_candidates: set SHASTA_TPU_PROF=1
+    to print per-stage wall times to stderr. No-op (and near-zero cost)
+    otherwise."""
+
+    def __init__(self):
+        self.enabled = bool(os.environ.get("SHASTA_TPU_PROF"))
+        if self.enabled:
+            import time as _time
+
+            self._time = _time.perf_counter
+            self._t0 = self._time()
+            self._acc: Dict[str, float] = {}
+            self._order: List[str] = []
+
+    def mark(self, name: str, accumulate: bool = False) -> None:
+        if not self.enabled:
+            return
+        now = self._time()
+        dt = now - self._t0
+        self._t0 = now
+        if name in self._acc:
+            if accumulate:
+                self._acc[name] += dt
+            else:
+                self._acc[name] = dt
+        else:
+            self._acc[name] = dt
+            self._order.append(name)
+
+    def report(self, n_pairs: int) -> None:
+        if not self.enabled:
+            return
+        import sys
+
+        total = sum(self._acc.values())
+        parts = " ".join(f"{k}={self._acc[k]:.3f}s" for k in self._order)
+        print(
+            f"[align prof] pairs={n_pairs} total={total:.3f}s {parts}",
+            file=sys.stderr,
+        )
+
+
 def _dispatch_bucket(
     a_rows: List[np.ndarray],
     b_rows: List[np.ndarray],
@@ -982,6 +1025,7 @@ def align_candidates(
     # ordinal (reference keeps (ordinal, kmer) pairs per read:
     # AssemblerAlign3.cpp:76-80). All array passes — no per-pair
     # Python prep, so host time stays flat as candidates grow.
+    _prof = _ProfTimer()
     ds_threshold = np.uint32(
         min(int(params.downsampling_factor * float(2**32)), 2**32 - 1)
     )
@@ -1004,6 +1048,7 @@ def align_candidates(
     # the phase-1 fetches and band mapping overlap the device work of
     # phase 2. The DP i axis is oriented read 0, j axis is oriented
     # read 1; the band is on j - i = ordinal1 - ordinal0 = -offset.
+    _prof.mark("ds_prep")
     runner = _CsrStreamingRunner(kmer_flat, koff, klen, params)
     if run_idx.shape[0]:
         # Full-matrix band for phase 1: j - i ranges over [-LA, LB]
@@ -1038,8 +1083,10 @@ def align_candidates(
                 n_real = entry[2]
                 ph1.append((idxs[lo : lo + n_real], [entry]))
                 lo += n_real
+        _prof.mark("ph1_dispatch")
         for idx_arr, pending in ph1:
             res, _mets = _collect_bucket(pending)
+            _prof.mark("ph1_collect", accumulate=True)
             # Vectorized band mapping: one flat pass over every matched
             # ordinal of the whole batch, per-pair min/max via reduceat.
             counts = np.fromiter(
@@ -1074,7 +1121,9 @@ def align_candidates(
                     bands[sel, 1] - bands[sel, 0] + 1,
                     ps,
                 )
+            _prof.mark("ph1_bands_ph2_dispatch", accumulate=True)
     runner.flush_all()
+    _prof.mark("ph2_flush")
 
     res_of: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     met_of = np.zeros((n_pairs, 10), np.int64)
@@ -1082,6 +1131,8 @@ def align_candidates(
         for t, p in enumerate(tags):
             res_of[p] = res[t]
             met_of[p] = mets[t]
+    _prof.mark("ph2_collect")
+    _prof.report(n_pairs)
 
     full_idx = np.array(sorted(res_of), dtype=np.int64)
     results = [res_of[int(p)] for p in full_idx]
