@@ -15,7 +15,10 @@ The workload mirrors production shapes: ~430-marker sequences (3 kb
 reads at 10% marker density — the reference's marker compression,
 BASELINE.md "Marker representation compression"), bands from LowHash
 candidate offsets, full method-3 two-phase alignment including band
-finding, traceback, metric computation and filtering.
+finding, traceback, metric computation and filtering. The workload is
+sized at ~60k candidate pairs so the tunneled chip's fixed per-fetch
+latency (~70-150 ms/round trip) amortizes the way it does in a real
+assembly, where this stage processes millions of pairs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -31,7 +34,7 @@ sys.path.insert(0, ".")
 REFERENCE_ALIGNMENTS_PER_SEC = 7400.0
 
 
-def build_workload(n_reads=300, read_len=3000, genome_size=60000, seed=5):
+def build_workload(n_reads=4000, read_len=3000, genome_size=800000, seed=5):
     from tests import synth
     from shasta_tpu.data import bases as B
     from shasta_tpu.io.fasta import parse_fasta_bytes

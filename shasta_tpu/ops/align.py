@@ -639,15 +639,24 @@ def _dispatch_csr(
             bm = np.concatenate(
                 [band_mins[lo:hi], np.zeros(pad)]
             ).astype(np.int32)
-            fused = align_pallas.banded_align_pairs_csr(
+            pack = (
+                W <= 254
+                and os.environ.get("SHASTA_TPU_PACKU8", "1") != "0"
+            )
+            out = align_pallas.banded_align_pairs_csr(
                 dev_csr[0], dev_csr[1], dev_csr[2], ia, ib, bm,
                 np.int32(hi - lo),
                 LA=LA, LB=LB, W=W,
                 match=params.match_score,
                 mismatch=params.mismatch_score,
                 gap=params.gap_score,
+                pack_u8=pack,
             )
-            pending.append(("pallas", fused, hi - lo))
+            if pack:
+                met_dev, delta_dev = out
+                pending.append(("p2", (met_dev, delta_dev, bm), hi - lo))
+            else:
+                pending.append(("pallas", out, hi - lo))
             continue
         ia = np.concatenate([ids_a[lo:hi], np.zeros(pad, np.int64)])
         ib = np.concatenate([ids_b[lo:hi], np.zeros(pad, np.int64)])
@@ -775,6 +784,18 @@ def _collect_bucket(pending):
     results: List[Tuple[np.ndarray, np.ndarray]] = []
     mets: List[np.ndarray] = []
     for kind, payload, n_real in pending:
+        if kind == "p2":
+            met, rows, cols, vals = _entry_to_flat((kind, payload, n_real))
+            counts = np.bincount(rows, minlength=n_real)
+            starts = np.zeros(n_real + 1, np.int64)
+            np.cumsum(counts, out=starts[1:])
+            for t in range(n_real):
+                lo, hi = starts[t], starts[t + 1]
+                results.append(
+                    (cols[lo:hi].astype(np.uint32), vals[lo:hi].astype(np.uint32))
+                )
+            mets.extend(met)
+            continue
         if kind == "pallas":
             fused = np.asarray(payload)
             mjrows = fused[:n_real, 16:]
@@ -959,38 +980,75 @@ class _CsrStreamingRunner:
             yield tags, res, mets
 
     def collect_fused(self):
-        """Fetch all pallas batches of the same output width in ONE
-        device->host transfer (a device-side concatenate), instead of
-        one round trip per batch — the tunneled TPU pays ~150 ms
-        latency per fetch. jnp batches fall back to per-batch collect."""
-        import jax.numpy as jnp
-
-        groups: Dict[int, List[int]] = {}
-        other: List[int] = []
-        for bi, (tags, pending) in enumerate(self.batches):
-            kind, payload, n_real = pending[0]
-            if kind == "pallas":
-                groups.setdefault(int(payload.shape[1]), []).append(bi)
-            else:
-                other.append(bi)
-        for width, idxs in groups.items():
-            fused = np.asarray(
-                jnp.concatenate([self.batches[bi][1][0][1] for bi in idxs])
-            )
-            lo = 0
-            for bi in idxs:
-                tags, pending = self.batches[bi]
-                n_real = pending[0][2]
-                n_total = pending[0][1].shape[0]
-                res, mets = _collect_bucket(
-                    [("pallas", fused[lo : lo + n_total], n_real)]
-                )
-                lo += n_total
-                yield tags, res, mets
-        for bi in other:
-            tags, pending = self.batches[bi]
+        """Start every batch's device->host copy asynchronously before
+        decoding any of them: the tunneled TPU pays ~70-150 ms latency
+        per round trip, and overlapped copies pay it once (measured
+        2.8x over serial per-batch fetches)."""
+        _prefetch_batches(self.batches)
+        for tags, pending in self.batches:
             res, mets = _collect_bucket(pending)
             yield tags, res, mets
+
+
+def _prefetch_batches(batches) -> None:
+    """Issue copy_to_host_async for every pending device payload so the
+    relay overlaps the transfers; subsequent np.asarray calls find the
+    bytes already in flight (or landed)."""
+    for _tags, pending in batches:
+        for kind, payload, _n_real in pending:
+            try:
+                if kind == "pallas":
+                    payload.copy_to_host_async()
+                else:
+                    payload[0].copy_to_host_async()
+                    payload[1].copy_to_host_async()
+            except AttributeError:
+                pass  # already a host array (CPU/interpret path)
+
+
+def _entry_to_flat(entry):
+    """Decode one pending batch into flat arrays — no per-pair Python.
+
+    Returns (metrics, rows, cols, vals): metrics (n_real, 10) int64;
+    rows are batch-local pair indices, cols the matched ordinal0 and
+    vals the matched ordinal1, in path order within each pair."""
+    kind, payload, n_real = entry
+    if kind == "p2":
+        met_dev, delta_dev, bm = payload
+        met = np.asarray(met_dev)[:n_real, :10].astype(np.int64)
+        dm = np.asarray(delta_dev)[:n_real]
+        rows, cols = np.nonzero(dm != 255)
+        vals = dm[rows, cols].astype(np.int64) + cols + bm[rows]
+        return met, rows, cols.astype(np.int64), vals
+    if kind == "pallas":
+        fused = np.asarray(payload)[:n_real]
+        met = fused[:, :10].astype(np.int64)
+        mjrows = fused[:, 16:]
+        rows, cols = np.nonzero(mjrows >= 0)
+        vals = mjrows[rows, cols].astype(np.int64)
+        return met, rows, cols.astype(np.int64), vals
+    # jnp fallback: (n_steps, B) traceback columns, reversed path order.
+    m0, m1 = payload
+    m0 = np.asarray(m0)[:, :n_real]
+    m1 = np.asarray(m1)[:, :n_real]
+    m0r = m0[::-1].T  # (n_real, n_steps), ascending path order
+    m1r = m1[::-1].T
+    rows, kidx = np.nonzero(m0r >= 0)
+    cols = m0r[rows, kidx].astype(np.int64)
+    vals = m1r[rows, kidx].astype(np.int64)
+    met = np.zeros((n_real, 10), np.int64)
+    counts = np.bincount(rows, minlength=n_real)
+    starts = np.zeros(n_real + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    for t in range(n_real):
+        lo, hi = starts[t], starts[t + 1]
+        if hi > lo:
+            o0 = cols[lo:hi].astype(np.uint32)
+            o1 = vals[lo:hi].astype(np.uint32)
+            ms, md, omin, omax = _metrics_from_ordinals(o0, o1)
+            met[t] = [hi - lo, o0[0], o0[-1], o1[0], o1[-1],
+                      omin, omax, ms, md, 0]
+    return met, rows, cols, vals
 
 
 def align_candidates(
@@ -1084,6 +1142,7 @@ def align_candidates(
                 ph1.append((idxs[lo : lo + n_real], [entry]))
                 lo += n_real
         _prof.mark("ph1_dispatch")
+        _prefetch_batches(ph1)
         for idx_arr, pending in ph1:
             res, _mets = _collect_bucket(pending)
             _prof.mark("ph1_collect", accumulate=True)

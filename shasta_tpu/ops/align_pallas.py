@@ -386,11 +386,12 @@ def banded_align_pairs(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("LA", "LB", "W", "match", "mismatch", "gap")
+    jax.jit,
+    static_argnames=("LA", "LB", "W", "match", "mismatch", "gap", "pack_u8"),
 )
 def banded_align_pairs_csr(
     flat, off, lens, ia, ib, band_min, n_real,
-    *, LA, LB, W, match, mismatch, gap
+    *, LA, LB, W, match, mismatch, gap, pack_u8=False
 ):
     """Forward + traceback with DEVICE-side batch construction.
 
@@ -443,12 +444,13 @@ def banded_align_pairs_csr(
     return _invoke(
         a_pad, b_pad, a_len, b_len, band_min, B0, BB,
         LA=LA, LB=LB, W=W, match=match, mismatch=mismatch, gap=gap,
+        pack_u8=pack_u8,
     )
 
 
 def _invoke(
     a_pad, b_pad, a_len, b_len, band_min, B0, BB,
-    *, LA, LB, W, match, mismatch, gap
+    *, LA, LB, W, match, mismatch, gap, pack_u8=False
 ):
     """Launch the kernel on pre-padded inputs and fuse the outputs."""
     B = a_pad.shape[0]
@@ -494,15 +496,29 @@ def _invoke(
     mj, best = out
     mj = jnp.transpose(mj, (1, 0, 2)).reshape(LA, B)
     metrics = _metrics_from_mj(mj, best.reshape(B), LA)
+    int16_ok = (
+        LA <= 2048 and LB <= 2048 and W <= 2048 and LA * match <= 32000
+        and os.environ.get("SHASTA_TPU_INT16", "1") != "0"
+    )
+    if pack_u8 and W <= 254:
+        # Band-relative packing: the kernel only matches within the
+        # band j - i - band_min in [0, W), so the matched ordinal1 is
+        # stored as that uint8 offset (255 = no match) — a 2-4x
+        # smaller device->host transfer than absolute int16/int32
+        # ordinals. Decoded host-side as delta + i + band_min.
+        mjT = mj.T[:B0]
+        delta = mjT - jnp.arange(LA, dtype=jnp.int32)[None, :] - band_min[:B0, None]
+        packed = jnp.where(mjT >= 0, delta, 255).astype(jnp.uint8)
+        met = metrics[:B0]
+        if int16_ok:
+            met = met.astype(jnp.int16)
+        return met, packed
     # mj is (LA, B): row i holds the matched ordinal1 for ordinal0 = i
     # (or -1). Row order IS path order, no sort needed. Metrics and
     # matches are fused into ONE output array: device->host
     # round-trips through a tunneled TPU have ~150 ms latency each.
     fused = jnp.concatenate([metrics, mj.T], axis=1)[:B0]
-    if (
-        LA <= 2048 and LB <= 2048 and W <= 2048 and LA * match <= 32000
-        and os.environ.get("SHASTA_TPU_INT16", "1") != "0"
-    ):
+    if int16_ok:
         # Every fused value (ordinals, offsets, skip/drift, score)
         # provably fits int16 at these shapes; halving the bytes
         # roughly halves the tunneled device->host transfer time.
