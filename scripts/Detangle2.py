@@ -1,8 +1,7 @@
 #!/usr/bin/env python
-"""Detangle with method-2 semantics including colliding tangle pairs
-(reference: scripts/Detangle2.py -> AssemblyPathGraph2). The TPU
-build's detangler implements the AssemblyPathGraph2 semantics, so this
-is the same pass as Detangle.py run with its defaults."""
+"""Detangle with method-2 semantics: dominant-diagonal tangle matrix
+with off-diagonal tolerances, including colliding tangle pairs
+(reference: scripts/Detangle2.py -> AssemblyPathGraph2)."""
 import sys
 
 from _common import open_run

@@ -1,4 +1,4 @@
-"""Assembly graph detangling (detangle method 2 semantics).
+"""Assembly graph detangling (methods 1 and 2).
 
 TPU-era counterpart of the reference AssemblyPathGraph2
 (reference: src/AssemblyPathGraph2.{hpp,cpp}, driven by
@@ -146,6 +146,34 @@ def _solve_tangle(
     return match, priority
 
 
+def _solve_tangle_method1(
+    g: _PathGraph,
+    ins: List[int],
+    outs: List[int],
+) -> Optional[Tuple[List[int], int]]:
+    """Method-1 solvability (reference: Tangle::findIfSolvable,
+    src/AssemblyPathGraph.cpp): the tangle matrix must be square and a
+    permutation by support — every row and every column has EXACTLY one
+    nonzero element. Stricter than method 2: any stray shared read
+    makes the tangle unsolvable instead of being tolerated as
+    off-diagonal noise. Priority is the smallest nonzero element
+    (reference: Tangle::computePriority)."""
+    n = len(ins)
+    if len(outs) != n:
+        return None
+    M = np.zeros((n, n), dtype=np.int64)
+    for i, ei in enumerate(ins):
+        oi = g.edges[ei].orients
+        for j, ej in enumerate(outs):
+            M[i, j] = np.intersect1d(oi, g.edges[ej].orients).shape[0]
+    nz = M != 0
+    if not ((nz.sum(axis=1) == 1).all() and (nz.sum(axis=0) == 1).all()):
+        return None
+    match = [int(np.argmax(nz[i])) for i in range(n)]
+    priority = int(M[nz].min())
+    return match, priority
+
+
 def detangle_assembly_graph(
     ag: AssemblyGraph,
     mg: MarkerGraph,
@@ -153,8 +181,14 @@ def detangle_assembly_graph(
     off_diagonal_read_count_max: int = 2,
     off_diagonal_ratio: float = 0.3,
     max_iterations: int = 10000,
+    method: int = 2,
 ) -> AssemblyGraph:
-    """Detangle and rebuild; returns the new assembly graph."""
+    """Detangle and rebuild; returns the new assembly graph.
+
+    ``method`` selects the solvability criterion: 1 = exact permutation
+    by read support (reference: AssemblyPathGraph), 2 = dominant
+    diagonal with off-diagonal tolerances (reference:
+    AssemblyPathGraph2)."""
     g = _PathGraph()
     n_e = ag.edge_count
     ids = []
@@ -180,14 +214,17 @@ def detangle_assembly_graph(
             t = _find_tangle(g, eid)
             if t is None:
                 continue
-            sol = _solve_tangle(
-                g,
-                t[0],
-                t[1],
-                diagonal_read_count_min,
-                off_diagonal_read_count_max,
-                off_diagonal_ratio,
-            )
+            if method == 1:
+                sol = _solve_tangle_method1(g, t[0], t[1])
+            else:
+                sol = _solve_tangle(
+                    g,
+                    t[0],
+                    t[1],
+                    diagonal_read_count_min,
+                    off_diagonal_read_count_max,
+                    off_diagonal_ratio,
+                )
             if sol is None:
                 continue
             match, priority = sol
@@ -209,14 +246,17 @@ def detangle_assembly_graph(
         if rc_t is None:
             skip.add(eid)
             continue
-        rc_sol = _solve_tangle(
-            g,
-            rc_t[0],
-            rc_t[1],
-            diagonal_read_count_min,
-            off_diagonal_read_count_max,
-            off_diagonal_ratio,
-        )
+        if method == 1:
+            rc_sol = _solve_tangle_method1(g, rc_t[0], rc_t[1])
+        else:
+            rc_sol = _solve_tangle(
+                g,
+                rc_t[0],
+                rc_t[1],
+                diagonal_read_count_min,
+                off_diagonal_read_count_max,
+                off_diagonal_ratio,
+            )
         rc_involved = set(rc_t[0]) | set(rc_t[1]) | {rc_eid}
 
         if rc_eid in involved or involved & rc_involved:

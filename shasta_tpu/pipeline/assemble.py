@@ -587,7 +587,7 @@ class Assembler:
 
             with self.log.stage("detangle"):
                 self.assembly_graph = detangle_assembly_graph(
-                    self.assembly_graph, mg
+                    self.assembly_graph, mg, method=ca.detangle_method
                 )
         with self.log.stage("assembleMarkerGraphVertices"):
             self.vertex_repeats = AG.assemble_marker_graph_vertices(

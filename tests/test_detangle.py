@@ -47,6 +47,31 @@ def test_solve_tangle_rejects_ambiguous():
     assert sol is None
 
 
+def test_solve_tangle_method1_permutation_only():
+    from shasta_tpu.graph.detangle import _solve_tangle_method1
+
+    g, ids = make_graph_with_tangle()
+    sol = _solve_tangle_method1(g, [ids[0], ids[1]], [ids[3], ids[4]])
+    assert sol is not None
+    match, priority = sol
+    assert match == [0, 1]
+    assert priority == 10
+
+    # One stray shared read (A also shares read 10 with D): method 2
+    # tolerates it as off-diagonal noise, method 1 does not.
+    g2, ids2 = make_graph_with_tangle()
+    g2.edges[ids2[0]].orients = np.arange(0, 11)  # reads 0..9 + 10
+    assert _solve_tangle_method1(
+        g2, [ids2[0], ids2[1]], [ids2[3], ids2[4]]
+    ) is None
+    assert _solve_tangle(
+        g2, [ids2[0], ids2[1]], [ids2[3], ids2[4]], 6, 2, 0.3
+    ) is not None
+
+    # Non-square tangle is never method-1 solvable.
+    assert _solve_tangle_method1(g, [ids[0]], [ids[3], ids[4]]) is None
+
+
 def make_tangle_assembly_graph():
     """Hand-built X-shape: in-edges A(0),B(1) -> v0; tangle v0->v1 (2);
     out-edges v1->C(3), v1->D(4); reverse complements 5..9. Reads 0-9
