@@ -447,12 +447,9 @@ class Assembler:
             min_cov = cm.min_coverage
             if min_cov == 0:
                 # Histogram of disjoint-set sizes for auto selection.
-                label = (
-                    labels
-                    if labels is not None
-                    else MG.union_find_labels(self.markers.total_count, u, v)
-                )
-                _, counts = np.unique(label, return_counts=True)
+                if labels is None:
+                    labels = MG.union_find_labels(self.markers.total_count, u, v)
+                _, counts = np.unique(labels, return_counts=True)
                 hist = np.bincount(counts)
                 # DisjointSetsHistogram.csv (reference:
                 # src/AssemblerMarkerGraph.cpp:224).
