@@ -257,10 +257,13 @@ def traceback(
 
 # Coarse buckets: every distinct (LA, LB, W) combination compiles its
 # own XLA kernel (~10-30 s each on TPU), so bucket sparsity matters more
-# than padding waste. 4x steps keep the worst-case pad at 4x while
+# than padding waste. Coarse steps keep the worst-case pad bounded while
 # capping the kernel zoo at |LEN|^2 * |W| shapes (shared across runs via
 # the persistent compilation cache enabled in shasta_tpu/__init__.py).
-_LEN_BUCKETS = [128, 512, 2048, 8192, 32768]
+# The 1024 step exists because 10 kb reads at 10% marker density are
+# ~750 markers — the dominant production shape — and would otherwise
+# pad 2.7x to 2048.
+_LEN_BUCKETS = [128, 512, 1024, 2048, 8192, 32768]
 _W_BUCKETS = [128, 512, 2048]
 
 
@@ -555,11 +558,16 @@ def _batch_plan(n: int, LA: int, LB: int, W: int, use_pallas: bool, mesh_d: int)
         # shapes, reducing per-launch relay overhead.
         max_b = int(os.environ.get("SHASTA_TPU_MAXBATCH", _MAX_BATCH))
         if os.environ.get("SHASTA_TPU_BIGBATCH", "1") != "0":
-            # Per-launch overhead through the relay (~30 ms) dwarfs the
-            # kernel (~4 ms/1024 pairs at (512,512,128)), so launches
-            # carry 4x the work of the old default where VMEM allows.
+            # Per-launch overhead through the relay (measured 0.5-1.5 s
+            # round trip) dwarfs the kernel (~4 ms/1024 pairs at
+            # (512,512,128)), so launches carry as much work as
+            # possible: small shapes (phase-1 band discovery at
+            # (128,128,128)) batch up to 16k pairs per launch — the
+            # kernel streams blocks through VMEM, so batch size only
+            # costs HBM, and one (B, LA, LB, W) compile is a one-time
+            # cached cost.
             factor = max(1, (4 * 512 * 512 * 128) // max(1, LA * LB * W))
-            max_b = min(4096, _MAX_BATCH * factor)
+            max_b = min(16384, _MAX_BATCH * factor)
     else:
         max_b = max(8, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
     max_b -= max_b % 8

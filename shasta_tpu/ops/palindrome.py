@@ -39,44 +39,68 @@ def flag_palindromic_reads(
     koff = markers.offsets
     kmer_flat = markers.kmer_ids.astype(np.int32)
 
-    # Pre-filter: the DP path's match count is bounded above by the
-    # multiset intersection of the read's marker k-mers with its RC's,
-    # so a read whose common-k-mer fraction is below either threshold
-    # cannot satisfy both criteria and needs no alignment. (On typical
-    # data this eliminates nearly every read; the reference instead
-    # aligns all of them.)
+    # Pre-filter: the NEAR-DIAGONAL match count of the self-RC DP is
+    # bounded above by the multiset intersection of (k-mer,
+    # diagonal-bucket) keys between the read and its RC. A DP match
+    # (i, j) with |i - j| < delta pairs strand-0 ordinal i with RC
+    # ordinal j; bucketing ordinals by delta and inserting each RC
+    # element into its bucket and both neighbours guarantees every
+    # near-diagonal match lands in a shared bucket, while random
+    # k-mer collisions (which made a plain multiset-intersection
+    # bound useless at k=10, where the RLE k-mer space is only
+    # 4*3^(k-1)) are cut by a factor of ~3*delta/n. Any read whose
+    # bound is below near_diagonal_fraction_threshold cannot be
+    # flagged and needs no alignment. (The reference instead aligns
+    # every read, src/AssemblerAlign.cpp:652.)
     counts = np.diff(koff)
-    # The strand-1 marker multiset is exactly the reverse complement of
-    # the strand-0 multiset, so the read-vs-own-RC common count is the
-    # multiset intersection of the strand-0 k-mers with their own
-    # reverse complements — computable with ONE single-key sort over
-    # the strand-0 half of the markers.
     from shasta_tpu.data.kmers import reverse_complement_kmers
 
-    n_pos0 = int(counts[0::2].sum())
-    if n_pos0:
+    counts0 = counts[0::2]
+    n_pos0 = int(counts0.sum())
+    d = max(1, int(delta_threshold))
+    max_bucket = int(counts0.max()) // d + 2 if n_pos0 else 1
+    bucket_bits = int(max_bucket).bit_length() + 1
+    KH_BITS = 22  # k-mer hash width; collisions only loosen the bound
+    read_bits = 63 - KH_BITS - bucket_bits
+    if n_pos0 and n_reads < (1 << read_bits):
         read_of0 = np.repeat(
-            np.arange(n_reads, dtype=np.int64), counts[0::2]
+            np.arange(n_reads, dtype=np.uint64), counts0
         )
         # Flat indices of all strand-0 markers: per-read range starts
         # repeated plus within-range offsets (pure arithmetic, no
         # full-length mask).
-        counts0 = counts[0::2]
         cum0 = np.concatenate(([0], np.cumsum(counts0)))[:-1]
-        pos0 = (
-            np.repeat(koff[0:n_or:2] - cum0, counts0)
-            + np.arange(n_pos0, dtype=np.int64)
-        )
+        iota = np.arange(n_pos0, dtype=np.int64)
+        pos0 = np.repeat(koff[0:n_or:2] - cum0, counts0) + iota
+        ord0 = iota - np.repeat(cum0, counts0)  # ordinal i within read
         k0 = markers.kmer_ids[pos0].astype(np.uint64)
         rc0 = reverse_complement_kmers(k0.astype(np.uint32), markers.k).astype(
             np.uint64
         )
-        # Pack the side flag into the low bit so ONE value sort (no
-        # argsort + gathers) groups (read, kmer) with sides adjacent.
-        r64 = read_of0.astype(np.uint64) << np.uint64(33)
-        both = np.concatenate(
-            [r64 | (k0 << np.uint64(1)), r64 | (rc0 << np.uint64(1)) | np.uint64(1)]
-        )
+        # 22-bit multiplicative k-mer hashes (hash collisions only
+        # inflate the upper bound, never deflate it).
+        MUL = np.uint64(0x9E3779B97F4A7C15)
+        kh = ((k0 * MUL) >> np.uint64(64 - KH_BITS)).astype(np.uint64)
+        rh = ((rc0 * MUL) >> np.uint64(64 - KH_BITS)).astype(np.uint64)
+        # Key layout: [read | bucket | kmer-hash | side-bit]; ONE value
+        # sort groups matching (read, bucket, kmer) with sides adjacent.
+        SH_K = np.uint64(1)
+        SH_B = np.uint64(1 + KH_BITS)
+        SH_R = np.uint64(1 + KH_BITS + bucket_bits)
+        base_a = (read_of0 << SH_R) | (kh << SH_K)
+        # Side A: the read's ordinal bucket i // d.
+        b_a = (ord0.astype(np.uint64) // np.uint64(d)) << SH_B
+        # Side B: the RC read's ordinal for strand-0 position m is
+        # j = n-1-m; insert at buckets j//d - 1, j//d, j//d + 1
+        # (clamped) so any |i - j| < d pairing shares a bucket.
+        n_of = np.repeat(counts0, counts0).astype(np.int64)
+        j_rc = (n_of - 1 - ord0) // d
+        base_b = (read_of0 << SH_R) | (rh << SH_K) | np.uint64(1)
+        parts = [base_a | b_a]
+        for off in (-1, 0, 1):
+            bb = np.clip(j_rc + off, 0, max_bucket - 1).astype(np.uint64)
+            parts.append(base_b | (bb << SH_B))
+        both = np.concatenate(parts)
         both.sort()
         vals = both >> np.uint64(1)
         bits = both & np.uint64(1)
@@ -89,18 +113,17 @@ def flag_palindromic_reads(
         tot_per[-1] = vals.shape[0] - bounds[-1]
         n_b = np.add.reduceat(bits, bounds).astype(np.int64)
         n_a = tot_per - n_b
-        g_read = (vals[bounds] >> np.uint64(32)).astype(np.int64)
+        g_read = (vals[bounds] >> (SH_R - np.uint64(1))).astype(np.int64)
         common = np.bincount(
             g_read, weights=np.minimum(n_a, n_b), minlength=n_reads
         ).astype(np.int64)
-        total0 = counts[0::2]
-        frac_cap = np.where(total0 > 0, common / np.maximum(total0, 1), 0.0)
-        # Both criteria must hold, and each is bounded by frac_cap, so
-        # only reads reaching the larger threshold can qualify.
+        frac_cap = np.where(counts0 > 0, common / np.maximum(counts0, 1), 0.0)
         candidates = np.flatnonzero(
-            frac_cap
-            >= max(aligned_fraction_threshold, near_diagonal_fraction_threshold)
+            frac_cap >= near_diagonal_fraction_threshold
         )
+    elif n_pos0:
+        # Key layout overflow (astronomically many reads): align all.
+        candidates = np.flatnonzero(counts0 > 0)
     else:
         candidates = np.zeros(0, dtype=np.int64)
     if candidates.shape[0] == 0:
