@@ -1453,6 +1453,58 @@ def write_phased(
     }
 
 
+def write_phased_details(g: AssemblyGraph2, path: str) -> None:
+    """Relate coordinates in the phased assembly to coordinates in the
+    detailed assembly (reference: writePhasedDetails,
+    src/AssemblyGraph2.cpp:1620): one row per detailed segment
+    contributing to each PR.<chain>.<region>.<comp>.<h> / UR.<chain>.<region>
+    phased-assembly segment, with its begin/end offsets."""
+    with open(path, "w") as f:
+        f.write("Segment,Detailed segment,Length,Begin,End\n")
+        for cid, chain in enumerate(g.bubble_chains):
+            for rid, region in enumerate(chain.phasing_regions):
+                if region.is_phased:
+                    for h in (0, 1):
+                        name = f"PR.{cid}.{rid}.{region.component}.{h}"
+                        n = 0
+                        for pos in range(
+                            region.first_position, region.last_position + 1
+                        ):
+                            e = g.edges[chain.edges[pos]]
+                            if e.component == INVALID:
+                                bi = e.strongest_branch_id()
+                            else:
+                                bi = 0 if e.phase == h else 1
+                            b = e.branches[bi]
+                            length = (
+                                b.gfa_sequence.shape[0]
+                                if b.gfa_sequence is not None
+                                else 0
+                            )
+                            f.write(
+                                f"{name},{e.path_id(bi)},{length},{n},"
+                                f"{n + length}\n"
+                            )
+                            n += length
+                else:
+                    name = f"UR.{cid}.{rid}"
+                    n = 0
+                    for pos in range(
+                        region.first_position, region.last_position + 1
+                    ):
+                        e = g.edges[chain.edges[pos]]
+                        b = e.branches[e.strongest_branch_id()]
+                        length = (
+                            b.gfa_sequence.shape[0]
+                            if b.gfa_sequence is not None
+                            else 0
+                        )
+                        f.write(
+                            f"{name},{e.path_id(0)},{length},{n},{n + length}\n"
+                        )
+                        n += length
+
+
 def write_phasing_regions(g: AssemblyGraph2, path: str) -> None:
     """(reference: writePhasingRegions, src/AssemblyGraph2.cpp:3065)"""
     with open(path, "w") as f:

@@ -737,6 +737,9 @@ class Assembler:
                         g, pjoin("Assembly-Phased-NoSequence"), False,
                         write_fasta=False, write_csv=False,
                     )
+                M2G.write_phased_details(
+                    g, pjoin("Assembly-Phased-Details.csv")
+                )
             M2G.write_phasing_regions(g, pjoin("PhasingRegions.csv"))
             M2G.write_bubble_chains_csv(g, pjoin("BubbleChains.csv"))
         self.store.save_stage("AssemblyGraph", self.assembly_graph.arrays())

@@ -86,8 +86,21 @@ def test_mode2_end_to_end(tmp_path):
         "Assembly-Haploid-NoSequence.gfa",
         "PhasingRegions.csv",
         "BubbleChains.csv",
+        "Assembly-Phased-Details.csv",
     ):
         assert os.path.exists(os.path.join(run_dir, f)), f
+
+    # Phased-Details maps every PR./UR. segment to detailed segments
+    # with contiguous [begin, end) runs (reference: writePhasedDetails,
+    # src/AssemblyGraph2.cpp:1620).
+    ends = {}
+    with open(os.path.join(run_dir, "Assembly-Phased-Details.csv")) as f:
+        rows = [l.strip().split(",") for l in f][1:]
+    assert rows
+    for seg, _detail, length, begin, end in rows:
+        assert int(end) - int(begin) == int(length)
+        assert ends.get(seg, 0) == int(begin)  # contiguous per segment
+        ends[seg] = int(end)
     assert summary["hetSnpTransitionCount"] + summary["hetSnpTransversionCount"] > 0
 
     # Check phasing quality: parse phased-region segments
