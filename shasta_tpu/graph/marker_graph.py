@@ -167,6 +167,7 @@ class MarkerGraph:
     pruned: np.ndarray = None  # bool — wasPruned
     superbubble: np.ndarray = None  # bool — isSuperBubbleEdge
     low_coverage_cross: np.ndarray = None  # bool — isLowCoverageCrossEdge
+    removed_split: np.ndarray = None  # bool — wasRemovedWhileSplittingSecondaryEdges
     interval_offsets: np.ndarray = None  # int64 [n_edges+1]
     interval_orid: np.ndarray = None  # int64 [total intervals]
     interval_ord0: np.ndarray = None  # int32
@@ -202,7 +203,8 @@ class MarkerGraph:
     def alive(self) -> np.ndarray:
         """Edges surviving all removal flags."""
         a = np.ones(self.edge_count, dtype=bool)
-        for f in (self.removed_tr, self.pruned, self.superbubble, self.low_coverage_cross):
+        for f in (self.removed_tr, self.pruned, self.superbubble,
+                  self.low_coverage_cross, self.removed_split):
             if f is not None:
                 a &= ~f
         return a
@@ -247,6 +249,8 @@ class MarkerGraph:
                 interval_ord0=self.interval_ord0,
                 interval_ord1=self.interval_ord1,
             )
+            if self.removed_split is not None:
+                out["removed_split"] = self.removed_split
         return out
 
     @classmethod
@@ -602,6 +606,76 @@ def transitive_reduction(
                 removed[rc] = True
         for v in seen:
             dist[v] = -1
+
+
+def reverse_transitive_reduction(
+    mg: MarkerGraph,
+    low_coverage_threshold: int = 1,
+    high_coverage_threshold: int = 256,
+    max_distance: int = 5,
+) -> int:
+    """Flag weak edges in the reverse direction (reference:
+    Assembler::reverseTransitiveReduction,
+    src/AssemblerMarkerGraph.cpp:2517): for each not-yet-removed edge
+    with low < coverage < high, in increasing coverage order, do a
+    forward BFS from the edge's TARGET; if its SOURCE is reachable
+    within max_distance over strong edges the edge closes a short
+    cycle and is flagged (with its reverse complement). Returns the
+    number of edges flagged."""
+    n_edges = mg.edge_count
+    if n_edges == 0:
+        return 0
+    removed = mg.removed_tr
+    cov = mg.coverage
+    mg.build_adjacency()
+    by_source_off = mg._by_source_off
+    by_source = mg._by_source
+    targets = mg.target
+    candidates = np.flatnonzero(
+        (cov > low_coverage_threshold)
+        & (cov < high_coverage_threshold)
+        & (mg.rc_edge >= np.arange(n_edges))
+    )
+    order = np.argsort(cov[candidates], kind="stable")
+    candidates = candidates[order]
+
+    dist = np.full(mg.vertex_count, -1, dtype=np.int64)
+    n_removed = 0
+    for e in candidates:
+        if removed[e]:
+            continue
+        u0 = targets[e]
+        u1 = mg.source[e]
+        q = deque([u0])
+        dist[u0] = 0
+        seen = [u0]
+        found = False
+        while q and not found:
+            v0 = q.popleft()
+            d1 = dist[v0] + 1
+            for ei in by_source[by_source_off[v0] : by_source_off[v0 + 1]]:
+                if ei == e or removed[ei]:
+                    continue
+                v1 = targets[ei]
+                if dist[v1] >= 0:
+                    continue
+                if v1 == u1:
+                    found = True
+                    break
+                dist[v1] = d1
+                seen.append(v1)
+                if d1 < max_distance:
+                    q.append(v1)
+        if found:
+            removed[e] = True
+            rc = mg.rc_edge[e]
+            if rc >= 0 and not removed[rc]:
+                removed[rc] = True
+                n_removed += 1
+            n_removed += 1
+        for v in seen:
+            dist[v] = -1
+    return n_removed
 
 
 def prune(mg: MarkerGraph, iteration_count: int = 6) -> None:

@@ -346,6 +346,168 @@ def create_marker_graph_secondary_edges(
     return n_new
 
 
+def cluster_edge_oriented_reads(
+    reads,
+    markers: MarkerStore,
+    mg: MarkerGraph,
+    edge_id: int,
+    error_rate_threshold: float,
+):
+    """Cluster the marker intervals of one edge by the similarity of
+    their RLE fill sequences, single linkage; clusters sorted by
+    decreasing size (reference:
+    Assembler::clusterMarkerGraphEdgeOrientedReads). Returns a list of
+    interval-index lists."""
+    from shasta_tpu.consensus.msa import nw_align
+
+    k = markers.k
+    orids, o0s, o1s = mg.edge_intervals(edge_id)
+    seqs = []
+    for orid, o0, o1 in zip(orids.tolist(), o0s.tolist(), o1s.tolist()):
+        _km, positions = markers.get(orid)
+        p0 = int(positions[o0]) + k
+        p1 = int(positions[o1])
+        rle = reads.read_rle(orid // 2, orid % 2)
+        seqs.append(rle[p0:p1] if p1 > p0 else np.zeros(0, np.uint8))
+
+    n = len(seqs)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            si, sj = seqs[i], seqs[j]
+            longer = max(si.shape[0], sj.shape[0])
+            if longer == 0:
+                err = 0.0
+            elif abs(si.shape[0] - sj.shape[0]) / longer > error_rate_threshold:
+                continue
+            else:
+                ai, aj = nw_align(si.astype(np.int64), sj.astype(np.int64))
+                mism = sum(
+                    1 for x, y in zip(ai, aj)
+                    if x < 0 or y < 0 or si[x] != sj[y]
+                )
+                err = mism / longer
+            if err <= error_rate_threshold:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+
+    groups: Dict[int, List[int]] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    return sorted(groups.values(), key=lambda g: (-len(g), g[0]))
+
+
+def split_marker_graph_secondary_edges(
+    reads,
+    markers: MarkerStore,
+    mg: MarkerGraph,
+    error_rate_threshold: float = 0.1,
+    min_coverage: int = 2,
+) -> Tuple[int, int]:
+    """Split secondary edges whose oriented reads carry inconsistent
+    fill sequences into one edge per sequence cluster (reference:
+    Assembler::splitMarkerGraphSecondaryEdges,
+    src/AssemblerMarkerGraphEdges.cpp:777-1000). Each RC pair is
+    processed once; clusters below min_coverage are dropped except the
+    largest, which is always kept. Returns (split, created) counts."""
+    n_edges = mg.edge_count
+    is_secondary = getattr(mg, "is_secondary", None)
+    if n_edges == 0 or is_secondary is None or not is_secondary.any():
+        return 0, 0
+    if mg.removed_split is None:
+        mg.removed_split = np.zeros(n_edges, bool)
+    moff_counts = np.diff(markers.offsets)
+
+    n_split = 0
+    add = []  # (src, tgt, interval rows, rc_src, rc_tgt, rc rows)
+    for e in np.flatnonzero(is_secondary):
+        rc = int(mg.rc_edge[e])
+        if rc < e:
+            continue
+        clusters = cluster_edge_oriented_reads(
+            reads, markers, mg, int(e), error_rate_threshold
+        )
+        if len(clusters) <= 1:
+            continue
+        n_split += 2
+        mg.removed_split[e] = True
+        mg.removed_split[rc] = True
+        orids, o0s, o1s = mg.edge_intervals(int(e))
+        for ci, cluster in enumerate(clusters):
+            if ci > 0 and len(cluster) < min_coverage:
+                continue
+            rows = [
+                (int(orids[i]), int(o0s[i]), int(o1s[i])) for i in cluster
+            ]
+            # The reverse complement edge's intervals, built directly:
+            # (orid, ord0, ord1) -> (orid^1, n-1-ord1, n-1-ord0).
+            rc_rows = [
+                (
+                    orid ^ 1,
+                    int(moff_counts[orid]) - 1 - o1,
+                    int(moff_counts[orid]) - 1 - o0,
+                )
+                for orid, o0, o1 in rows
+            ]
+            add.append((int(mg.source[e]), int(mg.target[e]), rows,
+                        int(mg.source[rc]), int(mg.target[rc]), rc_rows))
+
+    if not add:
+        return n_split, 0
+
+    n_old = mg.edge_count
+    add_src, add_tgt, add_cov = [], [], []
+    add_rc, lengths = [], []
+    add_orid, add_ord0, add_ord1 = [], [], []
+    for src, tgt, rows, rc_src, rc_tgt, rc_rows in add:
+        i = n_old + len(add_src)
+        add_src += [src, rc_src]
+        add_tgt += [tgt, rc_tgt]
+        add_cov += [len(rows), len(rc_rows)]
+        add_rc += [i + 1, i]
+        for rowset in (rows, rc_rows):
+            lengths.append(len(rowset))
+            for orid, o0, o1 in rowset:
+                add_orid.append(orid)
+                add_ord0.append(o0)
+                add_ord1.append(o1)
+
+    n_new = len(add_src)
+    mg.source = np.concatenate([mg.source, np.array(add_src, np.int64)])
+    mg.target = np.concatenate([mg.target, np.array(add_tgt, np.int64)])
+    mg.coverage = np.concatenate([mg.coverage, np.array(add_cov, np.int32)])
+    mg.rc_edge = np.concatenate([mg.rc_edge, np.array(add_rc, np.int64)])
+    for name in (
+        "removed_tr", "pruned", "superbubble", "low_coverage_cross",
+        "removed_split",
+    ):
+        setattr(
+            mg, name, np.concatenate([getattr(mg, name), np.zeros(n_new, bool)])
+        )
+    mg.is_secondary = np.concatenate([is_secondary, np.ones(n_new, bool)])
+    new_offsets = mg.interval_offsets[-1] + np.cumsum([0] + lengths)
+    mg.interval_offsets = np.concatenate([mg.interval_offsets, new_offsets[1:]])
+    mg.interval_orid = np.concatenate(
+        [mg.interval_orid, np.array(add_orid, np.int64)]
+    )
+    mg.interval_ord0 = np.concatenate(
+        [mg.interval_ord0, np.array(add_ord0, np.int32)]
+    )
+    mg.interval_ord1 = np.concatenate(
+        [mg.interval_ord1, np.array(add_ord1, np.int32)]
+    )
+    mg.build_adjacency()
+    return n_split, n_new
+
+
 # ---------------------------------------------------------------------------
 # Bayesian relative phase of two bubbles
 # ---------------------------------------------------------------------------

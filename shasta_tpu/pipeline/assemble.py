@@ -369,6 +369,15 @@ class Assembler:
                     self.kmer_table.downsampling_hash_table(),
                 )
             self.store.save_stage("Alignments", self.alignments.arrays())
+            # Release the alignment engine's device buffers (and their
+            # relay-client mirrors) now, inside this stage's timing:
+            # left to the GC they are torn down lazily during the next
+            # stage, whose host passes then contend with the drain
+            # (observed as createMarkerGraphVertices 6 s on CPU vs
+            # 30-51 s through the relay).
+            import gc
+
+            gc.collect()
 
     def create_read_graph(self) -> None:
         cr = self.config.read_graph
@@ -428,11 +437,24 @@ class Assembler:
             self.store.save_stage("ReadGraph", self.read_graph.arrays())
 
     def create_marker_graph_vertices(self) -> None:
+        import time as _time
+
+        _prof = bool(os.environ.get("SHASTA_TPU_PROF"))
+        _t0 = _time.monotonic()
+
+        def _mark(name):
+            nonlocal _t0
+            if _prof:
+                t = _time.monotonic()
+                print(f"[mgv prof] {name} {t - _t0:.1f}s", flush=True)
+                _t0 = t
+
         cm = self.config.marker_graph
         with self.log.stage("createMarkerGraphVertices"):
             u, v = MG.gather_unite_pairs(
                 self.markers, self.read_graph, self.alignments, self.reads.is_chimeric
             )
+            _mark("gather_unite_pairs")
             labels = None
             if self.mesh is not None and self.mesh.devices.size > 1:
                 # Union-find min-hooking rounds run edge-parallel over
@@ -461,6 +483,7 @@ class Assembler:
                         if n:
                             f.write(f"{c},{n}\n")
                 min_cov = auto_min_coverage(hist)
+                _mark("auto_min_coverage")
                 self.log.line(f"Automatically selected MarkerGraph.minCoverage = {min_cov}")
             self.min_coverage_used = min_cov
             self.marker_graph = MG.create_marker_graph_vertices(
@@ -473,7 +496,9 @@ class Assembler:
                 allow_duplicate_markers=cm.allow_duplicate_markers,
                 labels=labels,
             )
+            _mark("create_vertices")
             MG.audit_strand_symmetry(self.marker_graph, "vertex creation")
+            _mark("audit")
         if cm.allow_duplicate_markers and cm.cleanup_duplicate_markers:
             # (reference: srcMain/main.cpp:925-934)
             with self.log.stage("cleanupDuplicateMarkers"):
@@ -553,6 +578,15 @@ class Assembler:
                 max_distance=cm.max_distance,
                 edge_marker_skip_threshold=cm.edge_marker_skip_threshold,
             )
+        if cm.reverse_transitive_reduction:
+            # (reference: srcMain/main.cpp:946-951)
+            with self.log.stage("reverseTransitiveReduction"):
+                MG.reverse_transitive_reduction(
+                    self.marker_graph,
+                    low_coverage_threshold=cm.low_coverage_threshold,
+                    high_coverage_threshold=cm.high_coverage_threshold,
+                    max_distance=cm.max_distance,
+                )
         with self.log.stage("pruneMarkerGraphStrongSubgraph"):
             MG.prune(self.marker_graph, iteration_count=cm.prune_iteration_count)
         with self.log.stage("simplifyMarkerGraph"):

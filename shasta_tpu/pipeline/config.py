@@ -91,6 +91,7 @@ class MarkerGraphOptions:
     high_coverage_threshold: int = 256
     max_distance: int = 30
     edge_marker_skip_threshold: int = 100
+    reverse_transitive_reduction: bool = False
     prune_iteration_count: int = 6
     simplify_max_length: str = "10,100,1000"
     cross_edge_coverage_threshold: int = 0

@@ -177,3 +177,79 @@ def test_secondary_edges_restore_contiguity():
     # The previously dead-ended vertex now has an out edge.
     v_dead = int(mg.vertex_table[1])
     assert out_deg[v_dead] >= 1
+
+
+def test_split_secondary_edges_by_fill_sequence():
+    """A secondary edge whose oriented reads carry two distinct fill
+    sequences is split into one edge per cluster, with RC twins
+    (reference: splitMarkerGraphSecondaryEdges,
+    src/AssemblerMarkerGraphEdges.cpp:777)."""
+    from shasta_tpu.data.markers import MarkerStore
+    from shasta_tpu.data.reads import ReadStore
+    from shasta_tpu.graph.marker_graph import MarkerGraph
+    from shasta_tpu.graph.mode2 import split_marker_graph_secondary_edges
+
+    # 4 reads of 10 RLE bases: GG ...... TT with fill AAAAAA (reads
+    # 0,1) or CCCCCC (reads 2,3).
+    def read(fill):
+        return np.array([2, 2] + [fill] * 6 + [3, 3], np.uint8)
+
+    rle = np.concatenate([read(0), read(0), read(1), read(1)])
+    offsets = np.arange(0, 41, 10, dtype=np.int64)
+    reads = ReadStore(
+        rle_bases=rle,
+        repeat_counts=np.ones(40, np.uint8),
+        offsets=offsets,
+        raw_lengths=np.full(4, 10, np.int64),
+        names=[f"r{i}" for i in range(4)],
+        metadata=[""] * 4,
+    )
+    # 2 markers per oriented read at RLE positions 0 and 8, k=2.
+    markers = MarkerStore(
+        k=2,
+        kmer_ids=np.zeros(16, np.uint32),
+        positions=np.tile(np.array([0, 8], np.uint32), 8),
+        offsets=np.arange(0, 17, 2, dtype=np.int64),
+    )
+    # One secondary edge per strand between two anchor vertices.
+    mg = MarkerGraph(
+        vertex_table=np.full(16, -1, np.int64),
+        vertex_offsets=np.zeros(5, np.int64),
+        vertex_markers=np.zeros(0, np.int64),
+        rc_vertex=np.array([2, 3, 0, 1], np.int64),
+        source=np.array([0, 2], np.int64),
+        target=np.array([1, 3], np.int64),
+        coverage=np.array([4, 4], np.int32),
+        rc_edge=np.array([1, 0], np.int64),
+        removed_tr=np.zeros(2, bool),
+        pruned=np.zeros(2, bool),
+        superbubble=np.zeros(2, bool),
+        low_coverage_cross=np.zeros(2, bool),
+        interval_offsets=np.array([0, 4, 8], np.int64),
+        interval_orid=np.array([0, 2, 4, 6, 1, 3, 5, 7], np.int64),
+        interval_ord0=np.zeros(8, np.int32),
+        interval_ord1=np.ones(8, np.int32),
+    )
+    mg.is_secondary = np.array([True, True])
+
+    n_split, n_created = split_marker_graph_secondary_edges(
+        reads, markers, mg, error_rate_threshold=0.2, min_coverage=2
+    )
+    assert n_split == 2
+    assert n_created == 4  # 2 clusters x (edge + rc)
+    assert mg.removed_split[:2].all()
+    assert not mg.alive()[:2].any()
+    assert mg.alive()[2:].all()
+    # New edges keep the endpoints and split the intervals 2+2.
+    assert np.array_equal(mg.source[2:], [0, 2, 0, 2])
+    assert np.array_equal(mg.target[2:], [1, 3, 1, 3])
+    assert np.array_equal(np.diff(mg.interval_offsets[2:]), [2, 2, 2, 2])
+    # rc involution on the new edges.
+    assert np.array_equal(mg.rc_edge[mg.rc_edge], np.arange(6))
+    # Cluster 0 = reads 0,1 (strand 0 orids 0,2); its RC edge carries
+    # orids 1,3 with mirrored ordinals.
+    o, o0, o1 = mg.edge_intervals(2)
+    assert np.array_equal(o, [0, 2])
+    o, o0, o1 = mg.edge_intervals(3)
+    assert np.array_equal(o, [1, 3])
+    assert np.array_equal(o0, [0, 0]) and np.array_equal(o1, [1, 1])
