@@ -11,6 +11,9 @@ N50 66 kb over the 1 Mb genome. The same script scaled 5x
 """
 import sys, time, json, tempfile, os
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+# Scale factor: SCALE=5 runs the 5 Mb / 12.5k-read variant.
+SCALE = int(os.environ.get("SCALE", "1"))
 import numpy as np
 from tests import synth
 from shasta_tpu.data import bases as B
@@ -18,8 +21,8 @@ from shasta_tpu.pipeline.assemble import run_assembly
 from shasta_tpu.pipeline.config import AssemblyConfig
 
 t0 = time.monotonic()
-genome = synth.random_genome(1_000_000, seed=500)
-reads = synth.sample_reads(genome, 2500, 10000, seed=501, error_rate=0.01, both_strands=True)
+genome = synth.random_genome(1_000_000 * SCALE, seed=500)
+reads = synth.sample_reads(genome, 2500 * SCALE, 10000, seed=501, error_rate=0.01, both_strands=True)
 tmp = tempfile.mkdtemp()
 fa = os.path.join(tmp, "r.fasta")
 synth.write_fasta(fa, reads)

@@ -86,6 +86,10 @@ class AlignParams:
     max_skip: int = 30
     max_drift: int = 30
     max_trim: int = 30
+    # Drop containment alignments: one read entirely covered by the
+    # other, up to max_trim on both of its ends (reference:
+    # Align.suppressContainments, AlignmentInfo classification).
+    suppress_containments: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -1226,6 +1230,14 @@ def align_candidates(
         & (mskip <= params.max_skip)
         & (mdrift <= params.max_drift)
     )
+    if params.suppress_containments:
+        contained0 = (first0 <= params.max_trim) & (
+            n0 - 1 - last0 <= params.max_trim
+        )
+        contained1 = (first1 <= params.max_trim) & (
+            n1 - 1 - last1 <= params.max_trim
+        )
+        keep &= ~(contained0 | contained1)
     kept_t = np.flatnonzero(keep)
     kept_p = full_idx[kept_t]
 

@@ -98,6 +98,7 @@ def align_candidates_method(
     same_strand: np.ndarray,
     params,
     method: int,
+    max_marker_frequency: int = 10,
 ):
     """Align candidates with method 0 or 1 and apply the reference's
     acceptance filters; returns an AlignmentStore (host loop — these
@@ -116,7 +117,8 @@ def align_candidates_method(
         b = kmer_flat[koff[or1[p]] : koff[or1[p] + 1]]
         if method == 0:
             o0, o1 = align_method0(
-                a, b, max_skip=params.max_skip, max_drift=params.max_drift
+                a, b, max_skip=params.max_skip, max_drift=params.max_drift,
+                max_marker_frequency=max_marker_frequency,
             )
         else:
             o0, o1 = align_method1(
@@ -136,6 +138,11 @@ def align_candidates_method(
         if (
             min(first0, first1) > params.max_trim
             or min(n0 - 1 - last0, n1 - 1 - last1) > params.max_trim
+        ):
+            continue
+        if getattr(params, "suppress_containments", False) and (
+            (first0 <= params.max_trim and n0 - 1 - last0 <= params.max_trim)
+            or (first1 <= params.max_trim and n1 - 1 - last1 <= params.max_trim)
         ):
             continue
         max_skip, max_drift, omin, omax = _metrics_from_ordinals(o0, o1)

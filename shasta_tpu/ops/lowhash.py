@@ -74,6 +74,45 @@ class CandidatePairs:
         )
 
 
+def all_pairs_candidates(
+    n_reads: int,
+    is_palindromic: Optional[np.ndarray] = None,
+) -> CandidatePairs:
+    """Every read pair on both relative strands, skipping LowHash
+    (reference: MinHash.allPairs, src/AssemblerOptions.cpp). For tiny
+    runs or debugging only: O(n_reads^2) pairs."""
+    i, j = np.triu_indices(n_reads, k=1)
+    if is_palindromic is not None and is_palindromic.any():
+        ok = ~is_palindromic[i] & ~is_palindromic[j]
+        i, j = i[ok], j[ok]
+    return CandidatePairs(
+        read_id0=np.concatenate([i, i]).astype(np.int32),
+        read_id1=np.concatenate([j, j]).astype(np.int32),
+        same_strand=np.concatenate(
+            [np.ones(i.shape[0], bool), np.zeros(i.shape[0], bool)]
+        ),
+        frequency=np.ones(2 * i.shape[0], np.int32),
+    )
+
+
+def cap_candidates(pairs: CandidatePairs, keep_n: int) -> CandidatePairs:
+    """Keep the keep_n highest-frequency candidates (stable order:
+    frequency descending, original position ascending) — the
+    counterpart of the reference's candidates-per-read early stop
+    (reference: MinHash.alignmentCandidatesPerRead driving the
+    LowHash iteration cutoff, src/LowHash0.cpp)."""
+    if pairs.count <= keep_n:
+        return pairs
+    order = np.argsort(-pairs.frequency.astype(np.int64), kind="stable")[:keep_n]
+    order.sort()  # preserve original order among the kept
+    return CandidatePairs(
+        read_id0=pairs.read_id0[order],
+        read_id1=pairs.read_id1[order],
+        same_strand=pairs.same_strand[order],
+        frequency=pairs.frequency[order],
+    )
+
+
 def _auto_log2_bucket_count(total_markers: int, hash_fraction: float) -> int:
     est = max(1, int(hash_fraction * total_markers))
     log2_est = est.bit_length()  # == 64 - clz(est)

@@ -33,7 +33,12 @@ from shasta_tpu.utils.perf import PerformanceLog
 from shasta_tpu.consensus.caller import get_consensus_caller
 
 
-def auto_min_coverage(coverage_histogram: np.ndarray, fallback: int = 5) -> int:
+def auto_min_coverage(
+    coverage_histogram: np.ndarray,
+    fallback: int = 5,
+    min_area_fraction: float = 0.08,
+    area_start_index: int = 2,
+) -> int:
     """Pick MarkerGraph.minCoverage from the disjoint-sets coverage
     histogram when the configured value is 0 (reference: PeakFinder
     topographic prominence, src/PeakFinder.cpp, used at
@@ -43,7 +48,14 @@ def auto_min_coverage(coverage_histogram: np.ndarray, fallback: int = 5) -> int:
 
     h = np.asarray(coverage_histogram, dtype=np.float64)
     try:
-        return max(2, find_x_cutoff(h, min_area_fraction=0.08))
+        return max(
+            2,
+            find_x_cutoff(
+                h,
+                min_area_fraction=min_area_fraction,
+                area_start_index=area_start_index,
+            ),
+        )
     except PeakFinderException:
         return fallback
 
@@ -188,13 +200,15 @@ class Assembler:
                 from shasta_tpu.data.kmers import select_kmers_frequency
 
                 self.kmer_table = select_kmers_frequency(
-                    self.reads, ck.k, ck.probability, seed=ck.seed
+                    self.reads, ck.k, ck.probability, seed=ck.seed,
+                    enrichment_threshold=ck.enrichment_threshold,
                 )
             elif method == 2:
                 from shasta_tpu.data.kmers import select_kmers_2
 
                 self.kmer_table = select_kmers_2(
-                    self.reads, ck.k, ck.probability, seed=ck.seed
+                    self.reads, ck.k, ck.probability, seed=ck.seed,
+                    enrichment_threshold=ck.enrichment_threshold,
                 )
             elif method == 3:
                 # K-mers from a file, one sequence per line
@@ -215,7 +229,8 @@ class Assembler:
                 from shasta_tpu.data.kmers import select_kmers_4
 
                 self.kmer_table = select_kmers_4(
-                    self.reads, ck.k, ck.probability, seed=ck.seed
+                    self.reads, ck.k, ck.probability, seed=ck.seed,
+                    distance_threshold=ck.distance_threshold,
                 )
             else:
                 raise ValueError(f"Unsupported Kmers.generationMethod {method}")
@@ -229,8 +244,23 @@ class Assembler:
     def flag_palindromic_reads(self) -> None:
         from shasta_tpu.ops.palindrome import flag_palindromic_reads
 
+        cr = self.config.reads
         with self.log.stage("flagPalindromicReads"):
-            self.reads.is_palindromic = flag_palindromic_reads(self.markers)
+            if cr.palindromic_reads_skip_flagging:
+                self.reads.is_palindromic = np.zeros(
+                    self.reads.read_count, dtype=bool
+                )
+                return
+            self.reads.is_palindromic = flag_palindromic_reads(
+                self.markers,
+                aligned_fraction_threshold=(
+                    cr.palindromic_reads_aligned_fraction_threshold
+                ),
+                near_diagonal_fraction_threshold=(
+                    cr.palindromic_reads_near_diagonal_fraction_threshold
+                ),
+                delta_threshold=cr.palindromic_reads_delta_threshold,
+            )
 
     def find_alignment_candidates(self) -> None:
         cm = self.config.min_hash
@@ -245,7 +275,15 @@ class Assembler:
                 min_frequency=cm.min_frequency,
             )
             lh_stats: Dict = {}
-            if (
+            if cm.all_pairs:
+                # MinHash.allPairs: every read pair on both relative
+                # strands, skipping LowHash (reference:
+                # AssemblerHttpServer/computeAllAlignments semantics
+                # for tiny runs).
+                self.candidates = LH.all_pairs_candidates(
+                    self.reads.read_count, self.reads.is_palindromic
+                )
+            elif (
                 self.mesh is not None
                 and self.mesh.devices.size > 1
                 and cm.version == 0
@@ -277,6 +315,25 @@ class Assembler:
             else:
                 self.candidates = LH.find_candidates_lowhash(
                     self.markers, params, self.reads.is_palindromic, lh_stats
+                )
+            if (
+                not cm.all_pairs
+                and cm.alignment_candidates_per_read > 0
+                and self.candidates.count
+                > cm.alignment_candidates_per_read * self.reads.read_count
+            ):
+                # MinHash.alignmentCandidatesPerRead: cap the global
+                # candidate budget like the reference's early stop
+                # (reference: LowHash0.cpp candidate-count stopping
+                # criterion), keeping the highest-frequency pairs.
+                keep_n = int(
+                    cm.alignment_candidates_per_read * self.reads.read_count
+                )
+                before = self.candidates.count
+                self.candidates = LH.cap_candidates(self.candidates, keep_n)
+                self.log.line(
+                    f"Candidate cap kept {self.candidates.count} of "
+                    f"{before} (alignmentCandidatesPerRead)."
                 )
             if "bucket_histogram" in lh_stats:
                 with open(
@@ -325,6 +382,7 @@ class Assembler:
                 max_skip=ca.max_skip,
                 max_drift=ca.max_drift,
                 max_trim=ca.max_trim,
+                suppress_containments=ca.suppress_containments,
             )
             if ca.align_method in (0, 1):
                 # Legacy/debug methods, host implementation.
@@ -337,6 +395,7 @@ class Assembler:
                     self.candidates.same_strand,
                     params,
                     ca.align_method,
+                    max_marker_frequency=ca.max_marker_frequency,
                 )
             elif ca.align_method == 4:
                 # Sparse cell analysis finds the bands; the same
@@ -387,6 +446,11 @@ class Assembler:
                     self.alignments,
                     self.reads.read_count,
                     max_alignment_count=cr.max_alignment_count,
+                    marker_count_percentile=cr.marker_count_percentile,
+                    aligned_fraction_percentile=cr.aligned_fraction_percentile,
+                    max_skip_percentile=cr.max_skip_percentile,
+                    max_drift_percentile=cr.max_drift_percentile,
+                    max_trim_percentile=cr.max_trim_percentile,
                 )
                 self.log.line(f"Adaptive alignment criteria: {criteria}")
             else:
@@ -420,7 +484,7 @@ class Assembler:
                     self.reads.is_chimeric,
                 )
                 self.log.line(f"Flagged {flagged} cross-strand edges.")
-        if cr.remove_conflicts:
+        if cr.remove_conflicts or cr.flag_inconsistent_alignments:
             with self.log.stage("flagInconsistentAlignments"):
                 n_bad = RG.flag_inconsistent_alignments(
                     self.read_graph,
@@ -482,7 +546,11 @@ class Assembler:
                     for c, n in enumerate(hist):
                         if n:
                             f.write(f"{c},{n}\n")
-                min_cov = auto_min_coverage(hist)
+                min_cov = auto_min_coverage(
+                    hist,
+                    min_area_fraction=cm.peak_finder_min_area_fraction,
+                    area_start_index=cm.peak_finder_area_start_index,
+                )
                 _mark("auto_min_coverage")
                 self.log.line(f"Automatically selected MarkerGraph.minCoverage = {min_cov}")
             self.min_coverage_used = min_cov
@@ -553,13 +621,28 @@ class Assembler:
                 with self.log.stage("createMarkerGraphSecondaryEdges"):
                     n1 = create_marker_graph_secondary_edges(
                         self.markers, self.marker_graph,
-                        max_skip=cm.secondary_edge_max_skip, aggressive=False,
+                        max_skip=cm.secondary_edges_max_skip, aggressive=False,
                     )
                     n2 = create_marker_graph_secondary_edges(
                         self.markers, self.marker_graph,
-                        max_skip=cm.secondary_edge_max_skip, aggressive=True,
+                        max_skip=cm.secondary_edges_max_skip, aggressive=True,
                     )
                     self.log.line(f"Added {n1} + {n2} secondary edges.")
+                with self.log.stage("splitMarkerGraphSecondaryEdges"):
+                    # (reference: splitMarkerGraphSecondaryEdges after
+                    # secondary edge creation, Mode2Assembly protocol)
+                    from shasta_tpu.graph.mode2 import (
+                        split_marker_graph_secondary_edges,
+                    )
+
+                    n_split, n_new = split_marker_graph_secondary_edges(
+                        self.reads, self.markers, self.marker_graph,
+                        cm.secondary_edges_split_error_rate_threshold,
+                        cm.secondary_edges_split_min_coverage,
+                    )
+                    self.log.line(
+                        f"Split {n_split} secondary edges into {n_new}."
+                    )
             with self.log.stage("pruneMarkerGraphStrongSubgraph"):
                 MG.prune(
                     self.marker_graph, iteration_count=cm.prune_iteration_count
@@ -618,7 +701,12 @@ class Assembler:
 
             with self.log.stage("detangle"):
                 self.assembly_graph = detangle_assembly_graph(
-                    self.assembly_graph, mg, method=ca.detangle_method
+                    self.assembly_graph, mg, method=ca.detangle_method,
+                    diagonal_read_count_min=ca.detangle_diagonal_read_count_min,
+                    off_diagonal_read_count_max=(
+                        ca.detangle_off_diagonal_read_count_max
+                    ),
+                    off_diagonal_ratio=ca.detangle_off_diagonal_ratio,
                 )
         with self.log.stage("assembleMarkerGraphVertices"):
             self.vertex_repeats = AG.assemble_marker_graph_vertices(
@@ -876,6 +964,34 @@ class Assembler:
             "mode3ClusterCount": n_clusters,
         }
 
+    def _write_coverage_data(self, length_threshold: int) -> None:
+        """Per-position coverage detail of long assembled segments
+        (reference: Assembly.storeCoverageData writes
+        AssembledSegment<id>-Coverage.csv for segments of raw length
+        >= storeCoverageDataCsvLengthThreshold)."""
+        ag = self.assembly_graph
+        mg = self.marker_graph
+        vcov = mg.vertex_coverage()
+        for e in range(ag.edge_count):
+            if not ag.is_assembled_edge(e):
+                continue
+            if ag.raw_sequence(e).shape[0] < length_threshold:
+                continue
+            chain = ag.chain(e)
+            path = os.path.join(
+                self.run_dir, f"AssembledSegment-{e}-Coverage.csv"
+            )
+            with open(path, "w") as f:
+                f.write(
+                    "Position,MarkerGraphEdgeId,EdgeCoverage,"
+                    "SourceVertexCoverage,TargetVertexCoverage\n"
+                )
+                for pos, me in enumerate(chain.tolist()):
+                    f.write(
+                        f"{pos},{me},{mg.coverage[me]},"
+                        f"{vcov[mg.source[me]]},{vcov[mg.target[me]]}\n"
+                    )
+
     def write_output(self) -> Dict:
         stats = AG.assembly_statistics(self.assembly_graph)
         with self.log.stage("writeOutput"):
@@ -893,6 +1009,31 @@ class Assembler:
                 self.vertex_repeats,
                 both_strands=True,
             )
+            ca_out = self.config.assembly
+            if ca_out.write_reads_by_assembled_segment:
+                # (reference: Assembly.writeReadsByAssembledSegment ->
+                # gatherOrientedReadsByAssemblyGraphEdge)
+                from shasta_tpu.graph.detangle import _edge_oriented_reads
+
+                with open(
+                    os.path.join(self.run_dir, "OrientedReadsBySegment.csv"),
+                    "w",
+                ) as f:
+                    f.write("Segment,OrientedReadId,ReadId,Strand\n")
+                    for e in range(self.assembly_graph.edge_count):
+                        if not self.assembly_graph.is_assembled_edge(e):
+                            continue
+                        for orid in _edge_oriented_reads(
+                            self.assembly_graph, self.marker_graph, e
+                        ).tolist():
+                            f.write(f"{e},{orid},{orid // 2},{orid % 2}\n")
+            if ca_out.store_coverage_data:
+                # (reference: Assembly.storeCoverageData +
+                # storeCoverageDataCsvLengthThreshold: per-segment
+                # coverage detail for long segments)
+                self._write_coverage_data(
+                    ca_out.store_coverage_data_csv_length_threshold
+                )
             import resource
 
             peak_rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
@@ -997,7 +1138,10 @@ def _run_assembly_stages(a: "Assembler", input_files: List[str], t0: float) -> D
             with a.log.stage(f"iterativeAssembly-{it}"):
                 kept, dropped = refine_read_graph_with_pseudo_paths(
                     a,
-                    min_score=a.config.assembly.iterative_pseudo_path_align_min_score,
+                    min_score=a.config.assembly.iterative_min_score,
+                    mismatch_square_factor=(
+                        a.config.assembly.iterative_mismatch_square_factor
+                    ),
                 )
                 a.log.line(
                     f"Iteration {it}: kept {kept} alignments, "

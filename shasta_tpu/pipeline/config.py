@@ -20,6 +20,15 @@ class ReadsOptions:
     min_read_length: int = 10000
     desired_coverage: int = 0  # 0 = no coverage-based cutoff
     no_cache: bool = False
+    # Palindromic read detection (reference:
+    # Reads.palindromicReads.* in src/AssemblerOptions.cpp).
+    palindromic_reads_skip_flagging: bool = False
+    palindromic_reads_max_skip: int = 100
+    palindromic_reads_max_drift: int = 100
+    palindromic_reads_max_marker_frequency: int = 10
+    palindromic_reads_aligned_fraction_threshold: float = 0.1
+    palindromic_reads_near_diagonal_fraction_threshold: float = 0.1
+    palindromic_reads_delta_threshold: int = 100
 
 
 @dataclass
@@ -29,6 +38,8 @@ class KmersOptions:
     generation_method: int = 0
     seed: int = 231  # reference: srcMain/main.cpp:598 (mt19937 seed 231)
     file: str = ""  # generation method 3: one k-mer per line
+    enrichment_threshold: float = 100.0  # methods 1/2
+    distance_threshold: int = 1000  # method 4
 
 
 @dataclass
@@ -41,6 +52,8 @@ class MinHashOptions:
     min_bucket_size: int = 0
     max_bucket_size: int = 10
     min_frequency: int = 2
+    alignment_candidates_per_read: float = 20.0  # 0 = no early stop
+    all_pairs: bool = False  # skip LowHash, use all read pairs
 
 
 @dataclass
@@ -57,6 +70,8 @@ class AlignOptions:
     max_trim: int = 30
     min_aligned_marker_count: int = 100
     min_aligned_fraction: float = 0.0
+    max_marker_frequency: int = 10  # methods 0/4 dot filtering
+    suppress_containments: bool = False
     same_channel_read_alignment_suppress_delta_threshold: int = 0
     # Method 4 (reference: AssemblerOptions.cpp Align.align4.* section).
     align4_delta_x: int = 200
@@ -73,6 +88,14 @@ class ReadGraphOptions:
     strand_separation_method: int = 1  # reference default (AssemblerOptions.cpp:508)
     cross_strand_max_distance: int = 6
     remove_conflicts: bool = False
+    flag_inconsistent_alignments: bool = False
+    # Creation method 2 adaptive-threshold percentiles (reference:
+    # setReadGraph2Criteria, src/AssemblerReadGraph2.cpp:94).
+    marker_count_percentile: float = 0.015
+    aligned_fraction_percentile: float = 0.12
+    max_skip_percentile: float = 0.12
+    max_drift_percentile: float = 0.12
+    max_trim_percentile: float = 0.015
     flag_inconsistent_alignments_triangle_error_threshold: int = 200
     flag_inconsistent_alignments_least_square_error_threshold: int = 200
     flag_inconsistent_alignments_least_square_max_distance: int = 1
@@ -82,6 +105,9 @@ class ReadGraphOptions:
 class MarkerGraphOptions:
     min_coverage: int = 0  # 0 = auto via peak finder
     max_coverage: int = 100
+    # Auto-minCoverage peak finding (reference: MarkerGraph.peakFinder.*).
+    peak_finder_min_area_fraction: float = 0.08
+    peak_finder_area_start_index: int = 2
     min_coverage_per_strand: int = 0
     allow_duplicate_markers: bool = False
     cleanup_duplicate_markers: bool = False
@@ -99,7 +125,9 @@ class MarkerGraphOptions:
     min_edge_coverage: int = 4
     min_edge_coverage_per_strand: int = 1
     secondary_edges: bool = True
-    secondary_edge_max_skip: int = 1000000
+    secondary_edges_max_skip: int = 1000000
+    secondary_edges_split_error_rate_threshold: float = 0.25
+    secondary_edges_split_min_coverage: int = 4
 
 
 @dataclass
@@ -135,9 +163,22 @@ class AssemblyOptions:
     # Iterative assembly (mode 0).
     iterative: bool = False
     iterative_iteration_count: int = 3
-    iterative_pseudo_path_align_min_score: float = 1.0
+    iterative_pseudo_path_align_match_score: int = 1
+    iterative_pseudo_path_align_mismatch_score: int = -1
+    iterative_pseudo_path_align_gap_score: int = -1
+    iterative_mismatch_square_factor: float = 3.0
+    iterative_min_score: float = 0.0
+    iterative_max_alignment_count: int = 6
     iterative_bridge_removal_iteration_count: int = 3
     iterative_bridge_removal_max_distance: int = 2
+    # Output extras.
+    store_coverage_data: bool = False
+    store_coverage_data_csv_length_threshold: int = 0
+    write_reads_by_assembled_segment: bool = False
+    # Detangle matrix criteria (reference: Assembly.detangle.*).
+    detangle_diagonal_read_count_min: int = 1
+    detangle_off_diagonal_read_count_max: int = 2
+    detangle_off_diagonal_ratio: float = 0.3
 
 
 @dataclass

@@ -31,13 +31,19 @@ def score_alignment_pseudo_paths(
     journey0: np.ndarray,
     journey1: np.ndarray,
     mismatch_square_factor: float = 3.0,
+    match_score: int = 1,
+    mismatch_score: int = -1,
+    gap_score: int = -1,
 ) -> float:
     """Alignment score of two pseudo-paths (reference semantics:
     match 1, mismatch -1, gap -1, final score penalized by
     mismatchSquareFactor * mismatches^2)."""
     if journey0.shape[0] == 0 or journey1.shape[0] == 0:
         return 0.0
-    a0, a1 = nw_align(journey0.astype(np.int64), journey1.astype(np.int64))
+    a0, a1 = nw_align(
+        journey0.astype(np.int64), journey1.astype(np.int64),
+        match_score, mismatch_score, gap_score,
+    )
     matches = 0
     mismatches = 0
     for i, j in zip(a0, a1):
@@ -65,11 +71,15 @@ def refine_read_graph_with_pseudo_paths(
     # Score each alignment currently usable.
     n = al.count
     keep = np.zeros(n, dtype=bool)
+    aopt = assembler.config.assembly
     for i in range(n):
         orid0 = int(al.read_id0[i]) * 2
         orid1 = int(al.read_id1[i]) * 2 + (0 if al.same_strand[i] else 1)
         s = score_alignment_pseudo_paths(
-            m3.journey(orid0), m3.journey(orid1), mismatch_square_factor
+            m3.journey(orid0), m3.journey(orid1), mismatch_square_factor,
+            aopt.iterative_pseudo_path_align_match_score,
+            aopt.iterative_pseudo_path_align_mismatch_score,
+            aopt.iterative_pseudo_path_align_gap_score,
         )
         keep[i] = s >= min_score
 
@@ -78,10 +88,9 @@ def refine_read_graph_with_pseudo_paths(
     # Rebuild the read graph from surviving alignments with the usual
     # kNN selection restricted to the survivors.
     sub = np.flatnonzero(keep)
-    cr = assembler.config.read_graph
     knn_keep = RG.select_alignments_knn(
         _subset_alignments(al, sub), assembler.reads.read_count,
-        cr.max_alignment_count,
+        assembler.config.assembly.iterative_max_alignment_count,
     )
     final_keep = np.zeros(n, dtype=bool)
     final_keep[sub[knn_keep]] = True

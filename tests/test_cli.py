@@ -157,3 +157,96 @@ def test_save_and_cleanup_binary_data(tmp_path, capsys):
     store = RunStore(run_dir, create=False)
     reads = ReadStore.from_arrays(store.load_stage("Reads"))
     assert reads.read_count > 0
+
+
+def test_new_option_keys_map_to_fields():
+    """Reference conf keys added in round 2 must round-trip into
+    config fields (a silently-ignored key regression guard)."""
+    from shasta_tpu.pipeline.config import AssemblyConfig
+
+    cfg = AssemblyConfig.from_conf_text(
+        """
+[Reads]
+palindromicReads.skipFlagging = True
+palindromicReads.deltaThreshold = 77
+
+[Kmers]
+enrichmentThreshold = 55.5
+distanceThreshold = 333
+
+[MinHash]
+allPairs = True
+alignmentCandidatesPerRead = 7.5
+
+[Align]
+maxMarkerFrequency = 4
+suppressContainments = True
+
+[ReadGraph]
+flagInconsistentAlignments = True
+markerCountPercentile = 0.5
+
+[MarkerGraph]
+peakFinder.minAreaFraction = 0.2
+peakFinder.areaStartIndex = 3
+secondaryEdges.maxSkip = 123
+secondaryEdges.split.errorRateThreshold = 0.5
+secondaryEdges.split.minCoverage = 9
+reverseTransitiveReduction = True
+
+[Assembly]
+detangle.offDiagonalRatio = 0.9
+iterative.mismatchSquareFactor = 5.5
+iterative.maxAlignmentCount = 11
+storeCoverageData = True
+writeReadsByAssembledSegment = True
+"""
+    )
+    assert cfg.reads.palindromic_reads_skip_flagging is True
+    assert cfg.reads.palindromic_reads_delta_threshold == 77
+    assert cfg.kmers.enrichment_threshold == 55.5
+    assert cfg.kmers.distance_threshold == 333
+    assert cfg.min_hash.all_pairs is True
+    assert cfg.min_hash.alignment_candidates_per_read == 7.5
+    assert cfg.align.max_marker_frequency == 4
+    assert cfg.align.suppress_containments is True
+    assert cfg.read_graph.flag_inconsistent_alignments is True
+    assert cfg.read_graph.marker_count_percentile == 0.5
+    assert cfg.marker_graph.peak_finder_min_area_fraction == 0.2
+    assert cfg.marker_graph.peak_finder_area_start_index == 3
+    assert cfg.marker_graph.secondary_edges_max_skip == 123
+    assert cfg.marker_graph.secondary_edges_split_error_rate_threshold == 0.5
+    assert cfg.marker_graph.secondary_edges_split_min_coverage == 9
+    assert cfg.marker_graph.reverse_transitive_reduction is True
+    assert cfg.assembly.detangle_off_diagonal_ratio == 0.9
+    assert cfg.assembly.iterative_mismatch_square_factor == 5.5
+    assert cfg.assembly.iterative_max_alignment_count == 11
+    assert cfg.assembly.store_coverage_data is True
+    assert cfg.assembly.write_reads_by_assembled_segment is True
+
+
+def test_all_pairs_and_candidate_cap():
+    import numpy as np
+    from shasta_tpu.ops.lowhash import (
+        CandidatePairs,
+        all_pairs_candidates,
+        cap_candidates,
+    )
+
+    c = all_pairs_candidates(4)
+    assert c.count == 12  # C(4,2) pairs x 2 strands
+    pal = np.array([False, True, False, False])
+    c2 = all_pairs_candidates(4, pal)
+    assert c2.count == 6  # C(3,2) x 2
+
+    pairs = CandidatePairs(
+        read_id0=np.arange(5, dtype=np.int32),
+        read_id1=np.arange(5, 10, dtype=np.int32),
+        same_strand=np.ones(5, bool),
+        frequency=np.array([1, 5, 3, 5, 2], np.int32),
+    )
+    capped = cap_candidates(pairs, 3)
+    assert capped.count == 3
+    assert sorted(capped.frequency.tolist()) == [3, 5, 5]
+    # Original relative order preserved among kept.
+    assert capped.read_id0.tolist() == sorted(capped.read_id0.tolist())
