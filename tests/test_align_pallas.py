@@ -176,3 +176,38 @@ def test_csr_entry_matches_padded_entry():
     assert np.array_equal(got[:6], ref)
     # Padded rows beyond n_real are empty.
     assert (got[6:, 0] == 0).all()
+
+    # Bucket-padded CSR (what _to_device_csr uploads so compiled
+    # kernels are shared across datasets) must give identical output.
+    from shasta_tpu.ops.align import _csr_bucket
+
+    nf = _csr_bucket(flat.shape[0])
+    nr = _csr_bucket(lens.shape[0])
+    flat_p = np.full(nf, -3, np.int32)
+    flat_p[: flat.shape[0]] = flat
+    off_p = np.full(nr + 1, off[-1], np.int32)
+    off_p[: off.shape[0]] = off
+    lens_p = np.zeros(nr, np.int32)
+    lens_p[: lens.shape[0]] = lens
+    got_p = np.asarray(
+        AP.banded_align_pairs_csr(
+            jnp.asarray(flat_p), jnp.asarray(off_p),
+            jnp.asarray(lens_p), ia_p, ib_p, bm_p, np.int32(6),
+            LA=LA, LB=LB, W=W, match=6, mismatch=-1, gap=-1,
+        )
+    )
+    assert np.array_equal(got_p[:6], ref)
+
+
+def test_csr_bucket_grid():
+    from shasta_tpu.ops.align import _csr_bucket
+
+    assert _csr_bucket(0) == 1024
+    assert _csr_bucket(1024) == 1024
+    assert _csr_bucket(1025) == 1280
+    for n in (1500, 3_804_034, 10_000_001, 123_456_789):
+        v = _csr_bucket(n)
+        assert v >= n
+        assert v <= n * 1.25 + 1
+        # Idempotent: grid values map to themselves.
+        assert _csr_bucket(v) == v
