@@ -42,6 +42,16 @@ def main(argv=None):
         "--assemblyDirectory", default="ShastaRun", help="Run directory"
     )
     parser.add_argument("--port", type=int, default=17100, help="explore: HTTP port")
+    parser.add_argument(
+        "--exploreAccess",
+        default="user",
+        help="explore: who may connect (user|local|unrestricted)",
+    )
+    parser.add_argument(
+        "--alignmentsPafFile",
+        default=None,
+        help="explore: PAF of read-to-reference alignments (ground-truth overlay)",
+    )
     args, overrides = parser.parse_known_args(argv)
 
     if args.command == "listCommands":
@@ -96,7 +106,14 @@ def main(argv=None):
     if args.command == "explore":
         from shasta_tpu.http.explore import run_explorer
 
-        run_explorer(args.assemblyDirectory, port=args.port)
+        if args.alignmentsPafFile and not os.path.isfile(args.alignmentsPafFile):
+            raise SystemExit(f"{args.alignmentsPafFile} not found.")
+        run_explorer(
+            args.assemblyDirectory,
+            port=args.port,
+            access=args.exploreAccess,
+            paf_file=args.alignmentsPafFile,
+        )
         return 0
 
     if args.command == "saveBinaryData":

@@ -36,7 +36,7 @@ code { background: #eee; }
 
 
 class Explorer:
-    def __init__(self, run_dir: str):
+    def __init__(self, run_dir: str, paf_file: str | None = None):
         from shasta_tpu.data.store import RunStore
         from shasta_tpu.data.reads import ReadStore
         from shasta_tpu.data.markers import MarkerStore
@@ -57,6 +57,20 @@ class Explorer:
         self.assembly_graph = self._soft(
             lambda: AssemblyGraph.from_arrays(self.store.load_stage("AssemblyGraph"))
         )
+
+        # Optional reference-alignment overlay (reference:
+        # --alignmentsPafFile, AssemblerHttpServer-Alignments.cpp:567).
+        self.reference_overlaps = None
+        if paf_file:
+            from shasta_tpu.io.paf import load_paf
+
+            names = self.reads.names if self.reads is not None else None
+            self.reference_overlaps = load_paf(paf_file, names)
+            if self.reference_overlaps.skipped_reads:
+                print(
+                    f"WARNING: skipped {self.reference_overlaps.skipped_reads} "
+                    "PAF lines naming reads not used in the assembly"
+                )
 
     @staticmethod
     def _soft(fn):
@@ -590,8 +604,78 @@ def make_handler(explorer: Explorer):
     return Handler
 
 
-def run_explorer(run_dir: str, port: int = 17100, bind: str = "127.0.0.1"):
-    explorer = Explorer(run_dir)
-    server = HTTPServer((bind, port), make_handler(explorer))
-    print(f"Exploring {run_dir} at http://{bind}:{port}/")
+def _peer_uid(client_address) -> int | None:
+    """Best-effort UID of the local process owning the client socket,
+    via /proc/net/tcp{,6} (the reference restricts "user" access to
+    connections from the same user, src/HttpServer.hpp:25-70)."""
+    host, port = client_address[0], client_address[1]
+    try:
+        import socket
+        import struct
+
+        if ":" in host:
+            # ::1 / ::ffff:127.0.0.1 in /proc/net/tcp6 hex layout.
+            packed = socket.inet_pton(socket.AF_INET6, host)
+            words = struct.unpack("<4I", packed)
+            want = "".join(f"{w:08X}" for w in words)
+            proc = "/proc/net/tcp6"
+        else:
+            want = f"{struct.unpack('<I', socket.inet_aton(host))[0]:08X}"
+            proc = "/proc/net/tcp"
+        want_local = f"{want}:{port:04X}"
+        with open(proc) as f:
+            next(f)
+            for line in f:
+                fields = line.split()
+                if fields[1] == want_local:
+                    return int(fields[7])
+    except Exception:
+        return None
+    return None
+
+
+def run_explorer(
+    run_dir: str,
+    port: int = 17100,
+    access: str = "user",
+    paf_file: str | None = None,
+):
+    """Serve the explorer. ``access`` mirrors the reference's
+    --exploreAccess (srcMain/main.cpp:1349-1368): "user" = local
+    connections from the same user only (default), "local" = any local
+    user, "unrestricted" = any computer."""
+    if access not in ("user", "local", "unrestricted"):
+        raise ValueError(
+            "Invalid value specified for --exploreAccess. Only use this "
+            "option if you understand its security implications."
+        )
+    bind = "" if access == "unrestricted" else "127.0.0.1"
+    explorer = Explorer(run_dir, paf_file=paf_file)
+    handler = make_handler(explorer)
+    if access == "user":
+        my_uid = os.getuid()
+        orig_do_get = handler.do_GET
+
+        def guarded_do_GET(self):
+            uid = _peer_uid(self.client_address)
+            if uid is not None and uid != my_uid:
+                self.send_response(403)
+                self.end_headers()
+                self.wfile.write(b"Access restricted to the same user.")
+                return
+            orig_do_get(self)
+
+        handler.do_GET = guarded_do_GET
+    server = HTTPServer((bind, port), handler)
+    shown = bind or "0.0.0.0"
+    print(f"Exploring {run_dir} at http://{shown}:{port}/")
+    if access == "user":
+        print(
+            "Only accepting local connections originating from a process "
+            "owned by the same user running the server."
+        )
+    elif access == "local":
+        print("Accepting local connections from any user.")
+    else:
+        print("Accepting connections from any computer, any user.")
     server.serve_forever()

@@ -126,10 +126,30 @@ class _AlignmentViews:
             )
         levels, edges = _local_bfs(rid, lambda v: by_read.get(v, []), dist)
         n_nodes = sum(len(l) for l in levels)
+        ref_note = ""
+        ref = getattr(self, "reference_overlaps", None)
+        if ref is not None:
+            true_pairs = ref.read_pairs()
+            shown = {(min(a, b), max(a, b)) for a, b in edges}
+            n_true = sum(1 for p in shown if p in true_pairs)
+            missing = sorted(
+                b for (a, b) in true_pairs if a == rid and (a, b) not in shown
+            ) + sorted(a for (a, b) in true_pairs if b == rid and (a, b) not in shown)
+            ref_note = (
+                f"<p>Reference overlay: {n_true}/{len(shown)} displayed edges "
+                f"are true reference overlaps"
+                + (
+                    f"; true partners of read {rid} missing from candidates: "
+                    + ", ".join(str(m) for m in missing[:50])
+                    if missing
+                    else "; no true partner of this read is missing"
+                )
+                + ".</p>"
+            )
         return (
             f"<h1>Alignment candidate graph around read {rid}</h1>"
             f"<p>{cand.count} candidate pairs total; {n_nodes} reads within "
-            f"distance {dist}.</p>"
+            f"distance {dist}.</p>" + ref_note
             + _svg_layered_graph(levels, edges, highlight=rid)
         )
 
@@ -243,6 +263,24 @@ class _AlignmentViews:
                     "Candidate LowHash frequency",
                 )
             )
+        ref = getattr(self, "reference_overlaps", None)
+        if ref is not None and cand is not None and n_cand:
+            true_pairs = ref.read_pairs()
+            cand_pairs = {
+                (min(int(a), int(b)), max(int(a), int(b)))
+                for a, b in zip(cand.read_id0, cand.read_id1)
+            }
+            tp = len(cand_pairs & true_pairs)
+            parts.append("<h2>Against the reference PAF overlay</h2><table>")
+            parts.append(
+                f"<tr><th>True reference overlaps</th><td>{len(true_pairs)}</td></tr>"
+                f"<tr><th>Candidates confirmed by reference</th><td>{tp}</td></tr>"
+                f"<tr><th>Candidate precision</th>"
+                f"<td>{tp / max(len(cand_pairs), 1):.3f}</td></tr>"
+                f"<tr><th>Candidate recall</th>"
+                f"<td>{tp / max(len(true_pairs), 1):.3f}</td></tr>"
+            )
+            parts.append("</table>")
         return "".join(parts)
 
     def page_align_sequences_base(self, q) -> str:
