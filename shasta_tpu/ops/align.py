@@ -615,30 +615,78 @@ def _csr_bucket(n: int) -> int:
     return base << 1
 
 
-def _to_device_csr(flat: np.ndarray, off: np.ndarray, lens: np.ndarray):
-    """Upload a marker CSR to the device once (int32), for device-side
-    batch gathering. Returns None when the Pallas path is off or a
-    multi-device mesh handles batching instead.
+class _DeviceCsr:
+    """Device-resident per-length-class padded marker matrices.
 
-    Arrays are padded to bucketed lengths (see :func:`_csr_bucket`) so
-    the compiled kernels' signatures — which include these lengths —
-    stay stable across datasets. The kernel masks every out-of-range
-    gather, so the pad values are never read into live lanes."""
+    Batch inputs are built on device with whole-row ``jnp.take`` from a
+    (n_class_rows, L) matrix per length class — contiguous HBM reads at
+    40+ GB/s, where an index-matrix gather from the flat CSR measured
+    ~0.6 GB/s and dominated alignment wall-clock. A batch's rows all
+    share one class by construction: the batch key IS the length
+    bucket. Matrices build lazily (one gather per class per stage) and
+    row counts are padded to the :func:`_csr_bucket` grid so compiled
+    take shapes stay stable across datasets."""
+
+    def __init__(self, flat: np.ndarray, off: np.ndarray, lens: np.ndarray):
+        import jax.numpy as jnp
+
+        nf = _csr_bucket(max(flat.shape[0], 1))
+        flat_p = np.full(nf, -3, np.int32)
+        flat_p[: flat.shape[0]] = flat
+        self.flat_dev = jnp.asarray(flat_p)
+        self.lens = np.asarray(lens, np.int64)
+        self.off = np.asarray(off, np.int64)
+        # Class-local row index (class = length bucket, matching the
+        # batch keys built from the same lens with the same buckets).
+        cls = _bucket_vec(np.maximum(self.lens, 1), _LEN_BUCKETS)
+        self.cls = cls
+        order = np.argsort(cls, kind="stable")
+        sorted_cls = cls[order]
+        starts = np.searchsorted(sorted_cls, sorted_cls, side="left")
+        local_sorted = np.arange(order.shape[0], dtype=np.int64) - starts
+        self.local = np.empty(order.shape[0], np.int64)
+        self.local[order] = local_sorted
+        self._members = {
+            int(c): order[sorted_cls == c] for c in np.unique(sorted_cls)
+        }
+        self._mats: Dict[int, object] = {}
+
+    def matrix(self, L: int):
+        m = self._mats.get(L)
+        if m is None:
+            import jax.numpy as jnp
+
+            ids = self._members.get(L, np.zeros(0, np.int64))
+            n_pad = _csr_bucket(max(ids.shape[0], 1))
+            off_sel = np.zeros(n_pad, np.int32)
+            len_sel = np.zeros(n_pad, np.int32)
+            off_sel[: ids.shape[0]] = self.off[ids]
+            len_sel[: ids.shape[0]] = self.lens[ids]
+            m = _build_class_matrix(
+                self.flat_dev, jnp.asarray(off_sel), jnp.asarray(len_sel), L=L
+            )
+            self._mats[L] = m
+        return m
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def _build_class_matrix(flat, off, lens, *, L):
+    """One-time padded matrix build for a length class (fill -1)."""
+    nf = flat.shape[0]
+    t = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pos = off[:, None] + t
+    mask = t < lens[:, None]
+    return jnp.where(mask, flat[jnp.clip(pos, 0, nf - 1)], jnp.int32(-1))
+
+
+def _to_device_csr(flat: np.ndarray, off: np.ndarray, lens: np.ndarray):
+    """Build the device-side batch-construction structure, or None when
+    the Pallas path is off or a multi-device mesh handles batching."""
     from shasta_tpu.parallel.context import current_mesh
 
     if not _pallas_available() or current_mesh() is not None:
         return None
-    import jax.numpy as jnp
-
-    nf = _csr_bucket(flat.shape[0])
-    nr = _csr_bucket(lens.shape[0])
-    flat_p = np.full(nf, -3, np.int32)
-    flat_p[: flat.shape[0]] = flat
-    off_p = np.full(nr + 1, off[-1], np.int32)
-    off_p[: off.shape[0]] = off
-    lens_p = np.zeros(nr, np.int32)
-    lens_p[: lens.shape[0]] = lens
-    return (jnp.asarray(flat_p), jnp.asarray(off_p), jnp.asarray(lens_p))
+    return _DeviceCsr(flat, off, lens)
 
 
 def _dispatch_csr(
@@ -670,22 +718,40 @@ def _dispatch_csr(
     for lo, hi, B in _batch_plan(n, LA, LB, W, use_pallas, mesh_d):
         pad = B - (hi - lo)
         if device_gather:
+            if __debug__ and hi > lo:
+                # A batch's rows all belong to one length class (the
+                # batch key IS the length bucket) — the take matrices
+                # rely on it.
+                assert (
+                    _bucket_vec(dev_csr.lens[ids_a[lo:hi]], _LEN_BUCKETS) == LA
+                ).all() and (
+                    _bucket_vec(dev_csr.lens[ids_b[lo:hi]], _LEN_BUCKETS) == LB
+                ).all()
             ia = np.concatenate(
                 [ids_a[lo:hi], np.zeros(pad, np.int64)]
-            ).astype(np.int32)
+            ).astype(np.int64)
             ib = np.concatenate(
                 [ids_b[lo:hi], np.zeros(pad, np.int64)]
-            ).astype(np.int32)
+            ).astype(np.int64)
             bm = np.concatenate(
                 [band_mins[lo:hi], np.zeros(pad)]
             ).astype(np.int32)
+            rowa = dev_csr.local[ia].astype(np.int32)
+            rowb = dev_csr.local[ib].astype(np.int32)
+            a_len = dev_csr.lens[ia].astype(np.int32)
+            b_len = dev_csr.lens[ib].astype(np.int32)
+            if pad:
+                a_len[hi - lo :] = 0
+                b_len[hi - lo :] = 0
+                rowa[hi - lo :] = 0
+                rowb[hi - lo :] = 0
             pack = (
                 W <= 254
                 and os.environ.get("SHASTA_TPU_PACKU8", "1") != "0"
             )
-            out = align_pallas.banded_align_pairs_csr(
-                dev_csr[0], dev_csr[1], dev_csr[2], ia, ib, bm,
-                np.int32(hi - lo),
+            out = align_pallas.banded_align_pairs_take(
+                dev_csr.matrix(LA), rowa, dev_csr.matrix(LB), rowb,
+                a_len, b_len, bm, np.int32(hi - lo),
                 LA=LA, LB=LB, W=W,
                 match=params.match_score,
                 mismatch=params.mismatch_score,
@@ -1029,6 +1095,17 @@ class _CsrStreamingRunner:
             res, mets = _collect_bucket(pending)
             yield tags, res, mets
 
+    def collect_flat(self):
+        """Like collect_fused but NEVER materializes per-pair arrays:
+        yields (tags, met, rows, cols, vals) with batch-flat match
+        arrays (rows = batch-local pair index, ascending; cols/vals the
+        matched ordinal pairs in path order). Slicing 50k+ pairs into
+        per-pair arrays costs more host time than the DP costs device
+        time, so the caller scatters straight into the output CSR."""
+        _prefetch_batches(self.batches)
+        for tags, pending in self.batches:
+            yield (tags, *_entry_to_flat(pending[0]))
+
 
 def _prefetch_batches(batches) -> None:
     """Issue copy_to_host_async for every pending device payload so the
@@ -1184,24 +1261,21 @@ def align_candidates(
         _prof.mark("ph1_dispatch")
         _prefetch_batches(ph1)
         for idx_arr, pending in ph1:
-            res, _mets = _collect_bucket(pending)
+            _met, rows, cols, vals = _entry_to_flat(pending[0])
             _prof.mark("ph1_collect", accumulate=True)
             # Vectorized band mapping: one flat pass over every matched
             # ordinal of the whole batch, per-pair min/max via reduceat.
-            counts = np.fromiter(
-                (r[0].shape[0] for r in res), np.int64, len(res)
-            )
-            bands = np.zeros((idx_arr.shape[0], 2), np.int64)
+            n_real = idx_arr.shape[0]
+            counts = np.bincount(rows, minlength=n_real)
+            bands = np.zeros((n_real, 2), np.int64)
             ok = counts > 0
             if ok.any():
-                o0cat = np.concatenate([r[0] for r in res]).astype(np.int64)
-                o1cat = np.concatenate([r[1] for r in res]).astype(np.int64)
-                p_of = np.repeat(idx_arr, counts)
+                p_of = idx_arr[rows]
                 off = (
-                    ds_ord_flat[ds_off[or0[p_of]] + o0cat]
-                    - ds_ord_flat[ds_off[or1[p_of]] + o1cat]
+                    ds_ord_flat[ds_off[or0[p_of]] + cols]
+                    - ds_ord_flat[ds_off[or1[p_of]] + vals]
                 )
-                starts = np.zeros(len(res) + 1, np.int64)
+                starts = np.zeros(n_real + 1, np.int64)
                 np.cumsum(counts, out=starts[1:])
                 nz = np.flatnonzero(ok)
                 bmin = np.minimum.reduceat(off, starts[nz]) - params.band_extend
@@ -1224,17 +1298,19 @@ def align_candidates(
     runner.flush_all()
     _prof.mark("ph2_flush")
 
-    res_of: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    # Flat phase-2 collection: per-pair metrics scatter + per-batch
+    # match chunks (no per-pair array materialization anywhere).
     met_of = np.zeros((n_pairs, 10), np.int64)
-    for tags, res, mets in runner.collect_fused():
-        for t, p in enumerate(tags):
-            res_of[p] = res[t]
-            met_of[p] = mets[t]
+    seen = np.zeros(n_pairs, bool)
+    chunks: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+    for tags, met, rows, cols, vals in runner.collect_flat():
+        met_of[tags] = met
+        seen[tags] = True
+        chunks.append((tags, rows, cols, vals))
     _prof.mark("ph2_collect")
     _prof.report(n_pairs)
 
-    full_idx = np.array(sorted(res_of), dtype=np.int64)
-    results = [res_of[int(p)] for p in full_idx]
+    full_idx = np.flatnonzero(seen)
     metrics = met_of[full_idx] if full_idx.shape[0] else np.zeros((0, 10), np.int64)
 
     # ---- Filters, vectorized over the in-kernel metrics ----
@@ -1273,10 +1349,23 @@ def align_candidates(
     np.cumsum(mc[kept_t], out=offs[1:])
     ord0 = np.empty(int(offs[-1]), np.uint32)
     ord1 = np.empty(int(offs[-1]), np.uint32)
-    for i, t in enumerate(kept_t):
-        o0, o1 = results[t]
-        ord0[offs[i] : offs[i + 1]] = o0
-        ord1[offs[i] : offs[i + 1]] = o1
+    # Vectorized scatter: every match lands at the kept pair's CSR
+    # offset plus its within-pair path position (matches of one pair
+    # are contiguous and path-ordered within their batch chunk).
+    rank = np.full(n_pairs, -1, np.int64)
+    rank[kept_p] = np.arange(kept_p.shape[0])
+    for tags, rows, cols, vals in chunks:
+        if rows.shape[0] == 0:
+            continue
+        pr = rank[tags[rows]]
+        m = pr >= 0
+        if not m.any():
+            continue
+        starts = np.searchsorted(rows, np.arange(tags.shape[0] + 1))
+        within = np.arange(rows.shape[0], dtype=np.int64) - starts[rows]
+        pos = offs[pr[m]] + within[m]
+        ord0[pos] = cols[m]
+        ord1[pos] = vals[m]
 
     return AlignmentStore(
         read_id0=read_id0[kept_p].astype(np.int32),

@@ -7,11 +7,12 @@ alignment latency-bound. This kernel keeps the entire DP in VMEM and
 loops over rows *inside* one kernel launch. Design notes (measured at
 16.9 Gcells/s on the target chip, ~7x the first-generation kernel):
 
-- NO gathers anywhere. A one-time vectorized band normalization
-  left-shifts each pair's padded b row by (band_min + LEFTPAD) lanes
-  using log-step masked shifts over the whole (BB, LBP) block; after
-  that, every sliding-window refill is a single 128-aligned 2D slice
-  shared by all pairs (no per-pair scalar loops in the kernel).
+- NO gathers inside the kernel. Band normalization happens in the
+  batch-building gather that feeds the kernel (bnorm[t] = b[t +
+  band_min], one XLA gather fused with the CSR row gather), so the
+  kernel's b block is only LA - R + 2W lanes wide and every
+  sliding-window refill is a single 128-aligned 2D slice shared by
+  all pairs (no per-pair scalar loops in the kernel).
 - Wide pair blocks (BB up to 128): per-instruction overhead dominates
   at this tile size, so more lanes of work per vector instruction is
   the main throughput lever.
@@ -60,20 +61,23 @@ def _round128(x: int) -> int:
 
 
 def _geometry(LA: int, LB: int, W: int):
+    # b arrives already band-normalized (bnorm[t] = b[t + band_min],
+    # computed by the device-side gather that builds the batch), so the
+    # kernel's b block only needs the lanes its sliding window reads:
+    # group g reads [g*R, g*R + 2W), g < LA/R.
     LEFTPAD = LA + W
     R = min(W, LA)
-    LBP = _round128(max(LEFTPAD + LB, LA - R + 2 * W))
+    LBP = _round128(LA - R + 2 * W)
     LAP = LA + 2 * R
     return LEFTPAD, R, LBP, LAP
 
 
 def _per_pair_bytes(LA: int, LB: int, W: int) -> int:
     LEFTPAD, R, LBP, LAP = _geometry(LA, LB, W)
-    # dirs scratch + bnorm scratch + double-buffered a/b in blocks +
+    # dirs scratch + double-buffered bnorm/a in blocks +
     # double-buffered mj out + win/aw/bestv/bim scratch, per pair.
     return (
         LA * W
-        + 4 * LBP
         + 8 * LBP
         + 8 * LAP
         + 8 * LA
@@ -99,13 +103,12 @@ def supported(LA: int, W: int) -> bool:
 
 def _kernel(
     a_ref,  # (BB, LAP) int32: a right-padded (pad -1)
-    b_ref,  # (BB, LBP) int32: left-padded b (pad -2)
+    bnorm_ref,  # (BB, LBP) int32: band-normalized b (bnorm[t] = b[t+band_min])
     a_len_ref,  # (1, BB, 1) int32
     b_len_ref,  # (1, BB, 1) int32
     band_min_ref,  # (1, BB, 1) int32 (pre-clamped by the host)
     mj_ref,  # (1, LA, BB) int32 out: per-row matched ordinal1 or -1
     best_ref,  # (1, BB, 1) int32 out
-    bnorm_ref,  # (BB, LBP) int32 scratch: band-normalized b
     dirs_ref,  # (LA, BB, W) int8 scratch: dir code | match bit
     w_ref,  # (BB, 2W) int32 scratch: shared-slide b window
     aw_ref,  # (BB, 2R) int32 scratch: sliding a window
@@ -121,7 +124,6 @@ def _kernel(
     gap: int,
 ):
     BB = a_ref.shape[0]
-    LBP = b_ref.shape[1]
     d_idx = jax.lax.broadcasted_iota(jnp.int32, (BB, W), 1)
     dgap = d_idx * jnp.int32(gap)
     d8 = d_idx * 8
@@ -131,22 +133,6 @@ def _kernel(
     b_len = b_len_ref[0, :, :]
     band_min = band_min_ref[0, :, :]
     R = min(W, LA)
-
-    # ---- Band normalization: bnorm[t] = b[t + band_min] for all
-    # pairs at once (log-step masked lane shifts; fill -2 = b pad, so
-    # overshooting LBP reads the correct pad value).
-    s = band_min + LEFTPAD  # (BB, 1), in [0, LB + LEFTPAD]
-    bnorm_ref[...] = b_ref[...]
-    k = 1
-    while k * 2 <= LB + LEFTPAD:
-        k *= 2
-    while k >= 1:
-        x = bnorm_ref[...]
-        sh = jnp.concatenate(
-            [x[:, k:], jnp.full((BB, k), -2, jnp.int32)], axis=1
-        )
-        bnorm_ref[...] = jnp.where((s & k) != 0, sh, x)
-        k //= 2
 
     bv_ref[...] = neg
     bim_ref[...] = jnp.zeros((BB, W), jnp.int32)
@@ -329,6 +315,30 @@ def _metrics_from_mj(mj, best, LA):
     )
 
 
+def _band_normalize(b, band_min, *, LA, LB, W):
+    """Band-normalized b: b_norm[t] = b[t + band_min] (pad -2 outside
+    [0, LB)), built with log-step masked lane shifts — pure vector
+    ops. A per-row take_along_axis gather here lowers to a scalar XLA
+    gather that costs more than the whole DP (measured 2.7x end-to-end
+    kernel slowdown); the masked shifts run at vector-copy speed."""
+    B = b.shape[0]
+    LEFTPAD, R, LBP, LAP = _geometry(LA, LB, W)
+    PADW = _round128(LEFTPAD + LB)
+    b_wide = jnp.full((B, PADW), -2, jnp.int32)
+    b_wide = jax.lax.dynamic_update_slice(b_wide, b, (0, LEFTPAD))
+    s = (band_min + LEFTPAD)[:, None]  # in [0, LB + LEFTPAD]
+    k = 1
+    while k * 2 <= LB + LEFTPAD:
+        k *= 2
+    while k >= 1:
+        sh = jnp.concatenate(
+            [b_wide[:, k:], jnp.full((B, k), -2, jnp.int32)], axis=1
+        )
+        b_wide = jnp.where((s & k) != 0, sh, b_wide)
+        k //= 2
+    return b_wide[:, :LBP]
+
+
 @functools.partial(
     jax.jit, static_argnames=("LA", "LB", "W", "match", "mismatch", "gap")
 )
@@ -371,9 +381,7 @@ def banded_align_pairs(
     a_len = jnp.where(band_ok, a_len, 0)
     band_min = jnp.clip(band_min, -LEFTPAD, LB)
 
-    # Left-padded b: value at lane LEFTPAD + t is b[t]; pad = -2.
-    b_pad = jnp.full((B, LBP), -2, jnp.int32)
-    b_pad = jax.lax.dynamic_update_slice(b_pad, b, (0, LEFTPAD))
+    b_pad = _band_normalize(b, band_min, LA=LA, LB=LB, W=W)
 
     # a right-padded so every window refill slice stays in bounds.
     a_pad = jnp.full((B, LAP), -1, jnp.int32)
@@ -389,57 +397,60 @@ def banded_align_pairs(
     jax.jit,
     static_argnames=("LA", "LB", "W", "match", "mismatch", "gap", "pack_u8"),
 )
-def banded_align_pairs_csr(
-    flat, off, lens, ia, ib, band_min, n_real,
+def banded_align_pairs_take(
+    mat_a, rowa, mat_b, rowb, a_len, b_len, band_min, n_real,
     *, LA, LB, W, match, mismatch, gap, pack_u8=False
 ):
-    """Forward + traceback with DEVICE-side batch construction.
+    """Forward + traceback with DEVICE-side batch construction via
+    whole-row takes from per-length-class padded marker matrices.
 
-    flat/off/lens is the device-resident CSR of per-oriented-read
-    marker k-mer ids (uploaded once per stage); ia/ib are row ids and
-    n_real a device scalar bounding the live pairs. Only the tiny id
-    arrays cross the host->device relay per batch — the padded (B, LA)
-    inputs are gathered on device, which removes the multi-MB per-batch
-    upload that dominated alignment wall time through the tunnel.
-    Output is identical to :func:`banded_align_pairs` on the gathered
-    rows.
+    mat_a/mat_b are device-resident (n_class_rows, LA/LB) matrices of
+    marker k-mer ids (-1-filled beyond each row's length, built once
+    per stage per length class); rowa/rowb are class-local row ids.
+    Only the tiny id/length arrays cross the host->device relay per
+    batch. A whole-row take lowers to fast contiguous HBM reads
+    (measured 40+ GB/s) where an index-matrix gather from the flat CSR
+    runs at ~0.6 GB/s — 25x+ on the batch-feed path that dominated
+    alignment wall-clock. Output is identical to
+    :func:`banded_align_pairs` on the gathered rows.
     """
-    B0 = ia.shape[0]
+    B0 = rowa.shape[0]
     BB = _block_pairs(LA, W, LB)
     if BB == 0:
         raise ValueError(f"shape (LA={LA}, W={W}) too large for the kernel")
     B = ((B0 + BB - 1) // BB) * BB
     if B != B0:
         pad = B - B0
-        ia = jnp.concatenate([ia, jnp.zeros(pad, ia.dtype)])
-        ib = jnp.concatenate([ib, jnp.zeros(pad, ib.dtype)])
+        rowa = jnp.concatenate([rowa, jnp.zeros(pad, rowa.dtype)])
+        rowb = jnp.concatenate([rowb, jnp.zeros(pad, rowb.dtype)])
+        a_len = jnp.concatenate([a_len, jnp.zeros(pad, a_len.dtype)])
+        b_len = jnp.concatenate([b_len, jnp.zeros(pad, b_len.dtype)])
         band_min = jnp.concatenate([band_min, jnp.zeros(pad, band_min.dtype)])
-    ia = ia.astype(jnp.int32)
-    ib = ib.astype(jnp.int32)
+    rowa = rowa.astype(jnp.int32)
+    rowb = rowb.astype(jnp.int32)
     band_min = band_min.astype(jnp.int32)
     live = jnp.arange(B, dtype=jnp.int32) < n_real
-    a_len = jnp.where(live, lens[ia], 0).astype(jnp.int32)
-    b_len = jnp.where(live, lens[ib], 0).astype(jnp.int32)
+    a_len = jnp.where(live, a_len.astype(jnp.int32), 0)
+    b_len = jnp.where(live, b_len.astype(jnp.int32), 0)
 
     LEFTPAD, R, LBP, LAP = _geometry(LA, LB, W)
     band_ok = (band_min >= -LEFTPAD) & (band_min <= LB)
     a_len = jnp.where(band_ok, a_len, 0)
     band_min = jnp.clip(band_min, -LEFTPAD, LB)
 
-    nf = flat.shape[0]
-    # Gather straight into the kernel's padded layouts.
-    ar = jnp.arange(LAP, dtype=jnp.int32)[None, :]
-    posa = off[ia][:, None].astype(jnp.int32) + ar
-    maska = ar < a_len[:, None]
-    a_pad = jnp.where(
-        maska, flat[jnp.clip(posa, 0, nf - 1)], jnp.int32(-1)
-    ).astype(jnp.int32)
-    br = jnp.arange(LBP, dtype=jnp.int32)[None, :] - LEFTPAD
-    posb = off[ib][:, None].astype(jnp.int32) + br
-    maskb = (br >= 0) & (br < b_len[:, None])
-    b_pad = jnp.where(
-        maskb, flat[jnp.clip(posb, 0, nf - 1)], jnp.int32(-2)
-    ).astype(jnp.int32)
+    a = jnp.take(mat_a, rowa, axis=0)  # (B, LA), -1 beyond row lengths
+    a_pad = jnp.concatenate(
+        [a, jnp.full((B, LAP - LA), -1, jnp.int32)], axis=1
+    )
+    b = jnp.take(mat_b, rowb, axis=0)
+    # Class matrices fill with -1; b's pad value must be -2 (so a pad
+    # never matches b pad), and dead lanes beyond b_len must be pad.
+    b = jnp.where(
+        jnp.arange(LB, dtype=jnp.int32)[None, :] < b_len[:, None],
+        b,
+        jnp.int32(-2),
+    )
+    b_pad = _band_normalize(b, band_min, LA=LA, LB=LB, W=W)
 
     return _invoke(
         a_pad, b_pad, a_len, b_len, band_min, B0, BB,
@@ -479,7 +490,6 @@ def _invoke(
             jax.ShapeDtypeStruct((B // BB, BB, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BB, LBP), jnp.int32),
             pltpu.VMEM((LA, BB, W), jnp.int8),
             pltpu.VMEM((BB, 2 * W), jnp.int32),
             pltpu.VMEM((BB, 2 * R), jnp.int32),

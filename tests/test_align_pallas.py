@@ -136,11 +136,12 @@ def test_edge_cases_match_jnp_kernel():
     assert np.array_equal(fused[5, 16:16 + LA], np.arange(LA))
 
 
-def test_csr_entry_matches_padded_entry():
-    """banded_align_pairs_csr (device-side gather) must produce the
-    same fused output as banded_align_pairs on the gathered rows,
-    including partial batches (n_real < padded B)."""
-    import jax.numpy as jnp
+def test_take_entry_matches_padded_entry():
+    """banded_align_pairs_take (device-side whole-row takes from the
+    per-length-class matrices) must produce the same fused output as
+    banded_align_pairs on the gathered rows, including partial batches
+    (n_real < padded B)."""
+    from shasta_tpu.ops.align import _DeviceCsr, _bucket_vec, _LEN_BUCKETS
 
     LA = LB = W = 128
     a, a_len, b, b_len, bm = make_batch(7, B=6, LA=LA, LB=LB, W=W)
@@ -152,8 +153,8 @@ def test_csr_entry_matches_padded_entry():
     off = np.zeros(lens.shape[0] + 1, np.int32)
     np.cumsum(lens, out=off[1:])
     flat = np.concatenate(rows).astype(np.int32)
-    ia = np.arange(6, dtype=np.int32)
-    ib = np.arange(6, 12, dtype=np.int32)
+    ia = np.arange(6, dtype=np.int64)
+    ib = np.arange(6, 12, dtype=np.int64)
 
     ref = np.asarray(
         AP.banded_align_pairs(
@@ -161,42 +162,30 @@ def test_csr_entry_matches_padded_entry():
             match=6, mismatch=-1, gap=-1,
         )
     )
+    dev = _DeviceCsr(flat, off, lens)
+    # Every row's class must be the batch's length bucket.
+    assert (_bucket_vec(lens.astype(np.int64), _LEN_BUCKETS) == LA).all()
     # Pad the id arrays past the live count, like _dispatch_csr does.
     pad = 2
-    ia_p = np.concatenate([ia, np.zeros(pad, np.int32)])
-    ib_p = np.concatenate([ib, np.zeros(pad, np.int32)])
+    ia_p = np.concatenate([ia, np.zeros(pad, np.int64)])
+    ib_p = np.concatenate([ib, np.zeros(pad, np.int64)])
     bm_p = np.concatenate([bm, np.zeros(pad, np.int32)])
+    rowa = dev.local[ia_p].astype(np.int32)
+    rowb = dev.local[ib_p].astype(np.int32)
+    al_p = dev.lens[ia_p].astype(np.int32)
+    bl_p = dev.lens[ib_p].astype(np.int32)
+    al_p[6:] = 0
+    bl_p[6:] = 0
     got = np.asarray(
-        AP.banded_align_pairs_csr(
-            jnp.asarray(flat), jnp.asarray(off),
-            jnp.asarray(lens), ia_p, ib_p, bm_p, np.int32(6),
+        AP.banded_align_pairs_take(
+            dev.matrix(LA), rowa, dev.matrix(LB), rowb,
+            al_p, bl_p, bm_p, np.int32(6),
             LA=LA, LB=LB, W=W, match=6, mismatch=-1, gap=-1,
         )
     )
     assert np.array_equal(got[:6], ref)
     # Padded rows beyond n_real are empty.
     assert (got[6:, 0] == 0).all()
-
-    # Bucket-padded CSR (what _to_device_csr uploads so compiled
-    # kernels are shared across datasets) must give identical output.
-    from shasta_tpu.ops.align import _csr_bucket
-
-    nf = _csr_bucket(flat.shape[0])
-    nr = _csr_bucket(lens.shape[0])
-    flat_p = np.full(nf, -3, np.int32)
-    flat_p[: flat.shape[0]] = flat
-    off_p = np.full(nr + 1, off[-1], np.int32)
-    off_p[: off.shape[0]] = off
-    lens_p = np.zeros(nr, np.int32)
-    lens_p[: lens.shape[0]] = lens
-    got_p = np.asarray(
-        AP.banded_align_pairs_csr(
-            jnp.asarray(flat_p), jnp.asarray(off_p),
-            jnp.asarray(lens_p), ia_p, ib_p, bm_p, np.int32(6),
-            LA=LA, LB=LB, W=W, match=6, mismatch=-1, gap=-1,
-        )
-    )
-    assert np.array_equal(got_p[:6], ref)
 
 
 def test_csr_bucket_grid():
