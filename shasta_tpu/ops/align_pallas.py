@@ -340,10 +340,12 @@ def _band_normalize(b, band_min, *, LA, LB, W):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("LA", "LB", "W", "match", "mismatch", "gap")
+    jax.jit,
+    static_argnames=("LA", "LB", "W", "match", "mismatch", "gap", "pack_u8"),
 )
 def banded_align_pairs(
-    a, a_len, b, b_len, band_min, *, LA, LB, W, match, mismatch, gap
+    a, a_len, b, b_len, band_min, *, LA, LB, W, match, mismatch, gap,
+    pack_u8=False
 ):
     """Forward + traceback for a batch of candidate pairs.
 
@@ -390,13 +392,21 @@ def banded_align_pairs(
     return _invoke(
         a_pad, b_pad, a_len, b_len, band_min, B0, BB,
         LA=LA, LB=LB, W=W, match=match, mismatch=mismatch, gap=gap,
+        pack_u8=pack_u8,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("LA", "LB", "W", "match", "mismatch", "gap", "pack_u8"),
-)
+@functools.partial(jax.jit, static_argnames=("fill",))
+def _take_rows(mat, row, lens, *, fill):
+    """Whole-row take from a class matrix, re-filled beyond each row's
+    length. XLA-only — compiles fast and keeps the class-matrix row
+    count out of the DP kernel's jit signature (which is shared with
+    the host-padded path and lives in the persistent compile cache)."""
+    t = jnp.arange(mat.shape[1], dtype=jnp.int32)[None, :]
+    x = jnp.take(mat, row.astype(jnp.int32), axis=0)
+    return jnp.where(t < lens[:, None], x, jnp.int32(fill))
+
+
 def banded_align_pairs_take(
     mat_a, rowa, mat_b, rowb, a_len, b_len, band_min, n_real,
     *, LA, LB, W, match, mismatch, gap, pack_u8=False
@@ -410,50 +420,22 @@ def banded_align_pairs_take(
     Only the tiny id/length arrays cross the host->device relay per
     batch. A whole-row take lowers to fast contiguous HBM reads
     (measured 40+ GB/s) where an index-matrix gather from the flat CSR
-    runs at ~0.6 GB/s — 25x+ on the batch-feed path that dominated
-    alignment wall-clock. Output is identical to
+    runs at ~0.6 GB/s — in an interleaved on-chip A/B the take feed
+    runs feed+DP at the bare-kernel roofline. Output is identical to
     :func:`banded_align_pairs` on the gathered rows.
     """
-    B0 = rowa.shape[0]
-    BB = _block_pairs(LA, W, LB)
-    if BB == 0:
-        raise ValueError(f"shape (LA={LA}, W={W}) too large for the kernel")
-    B = ((B0 + BB - 1) // BB) * BB
-    if B != B0:
-        pad = B - B0
-        rowa = jnp.concatenate([rowa, jnp.zeros(pad, rowa.dtype)])
-        rowb = jnp.concatenate([rowb, jnp.zeros(pad, rowb.dtype)])
-        a_len = jnp.concatenate([a_len, jnp.zeros(pad, a_len.dtype)])
-        b_len = jnp.concatenate([b_len, jnp.zeros(pad, b_len.dtype)])
-        band_min = jnp.concatenate([band_min, jnp.zeros(pad, band_min.dtype)])
-    rowa = rowa.astype(jnp.int32)
-    rowb = rowb.astype(jnp.int32)
-    band_min = band_min.astype(jnp.int32)
-    live = jnp.arange(B, dtype=jnp.int32) < n_real
-    a_len = jnp.where(live, a_len.astype(jnp.int32), 0)
-    b_len = jnp.where(live, b_len.astype(jnp.int32), 0)
-
-    LEFTPAD, R, LBP, LAP = _geometry(LA, LB, W)
-    band_ok = (band_min >= -LEFTPAD) & (band_min <= LB)
-    a_len = jnp.where(band_ok, a_len, 0)
-    band_min = jnp.clip(band_min, -LEFTPAD, LB)
-
-    a = jnp.take(mat_a, rowa, axis=0)  # (B, LA), -1 beyond row lengths
-    a_pad = jnp.concatenate(
-        [a, jnp.full((B, LAP - LA), -1, jnp.int32)], axis=1
-    )
-    b = jnp.take(mat_b, rowb, axis=0)
-    # Class matrices fill with -1; b's pad value must be -2 (so a pad
-    # never matches b pad), and dead lanes beyond b_len must be pad.
-    b = jnp.where(
-        jnp.arange(LB, dtype=jnp.int32)[None, :] < b_len[:, None],
-        b,
-        jnp.int32(-2),
-    )
-    b_pad = _band_normalize(b, band_min, LA=LA, LB=LB, W=W)
-
-    return _invoke(
-        a_pad, b_pad, a_len, b_len, band_min, B0, BB,
+    rowa = np.asarray(rowa)
+    rowb = np.asarray(rowb)
+    a_len = np.array(a_len, np.int32)
+    b_len = np.array(b_len, np.int32)
+    band_min = np.asarray(band_min, np.int32)
+    n = int(n_real)
+    a_len[n:] = 0
+    b_len[n:] = 0
+    a = _take_rows(mat_a, jnp.asarray(rowa), jnp.asarray(a_len), fill=-1)
+    b = _take_rows(mat_b, jnp.asarray(rowb), jnp.asarray(b_len), fill=-2)
+    return banded_align_pairs(
+        a, a_len, b, b_len, band_min,
         LA=LA, LB=LB, W=W, match=match, mismatch=mismatch, gap=gap,
         pack_u8=pack_u8,
     )

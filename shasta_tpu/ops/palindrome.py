@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from shasta_tpu.data.markers import MarkerStore
-from shasta_tpu.ops.align import AlignParams, _grouped_run
+from shasta_tpu.ops.align import AlignParams, _CsrStreamingRunner
 
 
 def flag_palindromic_reads(
@@ -129,28 +129,33 @@ def flag_palindromic_reads(
     if candidates.shape[0] == 0:
         return out
 
-    a_rows = []
-    b_rows = []
-    for r in candidates:
-        a_rows.append(kmer_flat[koff[2 * r] : koff[2 * r + 1]])
-        b_rows.append(kmer_flat[koff[2 * r + 1] : koff[2 * r + 2]])
-
+    # Both sides of the self-RC alignment are rows of the oriented-read
+    # marker CSR ((r, 0) vs (r, 1)), so the batches ride the same
+    # device-side take feed as candidate alignment — no per-candidate
+    # Python row lists, and the decode stays batch-flat.
     W = 2 * delta_threshold
     band_mins = np.full(candidates.shape[0], -delta_threshold, dtype=np.int64)
     widths = np.full(candidates.shape[0], W, dtype=np.int64)
     params = AlignParams()
-    results, _metrics = _grouped_run(a_rows, b_rows, band_mins, widths, params)
-
-    for i, r in enumerate(candidates):
-        o0, o1 = results[i]
-        total = a_rows[i].shape[0]
-        if total == 0 or o0.shape[0] == 0:
-            continue
-        aligned_fraction = o0.shape[0] / total
-        if aligned_fraction < aligned_fraction_threshold:
-            continue
-        delta = np.abs(o0.astype(np.int64) - o1.astype(np.int64))
-        near = int((delta < delta_threshold).sum())
-        if near / total >= near_diagonal_fraction_threshold:
-            out[r] = True
+    runner = _CsrStreamingRunner(kmer_flat, koff, counts, params)
+    runner.add_many(
+        2 * candidates, 2 * candidates + 1, band_mins, widths, candidates
+    )
+    runner.flush_all()
+    d = int(delta_threshold)
+    for tags, met, rows, cols, vals in runner.collect_flat():
+        total = counts0[tags].astype(np.int64)
+        mcount = met[:, 0]
+        near = np.bincount(
+            rows,
+            weights=(np.abs(cols - vals) < d).astype(np.float64),
+            minlength=tags.shape[0],
+        ).astype(np.int64)
+        ok = (
+            (total > 0)
+            & (mcount > 0)
+            & (mcount / np.maximum(total, 1) >= aligned_fraction_threshold)
+            & (near / np.maximum(total, 1) >= near_diagonal_fraction_threshold)
+        )
+        out[tags[ok]] = True
     return out
