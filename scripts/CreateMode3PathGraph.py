@@ -16,3 +16,13 @@ paths = M3P.find_jaccard_paths(m3.segment_count, edges)
 out = os.path.join(a.run_dir, "Mode3-JaccardGraph.csv")
 M3P.write_jaccard_edges_csv(out, edges)
 print(f"Jaccard graph: {len(edges)} edges, {len(paths)} paths. Wrote {out}")
+
+# Journey-snippet PathGraph with partition + one detangle iteration
+# (reference: mode3::PathGraph, src/mode3-PathGraph.cpp).
+from shasta_tpu.graph.mode3_pathgraph import create_mode3_path_graph
+
+pg = create_mode3_path_graph(m3, out_dir=a.run_dir)
+print(
+    f"PathGraph: {len(pg.vertices)} vertices, {len(pg.edges)} edges "
+    f"after one detangle iteration (outputs in {a.run_dir})"
+)

@@ -317,6 +317,29 @@ def find_assembly_paths(m3: Mode3Graph) -> List[np.ndarray]:
     return paths
 
 
+def flag_back_segments(m3: Mode3Graph) -> np.ndarray:
+    """Back-segments: exactly one incoming and one outgoing link, both
+    connecting to the same segment (reference: flagBackSegments,
+    src/mode3.cpp:788-827, persisted as Mode3-IsBackSegment). Returns
+    is_back_segment: bool [n_segments]."""
+    n = m3.segment_count
+    in_deg = np.bincount(m3.link_target, minlength=n)
+    out_deg = np.bincount(m3.link_source, minlength=n)
+    # For degree-1 segments, the unique incoming/outgoing link id.
+    only_in = np.full(n, -1, np.int64)
+    only_out = np.full(n, -1, np.int64)
+    only_in[m3.link_target] = np.arange(m3.link_count)
+    only_out[m3.link_source] = np.arange(m3.link_count)
+    cand = (in_deg == 1) & (out_deg == 1)
+    is_back = np.zeros(n, dtype=bool)
+    c = np.flatnonzero(cand)
+    if c.shape[0]:
+        is_back[c] = (
+            m3.link_source[only_in[c]] == m3.link_target[only_out[c]]
+        )
+    return is_back
+
+
 def write_mode3_gfa(path: str, m3: Mode3Graph) -> None:
     """Segments + links as GFA (the reference explorer's mode-3 view)."""
     from shasta_tpu.graph.assembly_graph import _seq_str

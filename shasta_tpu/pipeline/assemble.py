@@ -953,6 +953,8 @@ class Assembler:
         arrays = m3.arrays()
         arrays["cluster_id"] = cluster_id2
         arrays["jaccard_cluster_id"] = cluster_id
+        # reference: flagBackSegments, persisted as Mode3-IsBackSegment
+        arrays["is_back_segment"] = M3.flag_back_segments(m3)
         self.store.save_stage("Mode3", arrays)
         return {
             "mode3SegmentCount": m3.segment_count,
