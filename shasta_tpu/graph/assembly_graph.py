@@ -241,14 +241,19 @@ def assemble_marker_graph_edges(
     ).reshape(n_edges, k + 1)
     best_offset_all = np.argmax(hist, axis=1)
 
-    for e in range(n_edges):
-        if needed is not None and not needed[e]:
-            offsets[e + 1] = offsets[e]
-            continue
-        if is_mode1[e]:
-            overlap[e] = k - int(best_offset_all[e])
-            offsets[e + 1] = offsets[e]
-            continue
+    # Mode-1 edges (the overwhelming majority) resolve without any
+    # per-edge Python; the loop below visits only mode-2/pathological
+    # edges (at genome scale, iterating all edges in Python costs more
+    # than the consensus work itself).
+    needed_mask = (
+        np.ones(n_edges, bool) if needed is None
+        else np.asarray(needed, bool)
+    )
+    fast = needed_mask & is_mode1
+    overlap[fast] = (k - best_offset_all[fast]).astype(np.int32)
+    lengths = np.zeros(n_edges, np.int64)
+    for e in np.flatnonzero(needed_mask & ~is_mode1):
+        e = int(e)
         orids, ord0s, ord1s = mg.edge_intervals(e)
         m = orids.shape[0]
         p0 = pos_flat[moff[orids] + ord0s].astype(np.int64)
@@ -268,11 +273,9 @@ def assemble_marker_graph_edges(
                 seq_rows.append(b.astype(np.uint8))
                 rep_rows.append(r.astype(np.int32))
                 overlap[e] = 0
+                lengths[e] = seq_rows[-1].shape[0]
             else:
                 overlap[e] = int(p0[i] + k - p1[i])
-            offsets[e + 1] = offsets[e] + (
-                seq_rows[-1].shape[0] if p1[i] > p0[i] + k else 0
-            )
             continue
 
         mode1 = offs <= k
@@ -281,7 +284,6 @@ def assemble_marker_graph_edges(
             hist = np.bincount(offs[mode1].astype(np.int64), minlength=k + 1)
             best_offset = int(np.argmax(hist))
             overlap[e] = k - best_offset
-            offsets[e + 1] = offsets[e]
             continue
 
         # Mode 2: MSA of intervening sequences.
@@ -370,8 +372,9 @@ def assemble_marker_graph_edges(
         seq_rows.append(cons_seq_arr)
         rep_rows.append(cons_rep_arr)
         overlap[e] = 0
-        offsets[e + 1] = offsets[e] + cons_seq_arr.shape[0]
+        lengths[e] = cons_seq_arr.shape[0]
 
+    np.cumsum(lengths, out=offsets[1:])
     seq = (
         np.concatenate(seq_rows) if seq_rows else np.zeros(0, np.uint8)
     )

@@ -206,16 +206,16 @@ def create_marker_graph_edges_strict(
     order_k = np.argsort(key, kind="stable")
     sorted_keys = key[order_k]
     rc_edge = np.full(n_edges, -1, np.int64)
-    for e in range(n_edges):
-        lo = np.searchsorted(sorted_keys, rc_key[e], side="left")
-        hi = np.searchsorted(sorted_keys, rc_key[e], side="right")
-        cands = order_k[lo:hi]
-        if cands.shape[0] == 1:
-            rc_edge[e] = cands[0]
-        elif cands.shape[0] > 1:
-            # match by coverage (rc branches have identical coverage)
-            same_cov = cands[e_cov[cands] == e_cov[e]]
-            rc_edge[e] = same_cov[0] if same_cov.shape[0] else cands[0]
+    lo_all = np.searchsorted(sorted_keys, rc_key, side="left")
+    hi_all = np.searchsorted(sorted_keys, rc_key, side="right")
+    single = hi_all - lo_all == 1
+    rc_edge[single] = order_k[lo_all[single]]
+    # Parallel edges (rare): match by coverage (rc branches have
+    # identical coverage).
+    for e in np.flatnonzero(hi_all - lo_all > 1):
+        cands = order_k[lo_all[e] : hi_all[e]]
+        same_cov = cands[e_cov[cands] == e_cov[e]]
+        rc_edge[e] = same_cov[0] if same_cov.shape[0] else cands[0]
 
     mg.source = e_src
     mg.target = e_tgt
