@@ -210,12 +210,46 @@ def create_marker_graph_edges_strict(
     hi_all = np.searchsorted(sorted_keys, rc_key, side="right")
     single = hi_all - lo_all == 1
     rc_edge[single] = order_k[lo_all[single]]
-    # Parallel edges (rare): match by coverage (rc branches have
-    # identical coverage).
-    for e in np.flatnonzero(hi_all - lo_all > 1):
-        cands = order_k[lo_all[e] : hi_all[e]]
-        same_cov = cands[e_cov[cands] == e_cov[e]]
-        rc_edge[e] = same_cov[0] if same_cov.shape[0] else cands[0]
+    # Parallel edges (bubble branches between one rc vertex pair):
+    # coverage can tie — e.g. a balanced diploid bubble — and
+    # coverage-rank matching then breaks the rc involution. Match by
+    # the exact reverse-complemented interval set instead: the rc edge
+    # of e contains precisely the rc'd intervals of e.
+    multi = np.flatnonzero(hi_all - lo_all > 1)
+    if multi.shape[0]:
+        orid2 = orid[order2]
+        o02 = ord0[order2]
+        o12 = ord1[order2]
+        n_mark = np.diff(moff)
+
+        def _ivset(e: int) -> frozenset:
+            lo, hi = interval_offsets[e], interval_offsets[e + 1]
+            return frozenset(
+                zip(
+                    orid2[lo:hi].tolist(),
+                    o02[lo:hi].tolist(),
+                    o12[lo:hi].tolist(),
+                )
+            )
+
+        def _rc_ivset(e: int) -> frozenset:
+            lo, hi = interval_offsets[e], interval_offsets[e + 1]
+            os_ = orid2[lo:hi]
+            n = n_mark[os_]
+            return frozenset(
+                zip(
+                    (os_ ^ 1).tolist(),
+                    (n - 1 - o12[lo:hi]).tolist(),
+                    (n - 1 - o02[lo:hi]).tolist(),
+                )
+            )
+
+        for e in multi:
+            e = int(e)
+            cands = order_k[lo_all[e] : hi_all[e]]
+            want = _rc_ivset(e)
+            match = [int(f) for f in cands if _ivset(int(f)) == want]
+            rc_edge[e] = match[0] if match else int(cands[0])
 
     mg.source = e_src
     mg.target = e_tgt

@@ -72,27 +72,25 @@ def _geometry(LA: int, LB: int, W: int):
     return LEFTPAD, R, LBP, LAP
 
 
-def _per_pair_bytes(LA: int, LB: int, W: int) -> int:
+def _block_bytes(LA: int, LB: int, W: int, BB: int) -> int:
+    """VMEM bytes for one BB-pair block. The int8 dirs scratch
+    (LA, BB, W) is tiled (32, 128) on its last two dims, so BB < 32
+    still allocates 32 sublanes — small blocks do NOT shrink it
+    (observed: scoped-vmem OOM at LA=8192, BB=8 with naive per-pair
+    accounting)."""
     LEFTPAD, R, LBP, LAP = _geometry(LA, LB, W)
-    # dirs scratch + double-buffered bnorm/a in blocks +
-    # double-buffered mj out + win/aw/bestv/bim scratch, per pair.
-    return (
-        LA * W
-        + 8 * LBP
-        + 8 * LAP
-        + 8 * LA
-        + 4 * (2 * W + 2 * R + 2 * W)
+    dirs = LA * max(BB, 32) * ((W + 127) // 128) * 128
+    return dirs + BB * (
+        8 * LBP + 8 * LAP + 8 * LA + 4 * (2 * W + 2 * R + 2 * W)
     )
 
 
 def _block_pairs(LA: int, W: int, LB: int | None = None) -> int:
     if LB is None:
         LB = LA
-    per = _per_pair_bytes(LA, LB, W)
     cap = int(os.environ.get("SHASTA_TPU_BB", "128"))
-    bb = _VMEM_BUDGET // max(1, per)
     for cand in (128, 64, 32, 16, 8):
-        if bb >= cand and cap >= cand:
+        if cap >= cand and _block_bytes(LA, LB, W, cand) <= _VMEM_BUDGET:
             return cand
     return 0
 

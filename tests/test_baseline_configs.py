@@ -1,0 +1,108 @@
+"""End-to-end runs under the five BASELINE.json configurations, with
+their real parameter values (k=14 markers, config LowHash/align/read
+graph settings) on scaled-down synthetic data. These are the configs
+the acceptance bar names (BASELINE.json "configs"); each must complete
+and assemble most of the genome.
+
+The synthetic data is sized to each config's demands: read length
+above Reads.minReadLength, error rate matching the regime (HiFi low,
+Nanopore ~1.5%), coverage ~20x.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests import synth
+from shasta_tpu.pipeline.assemble import run_assembly
+from shasta_tpu.pipeline.config import AssemblyConfig
+from shasta_tpu.pipeline.configurations import get_configuration
+
+
+def _run(name, tmp_path, genome_size, read_len, n_reads, error_rate,
+         genome=None, seed=70):
+    cfg = AssemblyConfig.from_conf_text(get_configuration(name))
+    if genome is None:
+        genome = synth.random_genome(genome_size, seed=seed)
+    reads = synth.sample_reads(
+        genome, n_reads, read_len, seed=seed + 1,
+        error_rate=error_rate, both_strands=True,
+    )
+    fa = os.path.join(tmp_path, "reads.fasta")
+    synth.write_fasta(fa, reads)
+    run_dir = os.path.join(tmp_path, "run")
+    summary = run_assembly([fa], run_dir, cfg)
+    return cfg, run_dir, summary
+
+
+@pytest.mark.slow
+def test_nanopore_may2022(tmp_path):
+    _cfg, run_dir, s = _run(
+        "Nanopore-May2022", tmp_path,
+        genome_size=60000, read_len=12000, n_reads=120, error_rate=0.015,
+    )
+    assert s["totalAssembledSegmentLength"] > 30000, s
+    assert os.path.getsize(os.path.join(run_dir, "Assembly.fasta")) > 0
+
+
+@pytest.mark.slow
+def test_hifi_oct2021(tmp_path):
+    _cfg, run_dir, s = _run(
+        "HiFi-Oct2021", tmp_path,
+        genome_size=60000, read_len=10000, n_reads=130, error_rate=0.001,
+    )
+    assert s["totalAssembledSegmentLength"] > 30000, s
+    assert os.path.getsize(os.path.join(run_dir, "Assembly.fasta")) > 0
+
+
+@pytest.mark.slow
+def test_nanopore_ul_may2022(tmp_path):
+    """Ultra-long regime: reads above the 50 kb cutoff. Coverage must
+    be high enough for a peaked histogram: the auto-minCoverage
+    PeakFinder (faithful to the reference's persistence quirk) picks a
+    noise bump on flat low-coverage histograms — reference behavior,
+    verified against src/PeakFinder.cpp:106."""
+    _cfg, run_dir, s = _run(
+        "Nanopore-UL-May2022", tmp_path,
+        genome_size=60000, read_len=52000, n_reads=30, error_rate=0.015,
+    )
+    assert s["totalAssembledSegmentLength"] > 40000, s
+
+
+@pytest.mark.slow
+def test_nanopore_human_singleflowcell_may2022(tmp_path):
+    _cfg, run_dir, s = _run(
+        "Nanopore-Human-SingleFlowcell-May2022", tmp_path,
+        genome_size=60000, read_len=12000, n_reads=120, error_rate=0.015,
+    )
+    assert s["totalAssembledSegmentLength"] > 30000, s
+
+
+@pytest.mark.slow
+def test_nanopore_phased_may2022(tmp_path):
+    """Phased diploid (mode 2): two haplotypes with heterozygous SNPs;
+    the run must produce the Detailed/Haploid/Phased output family."""
+    rng = np.random.default_rng(77)
+    hap0 = synth.random_genome(50000, seed=78)
+    hap1 = hap0.copy()
+    snp_sites = rng.choice(50000, 50, replace=False)
+    hap1[snp_sites] = (hap1[snp_sites] + rng.integers(1, 4, 50)) % 4
+
+    cfg = AssemblyConfig.from_conf_text(
+        get_configuration("Nanopore-Phased-May2022")
+    )
+    reads = []
+    for hap, seed in ((hap0, 80), (hap1, 81)):
+        reads += synth.sample_reads(
+            hap, 60, 12000, seed=seed, error_rate=0.01, both_strands=True
+        )
+    fa = os.path.join(tmp_path, "reads.fasta")
+    synth.write_fasta(fa, reads)
+    run_dir = os.path.join(tmp_path, "run")
+    s = run_assembly([fa], run_dir, cfg)
+    assert cfg.assembly.mode == 2
+    produced = set(os.listdir(run_dir))
+    assert any(n.startswith("Assembly-Detailed") for n in produced), produced
+    assert any(n.startswith("Assembly-Haploid") for n in produced), produced
+    assert any(n.startswith("Assembly-Phased") for n in produced), produced
