@@ -572,6 +572,12 @@ def _batch_plan(n: int, LA: int, LB: int, W: int, use_pallas: bool, mesh_d: int)
             # cached cost.
             factor = max(1, (4 * 512 * 512 * 128) // max(1, LA * LB * W))
             max_b = min(16384, _MAX_BATCH * factor)
+        from shasta_tpu.ops import align_pallas
+
+        if align_pallas._block_pairs(LA, W, LB) == 0:
+            # Chunked launch: dirs stream through a B*LA*W-byte HBM
+            # intermediate; cap it at ~2 GiB.
+            max_b = max(64, min(max_b, (1 << 31) // max(1, LA * W)))
     else:
         max_b = max(8, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
     max_b -= max_b % 8

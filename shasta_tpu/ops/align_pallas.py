@@ -96,7 +96,9 @@ def _block_pairs(LA: int, W: int, LB: int | None = None) -> int:
 
 
 def supported(LA: int, W: int) -> bool:
-    return _block_pairs(LA, W) >= 1
+    return (
+        _block_pairs(LA, W) >= 1 or _chunked_block_pairs(LA, LA, W) >= 1
+    )
 
 
 def _kernel(
@@ -272,6 +274,315 @@ def _kernel(
     jax.lax.fori_loop(0, LA // 8, tb_rows8, tb_init)
 
 
+_CHUNK_R = 128  # row-chunk of the streamed (chunked) kernel
+
+
+def _chunked_block_pairs(LA: int, LB: int, W: int) -> int:
+    """Pair-block width for the chunked kernel (dirs streamed to HBM
+    per R-row block, so VMEM holds only the full a/bnorm rows and one
+    dirs block). 0 if even that does not fit."""
+    if LA % _CHUNK_R or W > 512:
+        return 0
+    LEFTPAD, R0, LBP, LAP = _geometry(LA, LB, W)
+    cap = int(os.environ.get("SHASTA_TPU_BB", "128"))
+    for BB in (64, 32):
+        if cap < BB:
+            continue
+        dirs_blk = 2 * _CHUNK_R * max(BB, 32) * ((W + 127) // 128) * 128
+        rows = BB * (4 * LBP + 4 * LAP)  # un-double-buffered (per i)
+        small = BB * (4 * (2 * W) + 4 * (2 * _CHUNK_R) + 12 * W + 8 * LA // LA)
+        mj_blk = 2 * _CHUNK_R * BB * 4
+        if dirs_blk + rows + small + mj_blk <= _VMEM_BUDGET:
+            return BB
+    return 0
+
+
+def _fwd_chunked_kernel(
+    a_ref,  # (BB, LAP) int32, block per i
+    bnorm_ref,  # (BB, LBP) int32, block per i
+    a_len_ref,  # (1, BB, 1)
+    b_len_ref,  # (1, BB, 1)
+    band_min_ref,  # (1, BB, 1)
+    dirs_ref,  # (1, R, BB, W) int8 OUT block per (i, g)
+    best_ref,  # (1, BB, 1) int32 OUT
+    bi_ref,  # (1, BB, 1) int32 OUT (best end row)
+    bd_ref,  # (1, BB, 1) int32 OUT (best end lane)
+    prev_ref,  # (BB, W) int32 scratch, persists across g
+    w_ref,  # (BB, 2W) scratch
+    aw_ref,  # (BB, 2R0) scratch
+    bv_ref,  # (BB, W) scratch
+    bim_ref,  # (BB, W) scratch
+    *,
+    LA: int,
+    LB: int,
+    W: int,
+    match: int,
+    mismatch: int,
+    gap: int,
+):
+    """Forward DP only, dirs streamed to HBM one R-row block per grid
+    step. Same row update as the monolithic kernel; the carry (prev
+    row, best accumulators) lives in scratch, which persists across
+    the sequential TPU grid."""
+    BB = a_ref.shape[0]
+    R = _CHUNK_R
+    g = pl.program_id(1)
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (BB, W), 1)
+    dgap = d_idx * jnp.int32(gap)
+    neg = jnp.full((BB, W), NEG_INF, jnp.int32)
+    gap_i = jnp.int32(gap)
+    a_len = a_len_ref[0, :, :]
+    b_len = b_len_ref[0, :, :]
+    band_min = band_min_ref[0, :, :]
+
+    @pl.when(g == 0)
+    def _init():
+        j0 = band_min + d_idx
+        prev_ref[...] = jnp.where(
+            (j0 >= 0) & (j0 <= b_len), 0, NEG_INF
+        ).astype(jnp.int32)
+        bv_ref[...] = neg
+        bim_ref[...] = jnp.zeros((BB, W), jnp.int32)
+
+    # Refill the sliding windows for this row block (128-aligned
+    # slices shared by all pairs; R is a multiple of 128).
+    w_ref[...] = bnorm_ref[:, pl.ds(pl.multiple_of(g * R, 128), 2 * W)]
+    aw_ref[...] = a_ref[:, pl.ds(pl.multiple_of(g * R, 128), 2 * R)]
+
+    def forward_row(r, prev):
+        i = g * R + r + 1
+        win = w_ref[...]
+        bj = win[:, :W]
+        aw = aw_ref[...]
+        av = aw[:, :1]
+        w_ref[...] = jnp.concatenate(
+            [win[:, 1:], jnp.full((BB, 1), -2, jnp.int32)], axis=1
+        )
+        aw_ref[...] = jnp.concatenate(
+            [aw[:, 1:], jnp.full((BB, 1), -1, jnp.int32)], axis=1
+        )
+        m = bj == av
+        sub = jnp.where(m, jnp.int32(match), jnp.int32(mismatch))
+        j = i + band_min + d_idx
+        valid = (j >= 0) & (j <= b_len) & (i <= a_len)
+        at_j0 = j == 0
+
+        prev_up = jnp.concatenate([prev[:, 1:], neg[:, :1]], axis=1)
+        diag_cand = prev + sub
+        up_cand = prev_up + gap_i
+        base = jnp.maximum(diag_cand, up_cand)
+        base = jnp.where(at_j0, jnp.maximum(base, 0), base)
+        run = base - dgap
+        stp = 1
+        while stp < W:
+            shifted = jnp.concatenate([neg[:, :stp], run[:, :-stp]], axis=1)
+            run = jnp.maximum(run, shifted)
+            stp *= 2
+        V = run + dgap
+        V = jnp.where(valid, V, NEG_INF)
+
+        came_left = V > base
+        dirs = jnp.where(
+            came_left,
+            jnp.int32(LEFT),
+            jnp.where(base == diag_cand, jnp.int32(DIAG), jnp.int32(UP)),
+        )
+        dirs = dirs | jnp.where(m, jnp.int32(4), jnp.int32(0))
+        dirs_ref[0, r] = dirs.astype(jnp.int8)
+
+        iscol = (j == b_len) & valid
+        endm = iscol | ((i == a_len) & valid)
+        mv = jnp.where(endm, V, NEG_INF)
+        bv = bv_ref[...]
+        bt = mv > bv
+        bv_ref[...] = jnp.where(bt, mv, bv)
+        bim_new = jnp.where(iscol, 2 * i, 2 * i + 1)
+        bim_ref[...] = jnp.where(bt, bim_new, bim_ref[...])
+        return V
+
+    def rows8(t8, prev):
+        base_r = t8 * 8
+        for t in range(8):
+            prev = forward_row(base_r + t, prev)
+        return prev
+
+    prev_ref[...] = jax.lax.fori_loop(0, R // 8, rows8, prev_ref[...])
+
+    # Best-end selection (cheap; rewritten every block, last wins).
+    bestv = bv_ref[...]
+    bestim = bim_ref[...]
+    maxv = jnp.max(bestv, axis=1, keepdims=True)
+    cand = bestv == maxv
+    mini = jnp.min(jnp.where(cand, bestim, BIG), axis=1, keepdims=True)
+    cand2 = cand & (bestim == mini)
+    best_ref[0, :, :] = maxv
+    bi_ref[0, :, :] = mini >> 1
+    bd_ref[0, :, :] = jnp.min(
+        jnp.where(cand2, d_idx, W), axis=1, keepdims=True
+    )
+
+
+def _tb_chunked_kernel(
+    bi_ref,  # (1, BB, 1) int32
+    bd_ref,  # (1, BB, 1)
+    band_min_ref,  # (1, BB, 1)
+    dirs_ref,  # (1, R, BB, W) int8, blocks in REVERSE g order
+    mj_ref,  # (1, R, BB) int32 OUT, same reverse order
+    entry_ref,  # (BB, 1) int32 scratch (persists across g)
+    jb_ref,  # (BB, 1) int32 scratch
+    *,
+    LA: int,
+    W: int,
+):
+    """Traceback over the streamed dirs blocks, walked in reverse row
+    order (the grid's second axis maps to LA//R - 1 - g)."""
+    BB = bi_ref.shape[1]
+    R = _CHUNK_R
+    g = pl.program_id(1)
+    nG = LA // R
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, (BB, W), 1)
+    d8 = d_idx * 8
+    bi = bi_ref[0, :, :]
+    bd = bd_ref[0, :, :]
+    band_min = band_min_ref[0, :, :]
+
+    @pl.when(g == 0)
+    def _init():
+        entry_ref[...] = jnp.full((BB, 1), -1, jnp.int32)
+        jb_ref[...] = band_min + LA
+
+    def tb_row(t, carry):
+        entry_d, jb = carry
+        r = R - 1 - t  # local row, walked backwards
+        i = (nG - 1 - g) * R + r + 1  # global row
+        entry_d = jnp.where(i == bi, bd, entry_d)
+        row = dirs_ref[0, r].astype(jnp.int32)
+        j_row = jb + d_idx
+        row = jnp.where(j_row == 0, 0, row)
+        is_left = (row & 3) == LEFT
+        elig = (d_idx <= entry_d) & ~is_left
+        key = jnp.where(elig, d8 + row, -1)
+        kmax = jnp.max(key, axis=1, keepdims=True)
+        exit_d = kmax >> 3
+        code = kmax & 7
+        dc = code & 3
+        j_exit = jb + exit_d
+        is_match = (dc == DIAG) & ((code & 4) != 0) & (j_exit > 0)
+        mj_ref[0, pl.ds(r, 1), :] = jnp.where(
+            is_match, j_exit - 1, -1
+        ).reshape(1, BB)
+        entry_d = jnp.where(
+            dc == DIAG, exit_d, jnp.where(dc == UP, exit_d + 1, -1)
+        )
+        entry_d = jnp.where(entry_d >= W, -1, entry_d)
+        return entry_d, jb - 1
+
+    def tb_rows8(t8, carry):
+        base = t8 * 8
+        for t in range(8):
+            carry = tb_row(base + t, carry)
+        return carry
+
+    entry, jb = jax.lax.fori_loop(
+        0, R // 8, tb_rows8, (entry_ref[...], jb_ref[...])
+    )
+    entry_ref[...] = entry
+    jb_ref[...] = jb
+
+
+def _invoke_chunked(
+    a_pad, b_pad, a_len, b_len, band_min, B0, BB,
+    *, LA, LB, W, match, mismatch, gap, pack_u8=False
+):
+    """Two-kernel launch for shapes whose dirs scratch exceeds VMEM:
+    the forward kernel streams dirs to HBM, the traceback kernel walks
+    the blocks back in reverse. Output identical to :func:`_invoke`."""
+    B = a_pad.shape[0]
+    LEFTPAD, R0, LBP, LAP = _geometry(LA, LB, W)
+    R = _CHUNK_R
+    nB, nG = B // BB, LA // R
+    fwd = functools.partial(
+        _fwd_chunked_kernel, LA=LA, LB=LB, W=W, match=match,
+        mismatch=mismatch, gap=gap,
+    )
+    lens3 = lambda x: x.reshape(nB, BB, 1)  # noqa: E731
+    dirs, best, bi, bd = pl.pallas_call(
+        fwd,
+        grid=(nB, nG),
+        in_specs=[
+            pl.BlockSpec((BB, LAP), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, LBP), lambda i, g: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, R, BB, W), lambda i, g: (i * nG + g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, BB, 1), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nB * nG, R, BB, W), jnp.int8),
+            jax.ShapeDtypeStruct((nB, BB, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nB, BB, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nB, BB, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BB, W), jnp.int32),
+            pltpu.VMEM((BB, 2 * W), jnp.int32),
+            pltpu.VMEM((BB, 2 * R0), jnp.int32),
+            pltpu.VMEM((BB, W), jnp.int32),
+            pltpu.VMEM((BB, W), jnp.int32),
+        ],
+    )(
+        a_pad,
+        b_pad,
+        lens3(a_len),
+        lens3(b_len),
+        lens3(band_min),
+    )
+
+    tbk = functools.partial(_tb_chunked_kernel, LA=LA, W=W)
+    mj = pl.pallas_call(
+        tbk,
+        grid=(nB, nG),
+        in_specs=[
+            pl.BlockSpec((1, BB, 1), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB, 1), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, R, BB, W),
+                lambda i, g, nG=nG: (i * nG + (nG - 1 - g), 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, BB),
+            lambda i, g, nG=nG: (i * nG + (nG - 1 - g), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nB * nG, R, BB), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((BB, 1), jnp.int32),
+            pltpu.VMEM((BB, 1), jnp.int32),
+        ],
+    )(bi, bd, lens3(band_min), dirs)
+
+    # (nB*nG, R, BB) -> (LA, B)
+    mj = jnp.transpose(
+        mj.reshape(nB, LA, BB), (1, 0, 2)
+    ).reshape(LA, B)
+    best = best.reshape(B)
+    return _fuse_outputs(
+        mj, best, band_min, B0, LA=LA, LB=LB, W=W, match=match,
+        pack_u8=pack_u8,
+    )
+
+
 def _metrics_from_mj(mj, best, LA):
     """AlignmentInfo metrics from the (LA, B) match matrix, plain XLA.
 
@@ -357,6 +668,9 @@ def banded_align_pairs(
     """
     B0 = a.shape[0]
     BB = _block_pairs(LA, W, LB)
+    chunked = BB == 0
+    if chunked:
+        BB = _chunked_block_pairs(LA, LB, W)
     if BB == 0:
         raise ValueError(f"shape (LA={LA}, W={W}) too large for the kernel")
     # Pad the batch to a block multiple (padded pairs have length 0).
@@ -387,7 +701,8 @@ def banded_align_pairs(
     a_pad = jnp.full((B, LAP), -1, jnp.int32)
     a_pad = jax.lax.dynamic_update_slice(a_pad, a, (0, 0))
 
-    return _invoke(
+    launch = _invoke_chunked if chunked else _invoke
+    return launch(
         a_pad, b_pad, a_len, b_len, band_min, B0, BB,
         LA=LA, LB=LB, W=W, match=match, mismatch=mismatch, gap=gap,
         pack_u8=pack_u8,
@@ -485,7 +800,16 @@ def _invoke(
     )
     mj, best = out
     mj = jnp.transpose(mj, (1, 0, 2)).reshape(LA, B)
-    metrics = _metrics_from_mj(mj, best.reshape(B), LA)
+    return _fuse_outputs(
+        mj, best.reshape(B), band_min, B0, LA=LA, LB=LB, W=W, match=match,
+        pack_u8=pack_u8,
+    )
+
+
+def _fuse_outputs(mj, best, band_min, B0, *, LA, LB, W, match, pack_u8):
+    """Metrics + transfer packing shared by the monolithic and chunked
+    launch paths."""
+    metrics = _metrics_from_mj(mj, best, LA)
     int16_ok = (
         LA <= 2048 and LB <= 2048 and W <= 2048 and LA * match <= 32000
         and os.environ.get("SHASTA_TPU_INT16", "1") != "0"
