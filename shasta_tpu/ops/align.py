@@ -455,6 +455,66 @@ def _bucket_vec(n: np.ndarray, buckets) -> np.ndarray:
     return out
 
 
+def _dot_diag_band(ids_a, ids_b, flat, off, lens):
+    """Per-pair diagonal range of exact k-mer matches ("dots") between
+    two CSR rows, vectorized across pairs.
+
+    Any DP matched pair is an exact k-mer match, and between two dots
+    an optimal linear-gap path has an equal-scoring reordering whose
+    intermediate diagonals stay inside the dots' diagonal range, so a
+    band covering [dmin-1, dmax+1] preserves the optimal score of the
+    unbanded alignment. Returns (dmin, dmax, has_dots); diagonals are
+    j - i (b ordinal minus a ordinal)."""
+    n = ids_a.shape[0]
+    la = lens[ids_a].astype(np.int64)
+    lb = lens[ids_b].astype(np.int64)
+
+    def _per_key(ids, counts):
+        # (pair, kmer) -> (min_ordinal, max_ordinal), sorted by key.
+        pair_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        starts = off[ids].astype(np.int64)
+        iota = np.arange(pair_of.shape[0], dtype=np.int64)
+        cum = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=cum[1:])
+        ordi = iota - cum[pair_of]
+        pos = np.repeat(starts - cum[:-1], counts) + iota
+        km = flat[pos].astype(np.int64)
+        order = np.lexsort((km, pair_of))
+        p_s, k_s, o_s = pair_of[order], km[order], ordi[order]
+        new = np.empty(order.shape[0], bool)
+        if order.shape[0]:
+            new[0] = True
+            new[1:] = (p_s[1:] != p_s[:-1]) | (k_s[1:] != k_s[:-1])
+        grp = np.flatnonzero(new)
+        gmin = np.minimum.reduceat(o_s, grp) if grp.shape[0] else o_s[:0]
+        gmax = np.maximum.reduceat(o_s, grp) if grp.shape[0] else o_s[:0]
+        return p_s[grp], k_s[grp], gmin, gmax
+
+    pa, ka, amin, amax = _per_key(ids_a, la)
+    pb, kb, bmin_o, bmax_o = _per_key(ids_b, lb)
+    # Merge-join the two sorted (pair, kmer) streams.
+    # Pack into a single sortable key (kmer < 4^16 fits; pair small).
+    KM = max(int(ka.max(initial=0)), int(kb.max(initial=0))) + 1
+    keya = pa * KM + ka
+    keyb = pb * KM + kb
+    ia = np.searchsorted(keyb, keya)
+    ia = np.minimum(ia, keyb.shape[0] - 1) if keyb.shape[0] else ia
+    shared = keyb.shape[0] > 0
+    dmin = np.full(n, np.iinfo(np.int64).max, np.int64)
+    dmax = np.full(n, np.iinfo(np.int64).min, np.int64)
+    if shared and keya.shape[0]:
+        hit = keyb[ia] == keya
+        ha = np.flatnonzero(hit)
+        hb = ia[ha]
+        p = pa[ha]
+        lo = bmin_o[hb] - amax[ha]  # min diagonal for this kmer
+        hi = bmax_o[hb] - amin[ha]  # max diagonal
+        np.minimum.at(dmin, p, lo)
+        np.maximum.at(dmax, p, hi)
+    has = dmax >= dmin
+    return dmin, dmax, has
+
+
 class _ProfTimer:
     """Env-gated stage timer for align_candidates: set SHASTA_TPU_PROF=1
     to print per-stage wall times to stderr. No-op (and near-zero cost)
@@ -1237,6 +1297,32 @@ def align_candidates(
         # AssemblerAlign3.cpp:96-130).
         widths_ds = la_ds[run_idx] + lb_ds[run_idx] + 1
         bmins_ds = -la_ds[run_idx]
+        # Ultra-long pairs whose full width exceeds the widest kernel
+        # band get a band seeded from the exact-match diagonal range
+        # instead (score-preserving — every DP match is an exact k-mer
+        # match, and co-optimal paths reorder to stay inside the dot
+        # range; deviation: tie-broken matched pairs may differ from
+        # the unbanded path, absorbed by bandExtend downstream).
+        # Pairs without any shared k-mer cannot align at all and are
+        # dropped here, like an empty unbanded alignment would be.
+        wide = widths_ds > _W_BUCKETS[-1]
+        if wide.any():
+            wsel = np.flatnonzero(wide)
+            dmin, dmax, has = _dot_diag_band(
+                or0[run_idx[wsel]], or1[run_idx[wsel]],
+                ds_kmer_flat, ds_off, ds_len,
+            )
+            w2 = dmax - dmin + 3
+            use = has & (w2 <= _W_BUCKETS[-1])
+            bmins_ds[wsel[use]] = dmin[use] - 1
+            widths_ds[wsel[use]] = w2[use]
+            drop = wsel[~has]
+            if drop.shape[0]:
+                keep_mask = np.ones(run_idx.shape[0], bool)
+                keep_mask[drop] = False
+                run_idx = run_idx[keep_mask]
+                widths_ds = widths_ds[keep_mask]
+                bmins_ds = bmins_ds[keep_mask]
         key_mat = np.stack(
             [
                 _bucket_vec(la_ds[run_idx], _LEN_BUCKETS),

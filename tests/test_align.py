@@ -190,3 +190,123 @@ def test_bucket_extends_beyond_table():
     assert _bucket(200000, _LEN_BUCKETS) == 262144
     assert _bucket(2049, _W_BUCKETS) == 4096
     assert _bucket(6500, _W_BUCKETS) == 8192
+
+
+def test_dot_diag_band_matches_bruteforce():
+    """_dot_diag_band's per-pair diagonal range equals the brute-force
+    min/max over exact k-mer match positions."""
+    from shasta_tpu.ops.align import _dot_diag_band
+
+    rng = np.random.default_rng(3)
+    rows = [rng.integers(0, 12, rng.integers(5, 40)).astype(np.int32)
+            for _ in range(12)]
+    lens = np.array([r.shape[0] for r in rows], np.int64)
+    off = np.zeros(lens.shape[0] + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    flat = np.concatenate(rows).astype(np.int32)
+    ids_a = np.array([0, 2, 4, 6, 8], np.int64)
+    ids_b = np.array([1, 3, 5, 7, 9], np.int64)
+    dmin, dmax, has = _dot_diag_band(ids_a, ids_b, flat, off, lens)
+    for t, (ia, ib) in enumerate(zip(ids_a, ids_b)):
+        a, b = rows[ia], rows[ib]
+        diags = [j - i for i in range(len(a)) for j in range(len(b))
+                 if a[i] == b[j]]
+        if diags:
+            assert has[t]
+            assert dmin[t] == min(diags) and dmax[t] == max(diags), t
+        else:
+            assert not has[t]
+
+
+def test_dot_band_preserves_unbanded_score():
+    """A band covering the exact-match diagonal range (+-1) preserves
+    the unbanded optimal score (the property the UL phase-1 banding
+    relies on)."""
+    import jax.numpy as jnp
+
+    from shasta_tpu.ops.align import _banded_forward, _dot_diag_band
+
+    rng = np.random.default_rng(8)
+    for trial in range(6):
+        la = int(rng.integers(40, 120))
+        lb = int(rng.integers(40, 120))
+        g = rng.integers(0, 25, 300).astype(np.int32)
+        a = g[:la].copy()
+        sb = int(rng.integers(0, 40))
+        b = g[sb:sb + lb].copy()
+        nz = rng.random(lb) < 0.2
+        b[nz] = rng.integers(0, 25, int(nz.sum()))
+
+        def score(bmin, W):
+            aa = np.full((1, 128), -1, np.int32); aa[0, :la] = a
+            bb = np.full((1, 128), -2, np.int32); bb[0, :lb] = b
+            _d, _bi, _bd, bv = _banded_forward(
+                jnp.asarray(aa), jnp.asarray(np.array([la], np.int32)),
+                jnp.asarray(bb), jnp.asarray(np.array([lb], np.int32)),
+                jnp.asarray(np.array([bmin], np.int32)), W, 6, -1, -1,
+            )
+            return int(np.asarray(bv)[0])
+
+        full = score(-la, 256)  # full-width band
+        lens = np.array([la, lb], np.int64)
+        off = np.array([0, la, la + lb], np.int64)
+        flat = np.concatenate([a, b]).astype(np.int32)
+        dmin, dmax, has = _dot_diag_band(
+            np.array([0]), np.array([1]), flat, off, lens
+        )
+        if not has[0]:
+            continue
+        W2 = int(dmax[0] - dmin[0] + 3)
+        W2 = max(128, ((W2 + 127) // 128) * 128)
+        banded = score(int(dmin[0]) - 1, W2)
+        assert banded == full, (trial, banded, full)
+
+
+@pytest.mark.slow
+def test_ul_wide_phase1_uses_dot_band():
+    """Reads long enough that the downsampled phase-1 width exceeds the
+    widest kernel band (>100 kb at k=14) route through the exact-match
+    dot band and still produce the expected overlap alignments."""
+    from tests import synth
+    from shasta_tpu.data import bases as B
+    from shasta_tpu.io.fasta import parse_fasta_bytes
+    from shasta_tpu.data.reads import build_read_store
+    from shasta_tpu.data.kmers import select_kmers_random
+    from shasta_tpu.data.markers import find_markers
+    from shasta_tpu.ops import lowhash as LH
+    from shasta_tpu.ops.align import AlignParams, align_candidates, _W_BUCKETS
+
+    genome = synth.random_genome(250000, seed=90)
+    reads = synth.sample_reads(
+        genome, 8, 150000, seed=91, error_rate=0.01, both_strands=True
+    )
+    fasta = b"".join(
+        b">r%d\n%s\n" % (i, B.decode_to_str(r).encode())
+        for i, r in enumerate(reads)
+    )
+    store = build_read_store(parse_fasta_bytes(fasta), min_read_length=50000)
+    kt = select_kmers_random(14, 0.1, seed=231)
+    markers = find_markers(store, kt)
+    # The downsampled full width must exceed the widest kernel band so
+    # the dot-band path actually runs.
+    counts = np.diff(markers.offsets)
+    assert int(counts.max()) * 0.1 * 2 > _W_BUCKETS[-1]
+    cand = LH.find_candidates_lowhash(
+        markers,
+        LH.LowHashParams(
+            m=4, hash_fraction=0.02, iteration_count=8, min_frequency=2,
+            max_bucket_size=60,
+        ),
+    )
+    assert cand.count > 0
+    params = AlignParams(
+        min_aligned_marker_count=100, max_skip=80, max_drift=60, max_trim=80
+    )
+    al = align_candidates(
+        markers, cand.read_id0, cand.read_id1, cand.same_strand, params,
+        kt.downsampling_hash_table(),
+    )
+    # Overlapping 150 kb reads on a 250 kb genome: most candidates are
+    # genuine overlaps and must survive alignment.
+    assert al.count > 0
+    assert (al.marker_count >= 100).all()
