@@ -2,12 +2,12 @@
 errors, full pipeline wall-clock on one chip.
 
 Reference measurements (2026-08, v5e single chip via tunnel, warm
-compile cache, healthy relay): ~104 s end to end after the
-palindrome pre-filter, pipelined alignment dispatch, fused fetches,
-and native POA consensus landed (hot stages: alignments ~37 s,
-palindrome ~18 s, edge consensus ~10 s). Output: 22 segments,
-N50 66 kb over the 1 Mb genome. The same script scaled 5x
-(5 Mb / 12.5k reads) runs in ~640 s.
+compile cache, healthy relay): ~41 s end to end after the take-feed
+batch construction, chunked wide-band kernel, and CSR-runner
+palindrome landed (hot stages: alignments ~9 s, edge consensus ~9 s,
+addReads ~4-8 s; round-1 numbers were ~104 s with alignments ~37 s
+and palindrome ~18 s). Output: 22 segments, N50 66 kb over the 1 Mb
+genome.
 """
 import sys, time, json, tempfile, os
 sys.path.insert(0, __file__.rsplit("/", 2)[0])

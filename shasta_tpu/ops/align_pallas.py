@@ -290,7 +290,7 @@ def _chunked_block_pairs(LA: int, LB: int, W: int) -> int:
             continue
         dirs_blk = 2 * _CHUNK_R * max(BB, 32) * ((W + 127) // 128) * 128
         rows = BB * (4 * LBP + 4 * LAP)  # un-double-buffered (per i)
-        small = BB * (4 * (2 * W) + 4 * (2 * _CHUNK_R) + 12 * W + 8 * LA // LA)
+        small = BB * (4 * (W + 128) + 4 * (2 * _CHUNK_R) + 12 * W)
         mj_blk = 2 * _CHUNK_R * BB * 4
         if dirs_blk + rows + small + mj_blk <= _VMEM_BUDGET:
             return BB
@@ -345,8 +345,11 @@ def _fwd_chunked_kernel(
         bim_ref[...] = jnp.zeros((BB, W), jnp.int32)
 
     # Refill the sliding windows for this row block (128-aligned
-    # slices shared by all pairs; R is a multiple of 128).
-    w_ref[...] = bnorm_ref[:, pl.ds(pl.multiple_of(g * R, 128), 2 * W)]
+    # slices shared by all pairs; R is a multiple of 128). The b
+    # window covers W + R lanes — the rows of one block drift at most
+    # R lanes — which always fits the monolithic LBP geometry even
+    # when W exceeds min(W, LA).
+    w_ref[...] = bnorm_ref[:, pl.ds(pl.multiple_of(g * R, 128), W + R)]
     aw_ref[...] = a_ref[:, pl.ds(pl.multiple_of(g * R, 128), 2 * R)]
 
     def forward_row(r, prev):
@@ -533,8 +536,8 @@ def _invoke_chunked(
         ],
         scratch_shapes=[
             pltpu.VMEM((BB, W), jnp.int32),
-            pltpu.VMEM((BB, 2 * W), jnp.int32),
-            pltpu.VMEM((BB, 2 * R0), jnp.int32),
+            pltpu.VMEM((BB, W + _CHUNK_R), jnp.int32),
+            pltpu.VMEM((BB, 2 * _CHUNK_R), jnp.int32),
             pltpu.VMEM((BB, W), jnp.int32),
             pltpu.VMEM((BB, W), jnp.int32),
         ],

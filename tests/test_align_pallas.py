@@ -247,6 +247,44 @@ def test_chunked_kernel_matches_monolithic():
     assert np.array_equal(rm, gm) and np.array_equal(rp, gp)
 
 
+def test_chunked_kernel_wide_band():
+    """Chunked path at W > 128 (phase-1 shapes route here when the
+    monolithic dirs scratch exceeds VMEM): window refills must stay
+    inside the b block (regression: refill geometry assumed
+    min(W, LA))."""
+    import jax.numpy as jnp
+
+    LA = LB = 512
+    W = 512
+    B = 64
+    rng = np.random.default_rng(6)
+    a = np.full((B, LA), -1, np.int32)
+    b = np.full((B, LB), -2, np.int32)
+    a_len = np.zeros(B, np.int32)
+    b_len = np.zeros(B, np.int32)
+    bm = np.full(B, -W // 2, np.int32)
+    for t in range(B):
+        g = rng.integers(0, 50, LB + 300).astype(np.int32)
+        la = int(rng.integers(20, LA))
+        lb = int(rng.integers(20, LB))
+        sb = int(rng.integers(0, 200))
+        a[t, :la] = g[:la]
+        b[t, :lb] = g[sb : sb + lb]
+        a_len[t], b_len[t] = la, lb
+    kw = dict(LA=LA, LB=LB, W=W, match=6, mismatch=-1, gap=-1)
+    LEFTPAD, R, LBP, LAP = AP._geometry(LA, LB, W)
+    band_min = np.clip(bm, -LEFTPAD, LB).astype(np.int32)
+    b_pad = AP._band_normalize(jnp.asarray(b), jnp.asarray(band_min), LA=LA, LB=LB, W=W)
+    a_pad = jnp.concatenate(
+        [jnp.asarray(a), jnp.full((B, LAP - LA), -1, jnp.int32)], axis=1
+    )
+    args = (a_pad, b_pad, jnp.asarray(a_len), jnp.asarray(b_len),
+            jnp.asarray(band_min), B)
+    ref = np.asarray(AP._invoke(*args, 16, **kw))
+    got = np.asarray(AP._invoke_chunked(*args, 32, **kw))
+    assert np.array_equal(ref, got)
+
+
 def test_chunked_selected_for_oversized_shapes():
     """LA >= 4096 at W = 128 exceeds the monolithic dirs scratch but
     must remain kernel-supported via the chunked path."""
