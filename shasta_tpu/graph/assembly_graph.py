@@ -56,6 +56,33 @@ def oriented_base_repeat(reads: ReadStore, orid: int, positions: np.ndarray):
     return b, reads.repeat_counts[idx]
 
 
+def batch_fill_sequences(
+    reads: ReadStore,
+    orids: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+):
+    """RLE (bases, repeats) for position ranges [start, end) of many
+    oriented reads at once, as one flat CSR (offsets int64 [n+1]).
+    One vectorized pass replaces per-interval oriented_base_repeat
+    calls, which dominate edge-consensus wall time at genome scale."""
+    lens = np.maximum(ends - starts, 0).astype(np.int64)
+    off = np.zeros(lens.shape[0] + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    n = int(off[-1])
+    iv_of = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+    t = np.arange(n, dtype=np.int64) - np.repeat(off[:-1], lens)
+    pos = starts.astype(np.int64)[iv_of] + t
+    rid = (orids >> 1).astype(np.int64)
+    rev = (orids & 1).astype(bool)
+    lo = reads.offsets[rid]
+    hi = reads.offsets[rid + 1]
+    idx = np.where(rev[iv_of], hi[iv_of] - 1 - pos, lo[iv_of] + pos)
+    b = reads.rle_bases[idx]
+    b = np.where(rev[iv_of], 3 - b, b).astype(np.uint8)
+    return b, reads.repeat_counts[idx], off
+
+
 def unpack_kmer(kmer_id: int, k: int) -> np.ndarray:
     """MSB-first packed k-mer id -> base codes."""
     out = np.empty(k, dtype=np.uint8)
@@ -252,15 +279,40 @@ def assemble_marker_graph_edges(
     fast = needed_mask & is_mode1
     overlap[fast] = (k - best_offset_all[fast]).astype(np.int32)
     lengths = np.zeros(n_edges, np.int64)
-    for e in np.flatnonzero(needed_mask & ~is_mode1):
+    slow_edges = np.flatnonzero(needed_mask & ~is_mode1)
+
+    # One vectorized pass extracts every slow-edge interval's fill
+    # sequence (positions [p0+k, p1)); the loop then only slices.
+    slow_edge_mask = np.zeros(n_edges, bool)
+    slow_edge_mask[slow_edges] = True
+    iv_sel = np.flatnonzero(slow_edge_mask[edge_of_iv])
+    fill_b, fill_r, fill_off = batch_fill_sequences(
+        reads,
+        mg.interval_orid[iv_sel],
+        iv_p0[iv_sel] + k,
+        iv_p1[iv_sel],
+    )
+    fill_of_iv = np.full(n_iv, -1, np.int64)
+    fill_of_iv[iv_sel] = np.arange(iv_sel.shape[0])
+
+    for e in slow_edges:
         e = int(e)
-        orids, ord0s, ord1s = mg.edge_intervals(e)
+        rows = np.arange(
+            mg.interval_offsets[e], mg.interval_offsets[e + 1],
+            dtype=np.int64,
+        )
+        orids = mg.interval_orid[rows]
         m = orids.shape[0]
-        p0 = pos_flat[moff[orids] + ord0s].astype(np.int64)
-        p1 = pos_flat[moff[orids] + ord1s].astype(np.int64)
-        offs = p1 - p0
-        skips = (ord1s - ord0s).astype(np.int64)
+        p0 = iv_p0[rows]
+        p1 = iv_p1[rows]
+        offs = iv_off[rows]
+        skips = iv_skip[rows]
         rle_span = offs
+
+        def _fill(row):
+            j = fill_of_iv[row]
+            lo, hi = fill_off[j], fill_off[j + 1]
+            return fill_b[lo:hi], fill_r[lo:hi]
 
         if (skips > length_threshold_markers).any() or (
             rle_span > length_threshold_bases
@@ -268,12 +320,11 @@ def assemble_marker_graph_edges(
             # Pathological: shortest interval literally.
             i = int(np.argmin(skips))
             if p1[i] > p0[i] + k:
-                positions = np.arange(p0[i] + k, p1[i], dtype=np.int64)
-                b, r = oriented_base_repeat(reads, int(orids[i]), positions)
-                seq_rows.append(b.astype(np.uint8))
+                b, r = _fill(rows[i])
+                seq_rows.append(b)
                 rep_rows.append(r.astype(np.int32))
                 overlap[e] = 0
-                lengths[e] = seq_rows[-1].shape[0]
+                lengths[e] = b.shape[0]
             else:
                 overlap[e] = int(p0[i] + k - p1[i])
             continue
@@ -291,8 +342,7 @@ def assemble_marker_graph_edges(
         seqs: List[np.ndarray] = []
         reps: List[np.ndarray] = []
         for i in used:
-            positions = np.arange(p0[i] + k, p1[i], dtype=np.int64)
-            b, r = oriented_base_repeat(reads, int(orids[i]), positions)
+            b, r = _fill(rows[i])
             seqs.append(b)
             reps.append(r)
 
@@ -321,35 +371,35 @@ def assemble_marker_graph_edges(
         # histogram reductions (Modal/Median) or the caller loop only
         # for the Bayesian model.
         n_used = len(seqs)
-        base_m = np.empty((n_used, width), np.uint8)
-        rep_m = np.zeros((n_used, width), np.int32)
         row_of_t = np.empty(n_used, np.int64)
         for row_i, occ in enumerate(occ_sorted):
             for t in occ:
                 row_of_t[t] = row_i
+        rows_mat = np.stack(rows)  # (n_distinct, width)
+        nz_pos = [np.flatnonzero(r != GAP) for r in rows_mat]
+        base_m = rows_mat[row_of_t]
+        rep_m = np.zeros((n_used, width), np.int32)
         for t in range(n_used):
-            arow = rows[int(row_of_t[t])]
-            base_m[t] = arow
-            nz = arow != GAP
-            rep_m[t, nz] = reps[t][: int(nz.sum())]
+            rep_m[t, nz_pos[int(row_of_t[t])]] = reps[t]
 
         caller_name = getattr(caller, "name", "")
         if caller_name in ("Modal", "Median") and width:
-            # Base histogram (5, width).
-            bh = np.zeros((5, width), np.int32)
-            cols_idx = np.tile(np.arange(width), n_used)
-            np.add.at(bh, (base_m.ravel(), cols_idx), 1)
+            # Base histogram (5, width) via bincount (add.at is slow).
+            cols_idx = np.tile(np.arange(width, dtype=np.int64), n_used)
+            bh = np.bincount(
+                base_m.ravel().astype(np.int64) * width + cols_idx,
+                minlength=5 * width,
+            ).reshape(5, width)
             cons_base = np.argmax(bh, axis=0).astype(np.uint8)
             keep_cols = cons_base != GAP
             # Repeat consensus among entries matching the consensus base.
             match = base_m == cons_base[None, :]
             max_rep = int(rep_m.max()) + 1 if rep_m.size else 1
-            rh = np.zeros((max_rep, width), np.int32)
-            np.add.at(
-                rh,
-                (np.where(match, rep_m, 0).ravel(), cols_idx),
-                match.ravel().astype(np.int32),
-            )
+            midx = np.flatnonzero(match.ravel())
+            rh = np.bincount(
+                rep_m.ravel().astype(np.int64)[midx] * width + cols_idx[midx],
+                minlength=max_rep * width,
+            ).reshape(max_rep, width)
             if caller_name == "Modal":
                 cons_rep_all = np.argmax(rh, axis=0)
             else:  # Median (upper)
