@@ -13,9 +13,74 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <thread>
 #include <vector>
 
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// MurmurHash64A over rows of m little-endian uint32 words (the LowHash
+// feature hash, reference: src/MurmurHash2.cpp MurmurHash64A). One
+// memory pass, threaded — the numpy equivalent makes ~12 full-array
+// passes per iteration and dominates LowHash wall time on the host.
+// Bit-identical to shasta_tpu.ops.hashing.murmur64_features.
+// ---------------------------------------------------------------------------
+
+static inline uint64_t murmur64_row(
+    const uint32_t* w, int64_t m, uint64_t seed)
+{
+    const uint64_t M = 0xc6a4a7935bd1e995ULL;
+    const int r = 47;
+    uint64_t h = seed ^ ((uint64_t)(4 * m) * M);
+    int64_t i = 0;
+    for (; i + 1 < m; i += 2) {
+        uint64_t k = (uint64_t)w[i] | ((uint64_t)w[i + 1] << 32);
+        k *= M;
+        k ^= k >> r;
+        k *= M;
+        h ^= k;
+        h *= M;
+    }
+    if (m & 1) {
+        h ^= (uint64_t)w[m - 1];
+        h *= M;
+    }
+    h ^= h >> r;
+    h *= M;
+    h ^= h >> r;
+    return h;
+}
+
+void murmur64_features(
+    const uint32_t* feats,  // n x m row-major
+    int64_t n,
+    int64_t m,
+    uint64_t seed,
+    uint64_t* out)
+{
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 8) n_threads = 8;
+    if (n < 1 << 16) n_threads = 1;
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++) {
+            out[i] = murmur64_row(feats + i * m, m, seed);
+        }
+    };
+    if (n_threads == 1) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+        int64_t lo = t * chunk;
+        int64_t hi = lo + chunk < n ? lo + chunk : n;
+        if (lo >= hi) break;
+        threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
 
 // ---------------------------------------------------------------------------
 // FASTA parsing: two-call protocol (measure, then fill).

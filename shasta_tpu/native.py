@@ -55,7 +55,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 os.makedirs(os.path.dirname(_SO), exist_ok=True)
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-std=c++17", *_SRCS, "-o", _SO],
+                     "-std=c++17", "-pthread", *_SRCS, "-o", _SO],
                     check=True,
                     capture_output=True,
                 )
@@ -68,6 +68,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def murmur64_features_native(features, seed: int):
+    """Threaded one-pass MurmurHash64A over (n, m) uint32 rows, or
+    None when the native library is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    feats = np.ascontiguousarray(features, dtype=np.uint32)
+    n, m = feats.shape
+    out = np.empty(n, np.uint64)
+    lib.murmur64_features(
+        feats.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(n),
+        ctypes.c_int64(m),
+        ctypes.c_uint64(np.uint64(seed)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,15 @@ def murmur64_features(features: np.ndarray, seed: int) -> np.ndarray:
     """
     features = np.ascontiguousarray(features, dtype=np.uint32)
     n, m = features.shape
+    if n >= 1 << 15:
+        # The native one-pass threaded implementation (bit-identical;
+        # tests assert equality) — the numpy chain below makes ~12
+        # full-array passes and dominates LowHash wall time.
+        from shasta_tpu import native
+
+        out = native.murmur64_features_native(features, seed)
+        if out is not None:
+            return out
     length = np.uint64(4 * m)
     with np.errstate(over="ignore"):
         h = np.full(n, np.uint64(seed) ^ (length * _M64), dtype=np.uint64)

@@ -124,3 +124,25 @@ def test_near_strand_jump_matches_python():
             if _shortest_path_exists(g, 2 * r, 2 * r + 1, d):
                 want[2 * r] = want[2 * r + 1] = True
         assert np.array_equal(got, want), d
+
+
+def test_murmur64_native_matches_numpy():
+    """The native threaded MurmurHash64A is bit-identical to the numpy
+    reference (which is tested against published vectors)."""
+    from shasta_tpu import native
+    from shasta_tpu.ops import hashing
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(4)
+    for m in (1, 2, 3, 4, 7):
+        feats = rng.integers(0, 2**32, (50_000, m), dtype=np.uint32)
+        want = hashing.murmur64_features(feats[:100], 0xABCDEF)
+        got = native.murmur64_features_native(feats[:100], 0xABCDEF)
+        assert np.array_equal(want, got)
+        # Large-n path (the threaded branch inside murmur64_features).
+        via_dispatch = hashing.murmur64_features(feats, 7)
+        direct = native.murmur64_features_native(feats, 7)
+        assert np.array_equal(via_dispatch, direct)
