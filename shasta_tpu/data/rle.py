@@ -52,6 +52,14 @@ def rle_encode_flat(
             np.zeros(0, np.int32),
             np.zeros(n_seq + 1, np.int64),
         )
+    if n >= 1 << 20:
+        # Native single-pass encoder (equality-tested in test_native).
+        from shasta_tpu import native
+
+        out = native.rle_encode_native(codes, offsets)
+        if out is not None:
+            rle, counts, rle_offsets = out
+            return rle, counts.astype(np.int32), rle_offsets
     change = np.empty(n, dtype=bool)
     change[0] = True
     np.not_equal(codes[1:], codes[:-1], out=change[1:])
