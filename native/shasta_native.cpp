@@ -450,4 +450,118 @@ int near_strand_jump(
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Marker scan (reference: src/MarkerFinder.cpp — a threaded scan of
+// all reads emitting (kmerId, position) per marker, both strands).
+// One fused pass per read: the k-mer and its reverse complement roll
+// incrementally, the 4^k marker table is probed once per position,
+// and both strands' slots fill directly. The numpy equivalent makes
+// 10+k full-array passes. Two-call protocol: count, then fill with
+// caller-computed CSR offsets. Semantics match data/markers.py
+// find_markers bit for bit (tests assert equality).
+// ---------------------------------------------------------------------------
+
+void markers_count(
+    const uint8_t* flat,
+    const int64_t* offsets,
+    int64_t n_reads,
+    int32_t k,
+    const uint8_t* is_marker,
+    int64_t* per_read)  // out [n_reads]
+{
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 8) n_threads = 8;
+    const uint32_t kmask =
+        (k >= 16) ? 0xFFFFFFFFu : ((1u << (2 * k)) - 1u);
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t r = lo; r < hi; r++) {
+            const int64_t b = offsets[r], e = offsets[r + 1];
+            int64_t count = 0;
+            if (e - b >= k) {
+                uint32_t kv = 0;
+                for (int64_t p = b; p < b + k - 1; p++) {
+                    kv = (kv << 2) | flat[p];
+                }
+                for (int64_t p = b + k - 1; p < e; p++) {
+                    kv = ((kv << 2) | flat[p]) & kmask;
+                    count += is_marker[kv];
+                }
+            }
+            per_read[r] = count;
+        }
+    };
+    if (n_threads == 1 || n_reads < 64) {
+        work(0, n_reads);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n_reads + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+        int64_t lo = t * chunk, hi = lo + chunk < n_reads ? lo + chunk : n_reads;
+        if (lo >= hi) break;
+        threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
+void markers_fill(
+    const uint8_t* flat,
+    const int64_t* offsets,
+    int64_t n_reads,
+    int32_t k,
+    const uint8_t* is_marker,
+    const int64_t* moff,  // [2*n_reads + 1] oriented CSR offsets
+    uint32_t* kmer_ids,   // out, flat
+    uint32_t* positions)  // out, flat
+{
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 8) n_threads = 8;
+    const uint32_t kmask =
+        (k >= 16) ? 0xFFFFFFFFu : ((1u << (2 * k)) - 1u);
+    const int rc_shift = 2 * (k - 1);
+    auto work = [&](int64_t lo_r, int64_t hi_r) {
+        for (int64_t r = lo_r; r < hi_r; r++) {
+            const int64_t b = offsets[r], e = offsets[r + 1];
+            const int64_t len = e - b;
+            const int64_t s0 = moff[2 * r];
+            const int64_t s1 = moff[2 * r + 1];
+            const int64_t count = s1 - s0;
+            if (len < k) continue;
+            uint32_t kv = 0, rc = 0;
+            for (int64_t p = b; p < b + k - 1; p++) {
+                kv = (kv << 2) | flat[p];
+                rc = (rc >> 2) | ((uint32_t)(3 - flat[p]) << rc_shift);
+            }
+            int64_t rank = 0;
+            for (int64_t p = b + k - 1; p < e; p++) {
+                kv = ((kv << 2) | flat[p]) & kmask;
+                rc = (rc >> 2) | ((uint32_t)(3 - flat[p]) << rc_shift);
+                if (is_marker[kv]) {
+                    const uint32_t pos = (uint32_t)(p - b - (k - 1));
+                    kmer_ids[s0 + rank] = kv;
+                    positions[s0 + rank] = pos;
+                    const int64_t j = s1 + (count - 1 - rank);
+                    kmer_ids[j] = rc;
+                    positions[j] = (uint32_t)(len - k - pos);
+                    rank++;
+                }
+            }
+        }
+    };
+    if (n_threads == 1 || n_reads < 64) {
+        work(0, n_reads);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n_reads + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+        int64_t lo = t * chunk, hi = lo + chunk < n_reads ? lo + chunk : n_reads;
+        if (lo >= hi) break;
+        threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

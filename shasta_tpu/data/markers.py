@@ -91,6 +91,20 @@ def find_markers(reads: ReadStore, kmer_table: KmerTable) -> MarkerStore:
     n_reads = reads.read_count
     lens = np.diff(offsets)
 
+    if flat.shape[0] >= 1 << 20:
+        # Fused threaded native scan (bit-identical; tests assert
+        # equality against this vectorized numpy path).
+        from shasta_tpu import native
+
+        out = native.find_markers_native(
+            flat, offsets, k, kmer_table.is_marker
+        )
+        if out is not None:
+            moff, kmer_ids, positions = out
+            return MarkerStore(
+                k=k, kmer_ids=kmer_ids, positions=positions, offsets=moff
+            )
+
     kv = rolling_kmers_flat(flat, k)
     n_pos = kv.shape[0]
 

@@ -70,6 +70,40 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def find_markers_native(flat, offsets, k: int, is_marker):
+    """Fused threaded marker scan (count + fill); returns
+    (moff, kmer_ids, positions) or None when unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(flat, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    table = np.ascontiguousarray(is_marker, np.uint8)
+    n_reads = offsets.shape[0] - 1
+    per_read = np.empty(n_reads, np.int64)
+    lib.markers_count(
+        _u8p(flat), _i64p(offsets), ctypes.c_int64(n_reads),
+        ctypes.c_int32(k), _u8p(table), _i64p(per_read),
+    )
+    moff = np.zeros(2 * n_reads + 1, np.int64)
+    counts2 = np.empty(2 * n_reads, np.int64)
+    counts2[0::2] = per_read
+    counts2[1::2] = per_read
+    np.cumsum(counts2, out=moff[1:])
+    total = int(moff[-1])
+    kmer_ids = np.empty(total, np.uint32)
+    positions = np.empty(total, np.uint32)
+    lib.markers_fill(
+        _u8p(flat), _i64p(offsets), ctypes.c_int64(n_reads),
+        ctypes.c_int32(k), _u8p(table), _i64p(moff),
+        kmer_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        positions.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return moff, kmer_ids, positions
+
+
 def murmur64_features_native(features, seed: int):
     """Threaded one-pass MurmurHash64A over (n, m) uint32 rows, or
     None when the native library is unavailable."""

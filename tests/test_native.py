@@ -146,3 +146,39 @@ def test_murmur64_native_matches_numpy():
         via_dispatch = hashing.murmur64_features(feats, 7)
         direct = native.murmur64_features_native(feats, 7)
         assert np.array_equal(via_dispatch, direct)
+
+
+def test_find_markers_native_matches_numpy():
+    """The fused native marker scan equals the numpy path (both
+    strands, positions, CSR offsets), including short reads."""
+    from shasta_tpu import native
+    from shasta_tpu.data.kmers import select_kmers_random
+    from shasta_tpu.data.markers import MarkerStore, find_markers
+    from shasta_tpu.data.reads import ReadStore
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(12)
+    k = 8
+    kt = select_kmers_random(k, 0.15, seed=231)
+    lens = [0, 3, k - 1, k, 57, 200, 1000, 5]
+    flat = rng.integers(0, 4, sum(lens)).astype(np.uint8)
+    offsets = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    reads = ReadStore(
+        rle_bases=flat,
+        repeat_counts=np.ones(flat.shape[0], np.int32),
+        offsets=offsets,
+        raw_lengths=np.asarray(lens, np.int64),
+        is_palindromic=np.zeros(len(lens), bool),
+        is_chimeric=np.zeros(len(lens), bool),
+    )
+    ref = find_markers(reads, kt)  # small input -> numpy path
+    got = native.find_markers_native(flat, offsets, k, kt.is_marker)
+    assert got is not None
+    moff, kmer_ids, positions = got
+    assert np.array_equal(moff, ref.offsets)
+    assert np.array_equal(kmer_ids, ref.kmer_ids)
+    assert np.array_equal(positions, ref.positions)
