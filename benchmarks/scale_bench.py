@@ -7,7 +7,8 @@ batch construction, chunked wide-band kernel, and CSR-runner
 palindrome landed (hot stages: alignments ~9 s, edge consensus ~9 s,
 addReads ~4-8 s; round-1 numbers were ~104 s with alignments ~37 s
 and palindrome ~18 s). Output: 22 segments, N50 66 kb over the 1 Mb
-genome.
+genome. Scaled 5x (SCALE=5: 5 Mb genome, 12.5k reads), ~174 s
+end-to-end with N50 105 kb (round 1: ~640 s).
 """
 import sys, time, json, tempfile, os
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
