@@ -564,4 +564,101 @@ void markers_fill(
     for (auto& th : threads) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// Palindrome pre-filter key builder (see ops/palindrome.py): one pass
+// over the strand-0 markers emitting, per marker, the side-A key and
+// the three bucket-neighbour side-B keys of the (read, bucket,
+// kmer-hash, side) layout. The numpy equivalent makes ~15 full-array
+// passes over 4n uint64 entries. The caller sorts and scans.
+// ---------------------------------------------------------------------------
+
+void palindrome_keys(
+    const uint32_t* kmer_ids,  // oriented-read marker CSR flat
+    const int64_t* koff,       // oriented offsets [2*n_reads + 1]
+    const int64_t* cum0,       // strand-0 marker count before read r
+    int64_t n_reads,
+    int32_t k,
+    int64_t d,
+    int64_t max_bucket,
+    int32_t kh_bits,
+    int32_t sh_b,
+    int32_t sh_r,
+    uint64_t* out)  // 4 * total strand-0 markers
+{
+    const uint64_t MUL = 0x9E3779B97F4A7C15ULL;
+    const int kh_shift = 64 - kh_bits;
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 8) n_threads = 8;
+    auto work = [&](int64_t lo_r, int64_t hi_r) {
+        for (int64_t r = lo_r; r < hi_r; r++) {
+            const int64_t b = koff[2 * r], e = koff[2 * r + 1];
+            const int64_t n = e - b;
+            uint64_t* o = out + 4 * cum0[r];
+            const uint64_t base_r = (uint64_t)r << sh_r;
+            for (int64_t i = 0; i < n; i++) {
+                uint32_t x = kmer_ids[b + i];
+                uint32_t rc = 0;
+                uint32_t xx = x;
+                for (int t = 0; t < k; t++) {
+                    rc = (rc << 2) | (3u - (xx & 3u));
+                    xx >>= 2;
+                }
+                const uint64_t kh = ((uint64_t)x * MUL) >> kh_shift;
+                const uint64_t rh = ((uint64_t)rc * MUL) >> kh_shift;
+                const uint64_t base_a = base_r | (kh << 1);
+                const uint64_t base_b = base_r | (rh << 1) | 1ULL;
+                o[0] = base_a | ((uint64_t)(i / d) << sh_b);
+                const int64_t j_rc = (n - 1 - i) / d;
+                for (int off = -1; off <= 1; off++) {
+                    int64_t bb = j_rc + off;
+                    if (bb < 0) bb = 0;
+                    if (bb > max_bucket - 1) bb = max_bucket - 1;
+                    o[1 + (off + 1)] = base_b | ((uint64_t)bb << sh_b);
+                }
+                o += 4;
+            }
+        }
+    };
+    if (n_threads == 1 || n_reads < 64) {
+        work(0, n_reads);
+    } else {
+        std::vector<std::thread> threads;
+        int64_t chunk = (n_reads + n_threads - 1) / n_threads;
+        for (int t = 0; t < n_threads; t++) {
+            int64_t lo = t * chunk;
+            int64_t hi = lo + chunk < n_reads ? lo + chunk : n_reads;
+            if (lo >= hi) break;
+            threads.emplace_back(work, lo, hi);
+        }
+        for (auto& th : threads) th.join();
+    }
+}
+
+// One fused pass over the SORTED palindrome keys: per (read, bucket,
+// kmer) group, count the side-A/side-B entries and accumulate
+// min(n_a, n_b) into the group's read (the numpy scan makes ~8
+// full-array passes over 4n uint64 entries).
+void palindrome_scan(
+    const uint64_t* keys,  // sorted
+    int64_t n,
+    int32_t sh_r,          // read field shift
+    int64_t* common)       // out [n_reads], caller-zeroed
+{
+    if (n == 0) return;
+    uint64_t cur = keys[0] >> 1;
+    int64_t n_a = 0, n_b = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const uint64_t v = keys[i] >> 1;
+        if (v != cur) {
+            common[cur >> (sh_r - 1)] += n_a < n_b ? n_a : n_b;
+            cur = v;
+            n_a = 0;
+            n_b = 0;
+        }
+        if (keys[i] & 1) n_b++; else n_a++;
+    }
+    common[cur >> (sh_r - 1)] += n_a < n_b ? n_a : n_b;
+}
+
 }  // extern "C"

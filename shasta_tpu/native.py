@@ -104,6 +104,50 @@ def find_markers_native(flat, offsets, k: int, is_marker):
     return moff, kmer_ids, positions
 
 
+def palindrome_keys_native(
+    kmer_ids, koff, cum0, n_reads: int, k: int, d: int,
+    max_bucket: int, kh_bits: int, sh_b: int, sh_r: int, n_pos0: int,
+):
+    """One-pass threaded key builder for the palindrome pre-filter;
+    returns the unsorted 4*n_pos0 uint64 key array or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    kmer_ids = np.ascontiguousarray(kmer_ids, np.uint32)
+    koff = np.ascontiguousarray(koff, np.int64)
+    cum0 = np.ascontiguousarray(cum0, np.int64)
+    out = np.empty(4 * n_pos0, np.uint64)
+    lib.palindrome_keys(
+        kmer_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _i64p(koff), _i64p(cum0), ctypes.c_int64(n_reads),
+        ctypes.c_int32(k), ctypes.c_int64(d), ctypes.c_int64(max_bucket),
+        ctypes.c_int32(kh_bits), ctypes.c_int32(sh_b), ctypes.c_int32(sh_r),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return out
+
+
+def palindrome_scan_native(keys_sorted, sh_r: int, n_reads: int):
+    """Fused group scan over the sorted palindrome keys; returns the
+    per-read common-count array or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys_sorted = np.ascontiguousarray(keys_sorted, np.uint64)
+    common = np.zeros(n_reads, np.int64)
+    lib.palindrome_scan(
+        keys_sorted.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(keys_sorted.shape[0]),
+        ctypes.c_int32(sh_r),
+        _i64p(common),
+    )
+    return common
+
+
 def murmur64_features_native(features, seed: int):
     """Threaded one-pass MurmurHash64A over (n, m) uint32 rows, or
     None when the native library is unavailable."""

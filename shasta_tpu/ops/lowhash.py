@@ -119,20 +119,16 @@ def _auto_log2_bucket_count(total_markers: int, hash_fraction: float) -> int:
     return min(31, 5 + log2_est)
 
 
-def compute_feature_hashes(
+def prepare_feature_index(
     markers: MarkerStore,
     m: int,
-    seed: int,
     exclude: Optional[np.ndarray] = None,
-    chunk: int = 1 << 23,
-    return_ordinals: bool = False,
 ):
-    """Hash every feature (m consecutive markers) of every oriented read.
-
-    Returns (orid int64[n_feat], hash uint64[n_feat]) for all valid
-    features (those fully inside one oriented read and whose read is
-    not excluded).
-    """
+    """Loop-invariant feature index shared by all LowHash iterations:
+    (sel flat positions, orid per feature, ordinal per feature, and —
+    when it fits in memory — the gathered (n, m) feature matrix).
+    Only the hash seed changes per iteration, so re-deriving this per
+    iteration cost several full-array passes for nothing."""
     kmer_ids = markers.kmer_ids
     offsets = markers.offsets
     n_or = markers.oriented_read_count
@@ -140,13 +136,8 @@ def compute_feature_hashes(
 
     n_pos = kmer_ids.shape[0] - m + 1
     if n_pos <= 0:
-        if return_ordinals:
-            return (
-                np.zeros(0, np.int64),
-                np.zeros(0, np.uint64),
-                np.zeros(0, np.int64),
-            )
-        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+        z = np.zeros(0, np.int64)
+        return z, z, z, np.zeros((0, m), np.uint32)
 
     orid_of_p = np.repeat(np.arange(n_or, dtype=np.int64), counts)[:n_pos]
     ord_in_read = np.arange(n_pos, dtype=np.int64) - offsets[orid_of_p]
@@ -155,19 +146,49 @@ def compute_feature_hashes(
         valid &= ~exclude[orid_of_p]
 
     sel = np.flatnonzero(valid)
-    orids = orid_of_p[sel]
-
-    hashes = np.empty(sel.shape[0], dtype=np.uint64)
-    feat = np.empty((min(chunk, sel.shape[0]), m), dtype=np.uint32)
-    for lo in range(0, sel.shape[0], chunk):
-        hi = min(lo + chunk, sel.shape[0])
-        block = sel[lo:hi]
-        fb = feat[: hi - lo]
+    feat = None
+    if sel.shape[0] * m <= 1 << 28:  # <= 1 GiB of uint32 features
+        feat = np.empty((sel.shape[0], m), dtype=np.uint32)
         for j in range(m):
-            fb[:, j] = kmer_ids[block + j]
-        hashes[lo:hi] = hashing.murmur64_features(fb, seed)
+            feat[:, j] = kmer_ids[sel + j]
+    return sel, orid_of_p[sel], ord_in_read[sel], feat
+
+
+def compute_feature_hashes(
+    markers: MarkerStore,
+    m: int,
+    seed: int,
+    exclude: Optional[np.ndarray] = None,
+    chunk: int = 1 << 23,
+    return_ordinals: bool = False,
+    prepared=None,
+):
+    """Hash every feature (m consecutive markers) of every oriented read.
+
+    Returns (orid int64[n_feat], hash uint64[n_feat]) for all valid
+    features (those fully inside one oriented read and whose read is
+    not excluded). ``prepared`` (from :func:`prepare_feature_index`)
+    skips the loop-invariant index derivation.
+    """
+    if prepared is None:
+        prepared = prepare_feature_index(markers, m, exclude)
+    sel, orids, ords, feat = prepared
+    kmer_ids = markers.kmer_ids
+
+    if feat is not None:
+        hashes = hashing.murmur64_features(feat, seed)
+    else:
+        hashes = np.empty(sel.shape[0], dtype=np.uint64)
+        fbuf = np.empty((min(chunk, sel.shape[0]), m), dtype=np.uint32)
+        for lo in range(0, sel.shape[0], chunk):
+            hi = min(lo + chunk, sel.shape[0])
+            block = sel[lo:hi]
+            fb = fbuf[: hi - lo]
+            for j in range(m):
+                fb[:, j] = kmer_ids[block + j]
+            hashes[lo:hi] = hashing.murmur64_features(fb, seed)
     if return_ordinals:
-        return orids, hashes, ord_in_read[sel]
+        return orids, hashes, ords
     return orids, hashes
 
 
@@ -198,8 +219,11 @@ def find_candidates_lowhash(
 
     pair_keys = []  # uint64 keys: (r0 << 33) | (r1 << 1) | sameStrand
 
+    prepared = prepare_feature_index(markers, params.m, exclude)
     for it in range(params.iteration_count):
-        orids, hashes = compute_feature_hashes(markers, params.m, it * 37, exclude)
+        orids, hashes = compute_feature_hashes(
+            markers, params.m, it * 37, exclude, prepared=prepared
+        )
         low = hashes < hash_threshold
         orids = orids[low]
         hashes = hashes[low]
@@ -511,9 +535,11 @@ def find_candidates_lowhash1(
 
     feat_r0, feat_r1, feat_ss, feat_o0, feat_o1 = [], [], [], [], []
 
+    prepared = prepare_feature_index(markers, m, exclude)
     for it in range(params.iteration_count):
         orids, hashes, ords = compute_feature_hashes(
-            markers, m, it * 37, exclude, return_ordinals=True
+            markers, m, it * 37, exclude, return_ordinals=True,
+            prepared=prepared,
         )
         low = hashes < hash_threshold
         orids, hashes, ords = orids[low], hashes[low], ords[low]

@@ -182,3 +182,77 @@ def test_find_markers_native_matches_numpy():
     assert np.array_equal(moff, ref.offsets)
     assert np.array_equal(kmer_ids, ref.kmer_ids)
     assert np.array_equal(positions, ref.positions)
+
+
+def test_palindrome_keys_native_matches_numpy():
+    """Native palindrome pre-filter keys equal the numpy fallback as a
+    sorted multiset."""
+    from shasta_tpu import native
+    from shasta_tpu.ops.palindrome import _prefilter_keys_numpy
+    from shasta_tpu.data.markers import MarkerStore
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(21)
+    k = 8
+    n_reads = 20
+    counts0 = rng.integers(0, 80, n_reads).astype(np.int64)
+    counts2 = np.repeat(counts0, 2)
+    koff = np.zeros(2 * n_reads + 1, np.int64)
+    np.cumsum(counts2, out=koff[1:])
+    kmer_ids = rng.integers(0, 4**k, koff[-1], dtype=np.uint32)
+    ms = MarkerStore(
+        k=k, kmer_ids=kmer_ids,
+        positions=np.zeros(koff[-1], np.uint32), offsets=koff,
+    )
+    n_pos0 = int(counts0.sum())
+    d = 7
+    max_bucket = int(counts0.max()) // d + 2
+    bucket_bits = int(max_bucket).bit_length() + 1
+    KH_BITS = 22
+    cum0_full = np.zeros(n_reads + 1, np.int64)
+    np.cumsum(counts0, out=cum0_full[1:])
+    got = native.palindrome_keys_native(
+        kmer_ids, koff, cum0_full, n_reads, k, d, max_bucket,
+        KH_BITS, 1 + KH_BITS, 1 + KH_BITS + bucket_bits, n_pos0,
+    )
+    assert got is not None
+    want = _prefilter_keys_numpy(
+        ms, koff, counts0, n_reads, 2 * n_reads, n_pos0, d,
+        max_bucket, KH_BITS, bucket_bits,
+    )
+    assert np.array_equal(np.sort(got), np.sort(want))
+
+
+def test_palindrome_scan_native_matches_numpy():
+    from shasta_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(30)
+    SH_R = 10
+    n_reads = 6
+    reads = rng.integers(0, n_reads, 5000).astype(np.uint64)
+    groups = rng.integers(0, 40, 5000).astype(np.uint64)
+    sides = rng.integers(0, 2, 5000).astype(np.uint64)
+    keys = (reads << np.uint64(SH_R)) | (groups << np.uint64(1)) | sides
+    keys.sort()
+    got = native.palindrome_scan_native(keys, SH_R, n_reads)
+    # numpy reference
+    vals = keys >> np.uint64(1)
+    bits = keys & np.uint64(1)
+    new_grp = np.empty(vals.shape[0], bool)
+    new_grp[0] = True
+    new_grp[1:] = vals[1:] != vals[:-1]
+    bounds = np.flatnonzero(new_grp)
+    tot = np.diff(np.append(bounds, vals.shape[0]))
+    n_b = np.add.reduceat(bits, bounds).astype(np.int64)
+    n_a = tot - n_b
+    g_read = (vals[bounds] >> np.uint64(SH_R - 1)).astype(np.int64)
+    want = np.bincount(g_read, weights=np.minimum(n_a, n_b),
+                       minlength=n_reads).astype(np.int64)
+    assert np.array_equal(got, want)
