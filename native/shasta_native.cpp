@@ -661,4 +661,92 @@ void palindrome_scan(
     common[cur >> (sh_r - 1)] += n_a < n_b ? n_a : n_b;
 }
 
+// ---------------------------------------------------------------------------
+// Union-find with min-id roots (reference: dset64-gccAtomic.hpp, the
+// lock-free DSU driving marker-graph vertex creation). Union always
+// links the larger root under the smaller, so each component's final
+// root is its minimum element id — identical to the pointer-jumping
+// min-label formulation in graph/marker_graph.py (which remains the
+// collective-friendly sharded form). Sequential with path halving.
+// ---------------------------------------------------------------------------
+
+// Expand the per-alignment matched-ordinal lists into marker-id unite
+// pairs (direct + reverse complement), threaded (reference:
+// createMarkerGraphVerticesThreadFunction1,
+// src/AssemblerMarkerGraph.cpp:540-604). One pass instead of ~12
+// full-array numpy passes.
+void expand_unite_pairs(
+    const int64_t* moff,
+    const int64_t* counts,
+    const int64_t* orid0,  // per selected alignment
+    const int64_t* orid1,
+    const int64_t* lo,     // flat ordinal range per alignment
+    const int64_t* hi,
+    const int64_t* pos,    // output pair offset per alignment (2x ordinals)
+    int64_t n_sel,
+    const uint32_t* ord0_flat,
+    const uint32_t* ord1_flat,
+    int64_t* out_u,
+    int64_t* out_v)
+{
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 8) n_threads = 8;
+    auto work = [&](int64_t a0, int64_t a1) {
+        for (int64_t a = a0; a < a1; a++) {
+            const int64_t o0r = orid0[a], o1r = orid1[a];
+            const int64_t b0 = moff[o0r], b1 = moff[o1r];
+            const int64_t r0 = moff[o0r ^ 1] + counts[o0r] - 1;
+            const int64_t r1 = moff[o1r ^ 1] + counts[o1r] - 1;
+            int64_t p = pos[a];
+            for (int64_t i = lo[a]; i < hi[a]; i++) {
+                const int64_t x0 = (int64_t)ord0_flat[i];
+                const int64_t x1 = (int64_t)ord1_flat[i];
+                out_u[p] = b0 + x0;
+                out_v[p] = b1 + x1;
+                out_u[p + 1] = r0 - x0;
+                out_v[p + 1] = r1 - x1;
+                p += 2;
+            }
+        }
+    };
+    if (n_threads == 1 || n_sel < 64) {
+        work(0, n_sel);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n_sel + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+        int64_t a0 = t * chunk, a1 = a0 + chunk < n_sel ? a0 + chunk : n_sel;
+        if (a0 >= a1) break;
+        threads.emplace_back(work, a0, a1);
+    }
+    for (auto& th : threads) th.join();
+}
+
+static inline int64_t dsu_find(int64_t* p, int64_t x)
+{
+    while (p[x] != x) {
+        p[x] = p[p[x]];
+        x = p[x];
+    }
+    return x;
+}
+
+void union_find_min_labels(
+    int64_t n,
+    const int64_t* u,
+    const int64_t* v,
+    int64_t n_pairs,
+    int64_t* label)  // in: arange(n); out: min-id component labels
+{
+    for (int64_t i = 0; i < n_pairs; i++) {
+        const int64_t a = dsu_find(label, u[i]);
+        const int64_t b = dsu_find(label, v[i]);
+        if (a < b) label[b] = a;
+        else if (b < a) label[a] = b;
+    }
+    for (int64_t i = 0; i < n; i++) label[i] = dsu_find(label, i);
+}
+
 }  // extern "C"

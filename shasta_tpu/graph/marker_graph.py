@@ -54,6 +54,15 @@ def union_find_labels(n: int, u: np.ndarray, v: np.ndarray) -> np.ndarray:
         return label
     u = np.asarray(u, dtype=np.int64)
     v = np.asarray(v, dtype=np.int64)
+    if u.shape[0] >= 1 << 20:
+        # Sequential min-root DSU (identical labels, equality-tested);
+        # the pointer-jumping form below remains the sharded/mesh
+        # formulation and the fallback.
+        from shasta_tpu import native
+
+        out = native.union_find_min_labels_native(n, u, v)
+        if out is not None:
+            return out
     while True:
         lu = label[u]
         lv = label[v]
@@ -117,6 +126,18 @@ def gather_unite_pairs(
     # Expand per-alignment ordinal lists.
     lo = alignments.offsets[aids]
     hi = alignments.offsets[aids + 1]
+    if int((hi - lo).sum()) >= 1 << 20:
+        # Threaded one-pass native expansion (pair ORDER differs from
+        # the numpy path — interleaved direct/rc — but every consumer
+        # is order-independent; equality-tested as a sorted multiset).
+        from shasta_tpu import native
+
+        out = native.expand_unite_pairs_native(
+            moff, counts, orid0, orid1, lo, hi,
+            alignments.ord0, alignments.ord1,
+        )
+        if out is not None:
+            return out
     n_per = (hi - lo).astype(np.int64)
     total = int(n_per.sum())
     # Flat indices into ord0/ord1 for all selected alignments.

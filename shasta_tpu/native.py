@@ -129,6 +129,59 @@ def palindrome_keys_native(
     return out
 
 
+def expand_unite_pairs_native(
+    moff, counts, orid0, orid1, lo, hi, ord0_flat, ord1_flat
+):
+    """Threaded unite-pair expansion; returns (u, v) or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    moff = np.ascontiguousarray(moff, np.int64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    orid0 = np.ascontiguousarray(orid0, np.int64)
+    orid1 = np.ascontiguousarray(orid1, np.int64)
+    lo = np.ascontiguousarray(lo, np.int64)
+    hi = np.ascontiguousarray(hi, np.int64)
+    ord0_flat = np.ascontiguousarray(ord0_flat, np.uint32)
+    ord1_flat = np.ascontiguousarray(ord1_flat, np.uint32)
+    n_per = hi - lo
+    pos = np.zeros(orid0.shape[0], np.int64)
+    if pos.shape[0] > 1:
+        np.cumsum(2 * n_per[:-1], out=pos[1:])
+    total = int(2 * n_per.sum())
+    u = np.empty(total, np.int64)
+    v = np.empty(total, np.int64)
+    lib.expand_unite_pairs(
+        _i64p(moff), _i64p(counts), _i64p(orid0), _i64p(orid1),
+        _i64p(lo), _i64p(hi), _i64p(pos),
+        ctypes.c_int64(orid0.shape[0]),
+        ord0_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ord1_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _i64p(u), _i64p(v),
+    )
+    return u, v
+
+
+def union_find_min_labels_native(n: int, u, v):
+    """Sequential min-root DSU; returns min-id component labels or
+    None when the native library is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    u = np.ascontiguousarray(u, np.int64)
+    v = np.ascontiguousarray(v, np.int64)
+    label = np.arange(n, dtype=np.int64)
+    lib.union_find_min_labels(
+        ctypes.c_int64(n), _i64p(u), _i64p(v),
+        ctypes.c_int64(u.shape[0]), _i64p(label),
+    )
+    return label
+
+
 def palindrome_scan_native(keys_sorted, sh_r: int, n_reads: int):
     """Fused group scan over the sorted palindrome keys; returns the
     per-read common-count array or None."""

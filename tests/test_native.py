@@ -256,3 +256,66 @@ def test_palindrome_scan_native_matches_numpy():
     want = np.bincount(g_read, weights=np.minimum(n_a, n_b),
                        minlength=n_reads).astype(np.int64)
     assert np.array_equal(got, want)
+
+
+def test_union_find_min_labels_native_matches_numpy():
+    from shasta_tpu import native
+    from shasta_tpu.graph.marker_graph import union_find_labels
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(40)
+    n = 5000
+    u = rng.integers(0, n, 8000)
+    v = rng.integers(0, n, 8000)
+    want = union_find_labels(n, u, v)  # small input -> numpy path
+    got = native.union_find_min_labels_native(n, u, v)
+    assert np.array_equal(want, got)
+
+
+def test_expand_unite_pairs_native_matches_numpy():
+    """Native unite-pair expansion equals the numpy path as a sorted
+    multiset of (u, v) pairs."""
+    from shasta_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(50)
+    n_or = 12
+    counts = rng.integers(5, 60, n_or).astype(np.int64)
+    moff = np.zeros(n_or + 1, np.int64)
+    np.cumsum(counts, out=moff[1:])
+    n_al = 9
+    orid0 = (rng.integers(0, n_or // 2, n_al) * 2).astype(np.int64)
+    orid1 = (rng.integers(0, n_or // 2, n_al) * 2 + rng.integers(0, 2, n_al)).astype(np.int64)
+    n_per = rng.integers(0, 5, n_al).astype(np.int64)
+    off = np.zeros(n_al + 1, np.int64)
+    np.cumsum(n_per, out=off[1:])
+    total = int(off[-1])
+    ord0 = np.empty(total, np.uint32)
+    ord1 = np.empty(total, np.uint32)
+    for a in range(n_al):
+        ord0[off[a]:off[a+1]] = rng.integers(0, counts[orid0[a]], n_per[a])
+        ord1[off[a]:off[a+1]] = rng.integers(0, counts[orid1[a]], n_per[a])
+    got = native.expand_unite_pairs_native(
+        moff, counts, orid0, orid1, off[:-1], off[1:], ord0, ord1
+    )
+    assert got is not None
+    gu, gv = got
+    # numpy reference (the fallback path logic)
+    a_orid0 = np.repeat(orid0, n_per)
+    a_orid1 = np.repeat(orid1, n_per)
+    o0 = ord0.astype(np.int64)
+    o1 = ord1.astype(np.int64)
+    m0 = moff[a_orid0] + o0
+    m1 = moff[a_orid1] + o1
+    m0r = moff[a_orid0 ^ 1] + (counts[a_orid0] - 1 - o0)
+    m1r = moff[a_orid1 ^ 1] + (counts[a_orid1] - 1 - o1)
+    wu = np.concatenate([m0, m0r]); wv = np.concatenate([m1, m1r])
+    key_g = np.sort(gu * (moff[-1] + 1) + gv)
+    key_w = np.sort(wu * (moff[-1] + 1) + wv)
+    assert np.array_equal(key_g, key_w)
