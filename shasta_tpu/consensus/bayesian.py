@@ -183,6 +183,46 @@ class BayesianConsensusCaller:
         scores = m.priors[prior_idx] + m.likelihood[min(base, 3)] @ counts
         return int(np.argmax(scores))
 
+    def consensus_columns(self, base_m: np.ndarray, rep_m: np.ndarray):
+        """Vectorized per-column consensus over an MSA matrix
+        (n_rows, width). Equal to calling self(base_m[:, c],
+        rep_m[:, c]) per column; returns (cons_base uint8 [width],
+        cons_rep int32 [width]) with GAP consensus marked GAP/0."""
+        m = self.model
+        n_rows, width = base_m.shape
+        if width == 0:
+            return np.zeros(0, np.uint8), np.zeros(0, np.int32)
+        cols = np.tile(np.arange(width, dtype=np.int64), n_rows)
+        flat_b = base_m.ravel().astype(np.int64)
+        bh = np.bincount(flat_b * width + cols, minlength=5 * width)
+        bh = bh.reshape(5, width)
+        cons_base = np.argmax(bh, axis=0).astype(np.uint8)
+
+        max_in = m.max_input_runlength
+        if self.ignore_non_consensus_base_repeats:
+            sel = (base_m == cons_base[None, :]) & (
+                cons_base[None, :] != GAP
+            )
+        else:
+            sel = base_m != GAP
+        midx = np.flatnonzero(sel.ravel())
+        obs = np.minimum(rep_m.ravel().astype(np.int64)[midx], max_in)
+        counts = np.bincount(
+            cols[midx] * (max_in + 1) + obs,
+            minlength=width * (max_in + 1),
+        ).reshape(width, max_in + 1).astype(np.float64)
+
+        cons_rep = np.zeros(width, np.int32)
+        has_obs = counts.sum(axis=1) > 0
+        for b in range(4):
+            csel = np.flatnonzero((cons_base == b) & has_obs)
+            if csel.shape[0] == 0:
+                continue
+            prior_idx = 0 if b in (0, 3) else 1
+            scores = counts[csel] @ m.likelihood[b].T + m.priors[prior_idx][None, :]
+            cons_rep[csel] = np.argmax(scores, axis=1).astype(np.int32)
+        return cons_base, cons_rep
+
     def repeat_count(self, repeats: np.ndarray) -> int:
         """Fixed-base variant (vertex assembly)."""
         if repeats.shape[0] == 0:

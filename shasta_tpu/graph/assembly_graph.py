@@ -408,6 +408,14 @@ def assemble_marker_graph_edges(
                 cons_rep_all = np.argmax(c > half[None, :], axis=0)
             cons_seq_arr = cons_base[keep_cols]
             cons_rep_arr = np.maximum(cons_rep_all[keep_cols], 1).astype(np.int32)
+        elif hasattr(caller, "consensus_columns"):
+            # Vectorized column consensus (Bayesian): one histogram +
+            # 4 likelihood matmuls per edge instead of per-column
+            # Python calls.
+            cb, cr = caller.consensus_columns(base_m, rep_m)
+            keep = cb != GAP
+            cons_seq_arr = cb[keep]
+            cons_rep_arr = np.maximum(cr[keep], 1).astype(np.int32)
         else:
             cons_seq_l: List[int] = []
             cons_rep_l: List[int] = []

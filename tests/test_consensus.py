@@ -201,3 +201,22 @@ def test_poa_majority_consensus_beats_center_star_case():
         if best != GAP:
             cons.append(best)
     assert np.array_equal(np.array(cons, np.uint8), clean)
+
+
+def test_bayesian_consensus_columns_matches_percolumn():
+    """The vectorized column consensus equals per-column calls on
+    random MSA matrices (incl. gap columns and empty observations)."""
+    from shasta_tpu.consensus.bayesian import BayesianConsensusCaller, GAP
+
+    caller = BayesianConsensusCaller("default")
+    rng = np.random.default_rng(13)
+    for _ in range(5):
+        n, w = int(rng.integers(2, 9)), int(rng.integers(1, 40))
+        base_m = rng.integers(0, 5, (n, w)).astype(np.uint8)
+        rep_m = rng.integers(1, 12, (n, w)).astype(np.int32)
+        cb, cr = caller.consensus_columns(base_m, rep_m)
+        for c in range(w):
+            b, r = caller(base_m[:, c], rep_m[:, c])
+            assert cb[c] == b, c
+            if b != GAP:
+                assert cr[c] == r, c
