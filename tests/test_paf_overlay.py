@@ -166,3 +166,26 @@ def test_peer_uid_resolves_own_connection(tiny_run):
         conn.close()
         cli.close()
         srv.close()
+
+
+def test_all_explorer_routes_render(tiny_run):
+    """Every registered explorer route renders without raising on a
+    finished mode-0 run (mode-3-only pages may report unavailability,
+    but must not crash)."""
+    from shasta_tpu.http.explore import Explorer, _routes
+
+    _, run_dir = tiny_run
+    ex = Explorer(run_dir)
+    table = _routes(ex)
+    defaults = {
+        "readId": ["0"], "strand": ["0"], "readId0": ["0"],
+        "readId1": ["1"], "strand0": ["0"], "strand1": ["0"],
+        "vertexId": ["0"], "edgeId": ["0"], "segmentId": ["0"],
+        "segmentId0": ["0"], "segmentId1": ["1"], "linkId": ["0"],
+        "alignmentId": ["0"], "maxDistance": ["1"], "ordinal": ["0"],
+        "sequence": ["ACGTACGT"], "sequence0": ["ACGTACGT"],
+        "sequence1": ["ACGTACGT"],
+    }
+    for path, fn in sorted(table.items()):
+        body = fn(dict(defaults))
+        assert isinstance(body, str) and body, path
