@@ -419,6 +419,23 @@ def check_strand_symmetry(mg: MarkerGraph) -> bool:
     return bool(np.array_equal(mg.target[re], rc[mg.source]))
 
 
+def check_marker_graph_vertices(mg: MarkerGraph) -> bool:
+    """Audit vertexTable <-> vertices consistency (reference:
+    Assembler::checkMarkerGraphVertices, src/Assembler.hpp:1275):
+    every marker listed by a vertex maps back to that vertex, and
+    every marker mapped to a vertex appears in its marker list."""
+    n_v = mg.vertex_offsets.shape[0] - 1
+    v_of_listed = np.repeat(
+        np.arange(n_v, dtype=np.int64), np.diff(mg.vertex_offsets)
+    )
+    if not np.array_equal(mg.vertex_table[mg.vertex_markers], v_of_listed):
+        return False
+    # Marker counts per vertex from the table must equal the CSR sizes.
+    mapped = mg.vertex_table >= 0
+    counts = np.bincount(mg.vertex_table[mapped], minlength=n_v)
+    return bool(np.array_equal(counts, np.diff(mg.vertex_offsets)))
+
+
 def audit_strand_symmetry(mg: MarkerGraph, where: str) -> None:
     """In-pipeline strand-symmetry audit, run as a first-class stage
     like the reference's SHASTA_ASSERT-backed check (reference:

@@ -355,6 +355,21 @@ class AlignmentStore:
         lo, hi = self.offsets[i], self.offsets[i + 1]
         return self.ord0[lo:hi], self.ord1[lo:hi]
 
+    def check_strictly_increasing(self) -> bool:
+        """Audit: within every alignment, both ordinal sequences are
+        strictly increasing (reference: Alignment::
+        checkStrictlyIncreasing, src/Alignment.hpp:48). One vectorized
+        pass — within-alignment adjacency = consecutive flat entries
+        not crossing a CSR boundary."""
+        if self.ord0.shape[0] < 2:
+            return True
+        inc = (self.ord0[1:] > self.ord0[:-1]) & (
+            self.ord1[1:] > self.ord1[:-1]
+        )
+        starts = np.zeros(self.ord0.shape[0], bool)
+        starts[self.offsets[1:-1]] = True
+        return bool((inc | starts[1:]).all())
+
     def arrays(self) -> Dict[str, np.ndarray]:
         return {k: getattr(self, k) for k in self.__dataclass_fields__}
 

@@ -427,6 +427,13 @@ class Assembler:
                     params,
                     self.kmer_table.downsampling_hash_table(),
                 )
+            # reference: Alignment::checkStrictlyIncreasing
+            # (src/Alignment.hpp:48), enforced after every compute.
+            if not self.alignments.check_strictly_increasing():
+                raise RuntimeError(
+                    "Alignment ordinals are not strictly increasing; "
+                    "this indicates a bug in the alignment kernel."
+                )
             self.store.save_stage("Alignments", self.alignments.arrays())
             # Release the alignment engine's device buffers (and their
             # relay-client mirrors) now, inside this stage's timing:
@@ -566,6 +573,12 @@ class Assembler:
             )
             _mark("create_vertices")
             MG.audit_strand_symmetry(self.marker_graph, "vertex creation")
+            # reference: checkMarkerGraphVertices (Assembler.hpp:1275)
+            if not MG.check_marker_graph_vertices(self.marker_graph):
+                raise RuntimeError(
+                    "Marker graph vertexTable/vertices inconsistency "
+                    "after vertex creation."
+                )
             _mark("audit")
         if cm.allow_duplicate_markers and cm.cleanup_duplicate_markers:
             # (reference: srcMain/main.cpp:925-934)

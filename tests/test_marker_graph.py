@@ -307,3 +307,47 @@ def test_audit_strand_symmetry_catches_corruption():
         mg.rc_edge[0] = -1
         with pytest.raises(RuntimeError):
             MG.audit_strand_symmetry(mg, "test")
+
+
+def test_check_marker_graph_vertices_audit():
+    """The vertexTable/vertices audit passes on a real graph and
+    catches a corrupted table (reference: checkMarkerGraphVertices)."""
+    import numpy as np
+
+    from shasta_tpu.graph.marker_graph import (
+        MarkerGraph,
+        check_marker_graph_vertices,
+    )
+
+    vt = np.array([0, -1, 0, 1, 1, -1], np.int64)
+    mg = MarkerGraph(
+        vertex_table=vt,
+        vertex_offsets=np.array([0, 2, 4], np.int64),
+        vertex_markers=np.array([0, 2, 3, 4], np.int64),
+        rc_vertex=np.array([1, 0], np.int64),
+    )
+    assert check_marker_graph_vertices(mg)
+    mg.vertex_table[2] = 1  # corrupt
+    assert not check_marker_graph_vertices(mg)
+
+
+def test_check_strictly_increasing():
+    import numpy as np
+
+    from shasta_tpu.ops.align import AlignmentStore
+
+    def store(ord0, ord1, offs):
+        z = np.zeros(len(offs) - 1, np.int32)
+        return AlignmentStore(
+            read_id0=z, read_id1=z, same_strand=z.astype(bool),
+            marker_count=z, n_markers0=z, n_markers1=z, first0=z,
+            last0=z, first1=z, last1=z, min_offset=z, max_offset=z,
+            max_skip_v=z, max_drift_v=z,
+            ord0=np.asarray(ord0, np.uint32),
+            ord1=np.asarray(ord1, np.uint32),
+            offsets=np.asarray(offs, np.int64),
+        )
+
+    assert store([0, 2, 5, 0, 1], [1, 3, 4, 7, 9], [0, 3, 5]).check_strictly_increasing()
+    # Non-increasing inside the second alignment.
+    assert not store([0, 2, 5, 3, 1], [1, 3, 4, 7, 9], [0, 3, 5]).check_strictly_increasing()
