@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <functional>
 #include <thread>
 #include <vector>
 
@@ -158,42 +159,67 @@ int fasta_fill(
 // Two-call protocol again.
 // ---------------------------------------------------------------------------
 
+static void rle_threads(int64_t n_seqs, int min_seqs,
+                        const std::function<void(int64_t, int64_t)>& work)
+{
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 8) n_threads = 8;
+    if (n_threads == 1 || n_seqs < min_seqs) {
+        work(0, n_seqs);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n_seqs + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+        int64_t lo = t * chunk, hi = lo + chunk < n_seqs ? lo + chunk : n_seqs;
+        if (lo >= hi) break;
+        threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
 int rle_measure(
     const uint8_t* codes, const int64_t* offsets, int64_t n_seqs,
-    int64_t* n_rle)
+    int64_t* n_rle)  // n_rle: per-seq run counts [n_seqs] (threaded)
 {
-    int64_t total = 0;
-    for (int64_t s = 0; s < n_seqs; ++s) {
-        int64_t lo = offsets[s], hi = offsets[s + 1];
-        if (lo == hi) continue;
-        ++total;
-        for (int64_t i = lo + 1; i < hi; ++i)
-            if (codes[i] != codes[i - 1]) ++total;
-    }
-    *n_rle = total;
+    rle_threads(n_seqs, 64, [&](int64_t s0, int64_t s1) {
+        for (int64_t s = s0; s < s1; ++s) {
+            int64_t lo = offsets[s], hi = offsets[s + 1];
+            int64_t total = 0;
+            if (lo != hi) {
+                ++total;
+                for (int64_t i = lo + 1; i < hi; ++i)
+                    if (codes[i] != codes[i - 1]) ++total;
+            }
+            n_rle[s] = total;
+        }
+    });
     return 0;
 }
 
 int rle_fill(
     const uint8_t* codes, const int64_t* offsets, int64_t n_seqs,
-    uint8_t* rle, int64_t* counts, int64_t* rle_offsets)
+    uint8_t* rle, int64_t* counts, const int64_t* rle_offsets)
 {
-    int64_t w = 0;
-    rle_offsets[0] = 0;
-    for (int64_t s = 0; s < n_seqs; ++s) {
-        int64_t lo = offsets[s], hi = offsets[s + 1];
-        int64_t i = lo;
-        while (i < hi) {
-            const uint8_t c = codes[i];
-            int64_t run = 1;
-            while (i + run < hi && codes[i + run] == c) ++run;
-            rle[w] = c;
-            counts[w] = run;
-            ++w;
-            i += run;
+    // rle_offsets precomputed by the caller from rle_measure's
+    // per-seq counts, so every sequence fills independently (threaded).
+    rle_threads(n_seqs, 64, [&](int64_t s0, int64_t s1) {
+        for (int64_t s = s0; s < s1; ++s) {
+            int64_t lo = offsets[s], hi = offsets[s + 1];
+            int64_t w = rle_offsets[s];
+            int64_t i = lo;
+            while (i < hi) {
+                const uint8_t c = codes[i];
+                int64_t run = 1;
+                while (i + run < hi && codes[i + run] == c) ++run;
+                rle[w] = c;
+                counts[w] = run;
+                ++w;
+                i += run;
+            }
         }
-        rle_offsets[s + 1] = w;
-    }
+    });
     return 0;
 }
 

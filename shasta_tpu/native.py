@@ -266,12 +266,15 @@ def rle_encode_native(codes: np.ndarray, offsets: np.ndarray):
     codes = np.ascontiguousarray(codes, np.uint8)
     offsets = np.ascontiguousarray(offsets, np.int64)
     ns = offsets.shape[0] - 1
-    n_rle = ctypes.c_int64()
-    lib.rle_measure(_u8p(codes), _i64p(offsets), ctypes.c_int64(ns), ctypes.byref(n_rle))
-    total = n_rle.value
+    per_seq = np.empty(ns, np.int64)
+    lib.rle_measure(
+        _u8p(codes), _i64p(offsets), ctypes.c_int64(ns), _i64p(per_seq)
+    )
+    rle_offsets = np.zeros(ns + 1, np.int64)
+    np.cumsum(per_seq, out=rle_offsets[1:])
+    total = int(rle_offsets[-1])
     rle = np.empty(total, np.uint8)
     counts = np.empty(total, np.int64)
-    rle_offsets = np.empty(ns + 1, np.int64)
     lib.rle_fill(
         _u8p(codes), _i64p(offsets), ctypes.c_int64(ns),
         _u8p(rle), _i64p(counts), _i64p(rle_offsets),
