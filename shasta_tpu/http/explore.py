@@ -142,7 +142,18 @@ class Explorer:
     def page_read(self, q) -> str:
         if self.reads is None:
             return "<p>Reads not available.</p>"
-        rid = int(q.get("readId", ["0"])[0])
+        # The reference's exploreRead accepts a read NAME as well as a
+        # numeric id (readIdsSortedByName lookup, reference
+        # src/Reads.cpp getReadId). Non-numeric readId = name lookup.
+        rid_str = q.get("readId", ["0"])[0]
+        try:
+            rid = int(rid_str)
+        except ValueError:
+            matches = [i for i, n in enumerate(self.reads.names)
+                       if n == rid_str or n.split()[0] == rid_str]
+            if not matches:
+                return f"<p>No read named <code>{html.escape(rid_str)}</code>.</p>"
+            rid = matches[0]
         strand = int(q.get("strand", ["0"])[0])
         if not (0 <= rid < self.reads.read_count):
             return f"<p>Invalid read id {rid}.</p>"

@@ -708,13 +708,28 @@ class _DeviceCsr:
     row counts are padded to the :func:`_csr_bucket` grid so compiled
     take shapes stay stable across datasets."""
 
-    def __init__(self, flat: np.ndarray, off: np.ndarray, lens: np.ndarray):
+    def __init__(
+        self,
+        flat: np.ndarray,
+        off: np.ndarray,
+        lens: np.ndarray,
+        aux: Optional[np.ndarray] = None,
+    ):
         import jax.numpy as jnp
 
         nf = _csr_bucket(max(flat.shape[0], 1))
         flat_p = np.full(nf, -3, np.int32)
         flat_p[: flat.shape[0]] = flat
         self.flat_dev = jnp.asarray(flat_p)
+        # Optional parallel per-item array (e.g. the original marker
+        # ordinal of each downsampled marker) served as padded class
+        # matrices alongside the k-mer matrices.
+        self.aux_dev = None
+        if aux is not None:
+            aux_p = np.zeros(nf, np.int32)
+            aux_p[: aux.shape[0]] = aux
+            self.aux_dev = jnp.asarray(aux_p)
+        self._aux_mats: Dict[int, object] = {}
         self.lens = np.asarray(lens, np.int64)
         self.off = np.asarray(off, np.int64)
         # Class-local row index (class = length bucket, matching the
@@ -749,6 +764,23 @@ class _DeviceCsr:
             self._mats[L] = m
         return m
 
+    def aux_matrix(self, L: int):
+        m = self._aux_mats.get(L)
+        if m is None:
+            import jax.numpy as jnp
+
+            ids = self._members.get(L, np.zeros(0, np.int64))
+            n_pad = _csr_bucket(max(ids.shape[0], 1))
+            off_sel = np.zeros(n_pad, np.int32)
+            len_sel = np.zeros(n_pad, np.int32)
+            off_sel[: ids.shape[0]] = self.off[ids]
+            len_sel[: ids.shape[0]] = self.lens[ids]
+            m = _build_class_matrix(
+                self.aux_dev, jnp.asarray(off_sel), jnp.asarray(len_sel), L=L
+            )
+            self._aux_mats[L] = m
+        return m
+
 
 @functools.partial(jax.jit, static_argnames=("L",))
 def _build_class_matrix(flat, off, lens, *, L):
@@ -760,14 +792,19 @@ def _build_class_matrix(flat, off, lens, *, L):
     return jnp.where(mask, flat[jnp.clip(pos, 0, nf - 1)], jnp.int32(-1))
 
 
-def _to_device_csr(flat: np.ndarray, off: np.ndarray, lens: np.ndarray):
+def _to_device_csr(
+    flat: np.ndarray,
+    off: np.ndarray,
+    lens: np.ndarray,
+    aux: Optional[np.ndarray] = None,
+):
     """Build the device-side batch-construction structure, or None when
     the Pallas path is off or a multi-device mesh handles batching."""
     from shasta_tpu.parallel.context import current_mesh
 
     if not _pallas_available() or current_mesh() is not None:
         return None
-    return _DeviceCsr(flat, off, lens)
+    return _DeviceCsr(flat, off, lens, aux=aux)
 
 
 def _dispatch_csr(
@@ -782,10 +819,16 @@ def _dispatch_csr(
     LB: int,
     params: AlignParams,
     dev_csr=None,
+    band_fused: bool = False,
 ):
     """CSR-driven dispatch: builds each padded batch with one gather
     (no per-pair Python). ids_a/ids_b index rows of the (flat, off,
     lens) CSR; all pairs share the (LA, LB, W) shape bucket.
+
+    With ``band_fused`` (band discovery, dev_csr built with an aux
+    ordinal array), the per-pair band reduction runs ON DEVICE fused
+    with the DP, and each entry is ("band", (B, 3) int32, n_real) —
+    3 ints/pair cross the relay instead of the (B, LA) match matrix.
 
     With ``dev_csr`` (from :func:`_to_device_csr`), the gather runs ON
     DEVICE: only the pair ids cross the relay per batch, removing the
@@ -826,6 +869,18 @@ def _dispatch_csr(
                 b_len[hi - lo :] = 0
                 rowa[hi - lo :] = 0
                 rowb[hi - lo :] = 0
+            if band_fused and dev_csr.aux_dev is not None:
+                out = align_pallas.banded_align_band_take(
+                    dev_csr.matrix(LA), rowa, dev_csr.aux_matrix(LA),
+                    dev_csr.matrix(LB), rowb, dev_csr.aux_matrix(LB),
+                    a_len, b_len, bm, np.int32(hi - lo),
+                    LA=LA, LB=LB, W=W,
+                    match=params.match_score,
+                    mismatch=params.mismatch_score,
+                    gap=params.gap_score,
+                )
+                pending.append(("band", out, hi - lo))
+                continue
             pack = (
                 W <= 254
                 and os.environ.get("SHASTA_TPU_PACKU8", "1") != "0"
@@ -1195,7 +1250,7 @@ def _prefetch_batches(batches) -> None:
     for _tags, pending in batches:
         for kind, payload, _n_real in pending:
             try:
-                if kind == "pallas":
+                if kind in ("pallas", "band"):
                     payload.copy_to_host_async()
                 else:
                     payload[0].copy_to_host_async()
@@ -1348,7 +1403,10 @@ def align_candidates(
         )
         uk, inv = np.unique(key_mat, axis=0, return_inverse=True)
         ph1 = []
-        ds_dev_csr = _to_device_csr(ds_kmer_flat, ds_off, ds_len)
+        ds_dev_csr = _to_device_csr(
+            ds_kmer_flat, ds_off, ds_len, aux=ds_ord_flat.astype(np.int32)
+        )
+        band_fused = os.environ.get("SHASTA_TPU_BAND_FUSE", "1") != "0"
         for ki in range(uk.shape[0]):
             sel = np.flatnonzero(inv == ki)
             idxs = run_idx[sel]
@@ -1359,6 +1417,7 @@ def align_candidates(
                 ds_kmer_flat, ds_off, ds_len,
                 or0[idxs], or1[idxs], bm, w_k, la_k, lb_k, params,
                 dev_csr=ds_dev_csr,
+                band_fused=band_fused,
             )
             lo = 0
             for entry in pending:
@@ -1368,6 +1427,27 @@ def align_candidates(
         _prof.mark("ph1_dispatch")
         _prefetch_batches(ph1)
         for idx_arr, pending in ph1:
+            if pending[0][0] == "band":
+                # On-device band reduction: 3 ints/pair, already mapped
+                # to original-ordinal offsets.
+                arr = np.asarray(pending[0][1])[: idx_arr.shape[0]]
+                _prof.mark("ph1_collect", accumulate=True)
+                cnt = arr[:, 0].astype(np.int64)
+                bmin = arr[:, 1].astype(np.int64) - params.band_extend
+                bmax = arr[:, 2].astype(np.int64) + params.band_extend
+                # reference: AssemblerAlign3.cpp:233-239
+                ok = (cnt > 0) & (bmax - bmin <= params.max_band)
+                sel = np.flatnonzero(ok)
+                if sel.shape[0]:
+                    ps = idx_arr[sel]
+                    runner.add_many(
+                        or0[ps], or1[ps],
+                        -bmax[sel],
+                        bmax[sel] - bmin[sel] + 1,
+                        ps,
+                    )
+                _prof.mark("ph1_bands_ph2_dispatch", accumulate=True)
+                continue
             _met, rows, cols, vals = _entry_to_flat(pending[0])
             _prof.mark("ph1_collect", accumulate=True)
             # Vectorized band mapping: one flat pass over every matched

@@ -757,6 +757,92 @@ def banded_align_pairs_take(
     )
 
 
+def band_reduce(o1_of_o0, band_min, orda, ordb, *, packed):
+    """Per-pair band bounds from the kernel's matched pairs, ON DEVICE.
+
+    Band discovery (method-3 phase 1) only needs, per pair, the
+    min/max ordinal offset over the matched downsampled markers
+    (reference: AssemblerAlign3.cpp:233-239 computes the same range
+    from the SeqAn alignment). Reducing it on device means a phase-1
+    batch fetches 3 ints per pair instead of the (B, LA) match matrix
+    — ~50x less traffic through the host relay.
+
+    o1_of_o0: packed (B, LA) uint8 deltas (255 = no match; matched
+    column j = delta + i + band_min) or fused int32 (B, LA) matched
+    j per i (-1 = no match). orda/ordb map downsampled indices back
+    to original marker ordinals ((B, LA)/(B, LB), any fill).
+    Returns (B, 3) int32 [match_count, min_offset, max_offset] with
+    offset = orda[i] - ordb[j].
+    """
+    B, LA = o1_of_o0.shape
+    LB = ordb.shape[1]
+    if packed:
+        matched = o1_of_o0 != jnp.uint8(255)
+        i_idx = jnp.arange(LA, dtype=jnp.int32)[None, :]
+        j = o1_of_o0.astype(jnp.int32) + i_idx + band_min[:, None]
+    else:
+        matched = o1_of_o0 >= 0
+        j = o1_of_o0
+    jc = jnp.clip(j, 0, LB - 1)
+    ob = jnp.take_along_axis(ordb, jc, axis=1)
+    off = orda.astype(jnp.int32) - ob.astype(jnp.int32)
+    big = jnp.int32(2**30)
+    omin = jnp.min(jnp.where(matched, off, big), axis=1)
+    omax = jnp.max(jnp.where(matched, off, -big), axis=1)
+    cnt = matched.sum(axis=1).astype(jnp.int32)
+    return jnp.stack([cnt, omin, omax], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("LA", "LB", "W", "match", "mismatch", "gap"),
+)
+def _band_take_jit(
+    mat_a, rowa, ord_mat_a, mat_b, rowb, ord_mat_b,
+    a_len, b_len, band_min,
+    *, LA, LB, W, match, mismatch, gap,
+):
+    a = _take_rows(mat_a, rowa, a_len, fill=-1)
+    b = _take_rows(mat_b, rowb, b_len, fill=-2)
+    pack = W <= 254
+    out = banded_align_pairs(
+        a, a_len, b, b_len, band_min,
+        LA=LA, LB=LB, W=W, match=match, mismatch=mismatch, gap=gap,
+        pack_u8=pack,
+    )
+    orda = _take_rows(ord_mat_a, rowa, a_len, fill=0)
+    ordb = _take_rows(ord_mat_b, rowb, b_len, fill=0)
+    if pack:
+        _met, delta = out
+        return band_reduce(delta, band_min, orda, ordb, packed=True)
+    return band_reduce(out[:, 16:], band_min, orda, ordb, packed=False)
+
+
+def banded_align_band_take(
+    mat_a, rowa, ord_mat_a, mat_b, rowb, ord_mat_b,
+    a_len, b_len, band_min, n_real,
+    *, LA, LB, W, match, mismatch, gap,
+):
+    """Band-discovery launch: take-feed -> banded DP -> on-device band
+    reduction, one fused device program. Returns (B, 3) int32
+    [match_count, min_offset, max_offset] per pair (pairs beyond
+    n_real report count 0)."""
+    rowa = np.asarray(rowa)
+    rowb = np.asarray(rowb)
+    a_len = np.array(a_len, np.int32)
+    b_len = np.array(b_len, np.int32)
+    band_min = np.asarray(band_min, np.int32)
+    n = int(n_real)
+    a_len[n:] = 0
+    b_len[n:] = 0
+    return _band_take_jit(
+        mat_a, jnp.asarray(rowa), ord_mat_a,
+        mat_b, jnp.asarray(rowb), ord_mat_b,
+        jnp.asarray(a_len), jnp.asarray(b_len), jnp.asarray(band_min),
+        LA=LA, LB=LB, W=W, match=match, mismatch=mismatch, gap=gap,
+    )
+
+
 def _invoke(
     a_pad, b_pad, a_len, b_len, band_min, B0, BB,
     *, LA, LB, W, match, mismatch, gap, pack_u8=False

@@ -188,6 +188,79 @@ def test_take_entry_matches_padded_entry():
     assert (got[6:, 0] == 0).all()
 
 
+@pytest.mark.parametrize("W", [128, 288])
+def test_band_take_matches_host_mapping(W):
+    """banded_align_band_take (on-device band reduction, phase 1) must
+    report the same per-pair match count and min/max original-ordinal
+    offset as the host mapping over the fused kernel output — for both
+    the packed (W<=254) and unpacked kernel output paths."""
+    from shasta_tpu.ops.align import _DeviceCsr, _bucket_vec, _LEN_BUCKETS
+
+    LA = LB = 128
+    a, a_len, b, b_len, bm = make_batch(3, B=6, LA=LA, LB=LB, W=W)
+    rows = [a[t, : a_len[t]] for t in range(6)] + [
+        b[t, : b_len[t]] for t in range(6)
+    ]
+    lens = np.array([r.shape[0] for r in rows], np.int32)
+    off = np.zeros(lens.shape[0] + 1, np.int32)
+    np.cumsum(lens, out=off[1:])
+    flat = np.concatenate(rows).astype(np.int32)
+    # Original-ordinal map per row: strictly increasing, like the
+    # downsampled-marker -> ordinal map in align_candidates.
+    rng = np.random.default_rng(5)
+    ords = [
+        np.sort(
+            rng.choice(4 * int(n), size=int(n), replace=False)
+        ).astype(np.int32)
+        for n in lens
+    ]
+    aux = np.concatenate(ords)
+
+    dev = _DeviceCsr(flat, off, lens, aux=aux)
+    assert (_bucket_vec(lens.astype(np.int64), _LEN_BUCKETS) == LA).all()
+    ia = np.arange(6, dtype=np.int64)
+    ib = np.arange(6, 12, dtype=np.int64)
+    pad = 2
+    ia_p = np.concatenate([ia, np.zeros(pad, np.int64)])
+    ib_p = np.concatenate([ib, np.zeros(pad, np.int64)])
+    bm_p = np.concatenate([bm, np.zeros(pad, np.int32)])
+    rowa = dev.local[ia_p].astype(np.int32)
+    rowb = dev.local[ib_p].astype(np.int32)
+    al_p = dev.lens[ia_p].astype(np.int32)
+    bl_p = dev.lens[ib_p].astype(np.int32)
+    al_p[6:] = 0
+    bl_p[6:] = 0
+
+    AP._band_take_jit.clear_cache()
+    try:
+        got = np.asarray(
+            AP.banded_align_band_take(
+                dev.matrix(LA), rowa, dev.aux_matrix(LA),
+                dev.matrix(LB), rowb, dev.aux_matrix(LB),
+                al_p, bl_p, bm_p, np.int32(6),
+                LA=LA, LB=LB, W=W, match=6, mismatch=-1, gap=-1,
+            )
+        )
+    finally:
+        AP._band_take_jit.clear_cache()
+
+    fused = np.asarray(
+        AP.banded_align_pairs(
+            a, a_len, b, b_len, bm, LA=LA, LB=LB, W=W,
+            match=6, mismatch=-1, gap=-1,
+        )
+    )
+    for t in range(6):
+        o0 = np.flatnonzero(fused[t, 16:] >= 0)
+        o1 = fused[t, 16 + o0]
+        assert got[t, 0] == o0.shape[0], t
+        if o0.shape[0]:
+            offv = ords[t][o0].astype(np.int64) - ords[6 + t][o1]
+            assert got[t, 1] == offv.min(), t
+            assert got[t, 2] == offv.max(), t
+    assert (got[6:, 0] == 0).all()
+
+
 def test_csr_bucket_grid():
     from shasta_tpu.ops.align import _csr_bucket
 

@@ -92,6 +92,9 @@ def test_assemble_cli_end_to_end(tmp_path, capsys):
     t.start()
     try:
         for path in ("/", "/read?readId=0&strand=0", "/alignments?readId=0",
+                     # Read lookup by NAME (reference: exploreRead accepts
+                     # a name via readIdsSortedByName).
+                     "/read?readId=read-0&strand=0",
                      "/readGraph?readId=0", "/markerGraph?vertexId=0",
                      "/localReadGraph?readId=0&strand=0",
                      "/localMarkerGraph?vertexId=0&maxDistance=2",
@@ -120,6 +123,11 @@ def test_assemble_cli_end_to_end(tmp_path, capsys):
                 assert r.status == 200
                 body = r.read()
                 assert len(body) > 0
+        # Name lookup resolves to the right read.
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/read?readId=read-1&strand=0"
+        ) as r:
+            assert b"Read 1-0" in r.read()
     finally:
         server.shutdown()
 
