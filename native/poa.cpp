@@ -15,6 +15,9 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <atomic>
+#include <functional>
+#include <thread>
 
 namespace {
 
@@ -246,27 +249,254 @@ void addAlignment(
     g.paths.push_back(std::move(path));
 }
 
-// Column ids: one column per aligned ring, ordered topologically
-// (spoa GenerateMultipleSequenceAlignment).
+// Column ids: one column per aligned ring, ordered by a topological
+// sort of the RING-CONDENSED graph (spoa
+// GenerateMultipleSequenceAlignment). Condensing first guarantees
+// every path visits its columns in increasing order (each path edge
+// u->v becomes a ring(u)->ring(v) constraint), so each MSA row spells
+// its sequence; ordering raw nodes (the previous implementation)
+// could place a ring's column before a path predecessor whose own
+// ring surfaced later, scrambling rare rows.
 void msaColumns(
     const PoaGraph& g,
     std::vector<int32_t>& colOf,
     int32_t& nCols)
 {
-    const std::vector<int32_t> order = g.topoOrder();
-    colOf.assign(g.size(), -1);
-    // Ring representative -> column id, assigned when the first ring
-    // member appears in topological order.
+    const size_t n = g.size();
+    colOf.assign(n, -1);
     nCols = 0;
-    for (int32_t v : order) {
-        if (colOf[v] >= 0) continue;
-        const int32_t col = nCols++;
-        int32_t w = v;
-        do {
-            colOf[w] = col;
-            w = g.alignedNext[w];
-        } while (w != v);
+    if (n == 0) return;
+
+    // Ring representative = smallest node id in the ring.
+    std::vector<int32_t> rep(n, -1);
+    for (size_t v = 0; v < n; v++) {
+        if (rep[v] >= 0) continue;
+        int32_t mn = (int32_t)v;
+        int32_t w = g.alignedNext[v];
+        while (w != (int32_t)v) { mn = std::min(mn, w); w = g.alignedNext[w]; }
+        w = (int32_t)v;
+        do { rep[w] = mn; w = g.alignedNext[w]; } while (w != (int32_t)v);
     }
+
+    // Kahn over condensed super-nodes (parallel edges counted on both
+    // sides; push in reverse id order so lower reps pop first,
+    // deterministic like topoOrder).
+    std::vector<int32_t> indeg(n, 0);
+    for (size_t u = 0; u < n; u++) {
+        for (int32_t v2 : g.succs[u]) {
+            if (rep[u] != rep[v2]) indeg[rep[v2]]++;
+        }
+    }
+    std::vector<int32_t> stack;
+    for (int32_t v = (int32_t)n - 1; v >= 0; v--) {
+        if (rep[v] == v && indeg[v] == 0) stack.push_back(v);
+    }
+    std::vector<int32_t> colOfRep(n, -1);
+    while (!stack.empty()) {
+        const int32_t r = stack.back();
+        stack.pop_back();
+        colOfRep[r] = nCols++;
+        int32_t w = r;
+        do {
+            for (int32_t v2 : g.succs[w]) {
+                if (rep[w] != rep[v2] && --indeg[rep[v2]] == 0) {
+                    stack.push_back(rep[v2]);
+                }
+            }
+            w = g.alignedNext[w];
+        } while (w != r);
+    }
+    // A cycle in the condensation cannot arise from valid alignments;
+    // assign any stragglers in id order rather than crash.
+    for (size_t v = 0; v < n; v++) {
+        if (rep[v] == (int32_t)v && colOfRep[v] < 0) colOfRep[v] = nCols++;
+    }
+    for (size_t v = 0; v < n; v++) colOf[v] = colOfRep[rep[v]];
+}
+
+void consensusThreads(int64_t n, const std::function<void(int64_t, int64_t)>& work)
+{
+    int nThreads = (int)std::thread::hardware_concurrency();
+    if (nThreads < 1) nThreads = 1;
+    if (nThreads > 8) nThreads = 8;
+    if (nThreads == 1 || n < 256) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + nThreads - 1) / nThreads;
+    for (int t = 0; t < nThreads; t++) {
+        int64_t lo = t * chunk, hi = std::min(lo + chunk, n);
+        if (lo >= hi) break;
+        threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
+// One mode-2 marker-graph edge: dedup the fill sequences, POA the
+// distinct ones (decreasing frequency, ties by first encountered),
+// per-column consensus over the occurrences. Mirrors the Python
+// per-edge loop in shasta_tpu/graph/assembly_graph.py exactly
+// (reference: computeMarkerGraphEdgeConsensusSequenceUsingSpoa,
+// src/AssemblerMarkerGraph.cpp:3179-3660).
+// mode: 0 Modal, 1 Median, 2 Bayesian (priors [2*ny], likelihood
+// [4*ny*nx] log10, consensus-base-matching repeats only).
+// Returns the consensus length written at outB/outR + off.
+int64_t edgeConsensus(
+    const uint8_t* fillB, const uint8_t* fillR, const int64_t* fillOff,
+    const int64_t* ivIdx, int64_t iv0, int64_t iv1,
+    int32_t mode,
+    const double* priors, const double* likelihood, int64_t ny, int64_t nx,
+    uint8_t* outB, int32_t* outR, int64_t bound)
+{
+    const int64_t m = iv1 - iv0;
+    if (m <= 0) return 0;
+
+    // Dedup (order-preserving) + occurrence counts.
+    std::vector<int32_t> distOf(m);
+    std::vector<int64_t> distRep;   // representative fill row
+    std::vector<int32_t> distCnt;
+    for (int64_t t = 0; t < m; t++) {
+        const int64_t row = ivIdx[iv0 + t];
+        const uint8_t* s = fillB + fillOff[row];
+        const int64_t len = fillOff[row + 1] - fillOff[row];
+        int32_t d = -1;
+        for (size_t q = 0; q < distRep.size(); q++) {
+            const int64_t r2 = distRep[q];
+            if (fillOff[r2 + 1] - fillOff[r2] != len) continue;
+            if (std::memcmp(fillB + fillOff[r2], s, (size_t)len) == 0) {
+                d = (int32_t)q;
+                break;
+            }
+        }
+        if (d < 0) {
+            d = (int32_t)distRep.size();
+            distRep.push_back(row);
+            distCnt.push_back(0);
+        }
+        distOf[t] = d;
+        distCnt[d]++;
+    }
+    const int32_t nd = (int32_t)distRep.size();
+
+    // MSA row order: decreasing count, ties by first encountered.
+    std::vector<int32_t> order(nd);
+    for (int32_t q = 0; q < nd; q++) order[q] = q;
+    std::stable_sort(order.begin(), order.end(), [&](int32_t x, int32_t y) {
+        return distCnt[x] > distCnt[y];
+    });
+    std::vector<int32_t> rankOf(nd);
+    for (int32_t q = 0; q < nd; q++) rankOf[order[q]] = q;
+
+    // MSA of the distinct sequences: rowBase (nd x width, 255 = gap)
+    // and, per distinct row, the column of each sequence position.
+    int64_t width = 0;
+    std::vector<uint8_t> rowBase;
+    std::vector<std::vector<int32_t>> colOfPos(nd);
+    if (nd == 1) {
+        const int64_t r0 = distRep[0];
+        width = fillOff[r0 + 1] - fillOff[r0];
+        rowBase.assign(fillB + fillOff[r0], fillB + fillOff[r0 + 1]);
+        colOfPos[0].resize(width);
+        for (int64_t c = 0; c < width; c++) colOfPos[0][c] = (int32_t)c;
+    } else {
+        PoaGraph g;
+        std::vector<int32_t> alnNodes, alnPos;
+        for (int32_t q = 0; q < nd; q++) {
+            const int64_t r2 = distRep[order[q]];
+            const uint8_t* s = fillB + fillOff[r2];
+            const int64_t len = fillOff[r2 + 1] - fillOff[r2];
+            alnNodes.clear();
+            alnPos.clear();
+            if (g.size() > 0) alignToGraph(g, s, len, alnNodes, alnPos);
+            addAlignment(g, s, len, alnNodes, alnPos);
+        }
+        std::vector<int32_t> colOf;
+        int32_t nCols = 0;
+        msaColumns(g, colOf, nCols);
+        width = nCols;
+        rowBase.assign((size_t)nd * width, 255);
+        for (int32_t q = 0; q < nd; q++) {
+            const int32_t dq = order[q];  // distinct id at MSA row q
+            auto& cop = colOfPos[dq];
+            cop.reserve(g.paths[q].size());
+            for (int32_t v : g.paths[q]) {
+                rowBase[(size_t)dq * width + colOf[v]] = g.base[v];
+                cop.push_back(colOf[v]);
+            }
+        }
+    }
+    (void)rankOf;
+
+    // Per-(distinct, column) sequence position, for repeat lookup.
+    std::vector<int32_t> posOfCol((size_t)nd * width, -1);
+    for (int32_t d = 0; d < nd; d++) {
+        for (size_t p = 0; p < colOfPos[d].size(); p++) {
+            posOfCol[(size_t)d * width + colOfPos[d][p]] = (int32_t)p;
+        }
+    }
+
+    // Column consensus over the occurrences.
+    int64_t written = 0;
+    std::vector<int32_t> reps;
+    reps.reserve(m);
+    std::vector<double> scores((size_t)std::max<int64_t>(ny, 1));
+    for (int64_t c = 0; c < width; c++) {
+        int32_t bcount[5] = {0, 0, 0, 0, 0};
+        for (int64_t t = 0; t < m; t++) {
+            const uint8_t b = rowBase[(size_t)distOf[t] * width + c];
+            bcount[b == 255 ? 4 : b]++;
+        }
+        int32_t consBase = 0;
+        for (int32_t b = 1; b < 5; b++) {
+            if (bcount[b] > bcount[consBase]) consBase = b;
+        }
+        if (consBase == 4) continue;  // gap consensus: column dropped
+        reps.clear();
+        for (int64_t t = 0; t < m; t++) {
+            const int32_t d = distOf[t];
+            if (rowBase[(size_t)d * width + c] != (uint8_t)consBase) continue;
+            const int32_t p = posOfCol[(size_t)d * width + c];
+            reps.push_back(fillR[fillOff[ivIdx[iv0 + t]] + p]);
+        }
+        int32_t consRep = 0;
+        if (!reps.empty()) {
+            std::sort(reps.begin(), reps.end());
+            if (mode == 0) {  // Modal: most frequent, ties -> smallest
+                int32_t bestCnt = 0;
+                size_t i = 0;
+                while (i < reps.size()) {
+                    size_t jj = i;
+                    while (jj < reps.size() && reps[jj] == reps[i]) jj++;
+                    if ((int32_t)(jj - i) > bestCnt) {
+                        bestCnt = (int32_t)(jj - i);
+                        consRep = reps[i];
+                    }
+                    i = jj;
+                }
+            } else if (mode == 1) {  // Median (upper)
+                consRep = reps[reps.size() / 2];
+            } else {  // Bayesian
+                const int32_t pi = (consBase == 0 || consBase == 3) ? 0 : 1;
+                for (int64_t y = 0; y < ny; y++) scores[y] = priors[pi * ny + y];
+                const double* lik = likelihood + (size_t)consBase * ny * nx;
+                for (int32_t r2 : reps) {
+                    const int64_t x = std::min<int64_t>(r2, nx - 1);
+                    for (int64_t y = 0; y < ny; y++) scores[y] += lik[y * nx + x];
+                }
+                int64_t bestY = 0;
+                for (int64_t y = 1; y < ny; y++) {
+                    if (scores[y] > scores[bestY]) bestY = y;
+                }
+                consRep = (int32_t)bestY;
+            }
+        }
+        if (written >= bound) return -1;
+        outB[written] = (uint8_t)consBase;
+        outR[written] = std::max<int32_t>(consRep, 1);
+        written++;
+    }
+    return written;
 }
 
 }  // namespace
@@ -311,6 +541,38 @@ int64_t poa_msa(
         }
     }
     return nCols;
+}
+
+// Batched mode-2 edge consensus, threaded over edges.
+// fillB/fillR/fillOff: CSR of fill sequences (bases + repeat counts).
+// ivIdx: fill-row index of every used interval; edgeIvOff[e]..[e+1)
+// is edge e's slice of ivIdx. outB/outR are written at outOff[e]
+// (caller bound: the edge's total fill length); outLen[e] receives
+// the consensus length. mode/priors/likelihood per edgeConsensus.
+// Returns 0, or -1 if any edge overflowed its bound.
+int64_t edge_consensus_batch(
+    const uint8_t* fillB, const uint8_t* fillR, const int64_t* fillOff,
+    const int64_t* ivIdx, const int64_t* edgeIvOff, int64_t nEdges,
+    int32_t mode,
+    const double* priors, const double* likelihood, int64_t ny, int64_t nx,
+    uint8_t* outB, int32_t* outR, const int64_t* outOff, int64_t* outLen)
+{
+    std::atomic<int> fail{0};
+    consensusThreads(nEdges, [&](int64_t e0, int64_t e1) {
+        for (int64_t e = e0; e < e1; e++) {
+            const int64_t w = edgeConsensus(
+                fillB, fillR, fillOff, ivIdx, edgeIvOff[e], edgeIvOff[e + 1],
+                mode, priors, likelihood, ny, nx,
+                outB + outOff[e], outR + outOff[e], outOff[e + 1] - outOff[e]);
+            if (w < 0) {
+                fail.store(1);
+                outLen[e] = 0;
+            } else {
+                outLen[e] = w;
+            }
+        }
+    });
+    return fail.load() ? -1 : 0;
 }
 
 }  // extern "C"

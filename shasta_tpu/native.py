@@ -381,6 +381,68 @@ def poa_msa_native(seqs):
     return [mat[i] for i in range(n)]
 
 
+def edge_consensus_batch_native(
+    fill_b: np.ndarray,
+    fill_r: np.ndarray,
+    fill_off: np.ndarray,
+    iv_idx: np.ndarray,
+    edge_iv_off: np.ndarray,
+    mode: int,
+    priors: Optional[np.ndarray] = None,
+    likelihood: Optional[np.ndarray] = None,
+):
+    """Batched mode-2 marker-graph edge consensus (native/poa.cpp
+    edge_consensus_batch, threaded): dedup + POA + column consensus
+    per edge. mode 0=Modal, 1=Median, 2=Bayesian (pass the model's
+    priors (2, ny) and likelihood (4, ny, nx) log10 matrices).
+
+    Returns (seq uint8, rep int32, out_off int64 [n_edges+1] bound
+    layout, out_len int64 [n_edges]) or None if the library is
+    unavailable / an edge overflowed its bound."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    fill_b = np.ascontiguousarray(fill_b, np.uint8)
+    fill_r = np.ascontiguousarray(fill_r, np.uint8)
+    fill_off = np.ascontiguousarray(fill_off, np.int64)
+    iv_idx = np.ascontiguousarray(iv_idx, np.int64)
+    edge_iv_off = np.ascontiguousarray(edge_iv_off, np.int64)
+    n_edges = edge_iv_off.shape[0] - 1
+    # Bound: each edge's consensus is at most its total fill length.
+    lens = fill_off[iv_idx + 1] - fill_off[iv_idx]
+    per_edge = np.add.reduceat(
+        lens, edge_iv_off[:-1]
+    ) if n_edges else np.zeros(0, np.int64)
+    per_edge = np.where(np.diff(edge_iv_off) > 0, per_edge, 0)
+    out_off = np.zeros(n_edges + 1, np.int64)
+    np.cumsum(per_edge, out=out_off[1:])
+    out_b = np.empty(int(out_off[-1]), np.uint8)
+    out_r = np.empty(int(out_off[-1]), np.int32)
+    out_len = np.zeros(n_edges, np.int64)
+    if mode == 2:
+        priors = np.ascontiguousarray(priors, np.float64)
+        likelihood = np.ascontiguousarray(likelihood, np.float64)
+        ny, nx = likelihood.shape[1], likelihood.shape[2]
+        pp = priors.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        lp = likelihood.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    else:
+        ny = nx = 0
+        pp = lp = ctypes.POINTER(ctypes.c_double)()
+    fn = lib.edge_consensus_batch
+    fn.restype = ctypes.c_int64
+    rc = fn(
+        _u8p(fill_b), _u8p(fill_r), _i64p(fill_off),
+        _i64p(iv_idx), _i64p(edge_iv_off), ctypes.c_int64(n_edges),
+        ctypes.c_int32(mode),
+        pp, lp, ctypes.c_int64(ny), ctypes.c_int64(nx),
+        _u8p(out_b), out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _i64p(out_off), _i64p(out_len),
+    )
+    if rc != 0:
+        return None
+    return out_b, out_r, out_off, out_len
+
+
 def near_strand_jump_native(graph, n_reads: int, max_distance: int):
     """Per-oriented-read near-strand-jump flags (strand separation
     method 1 phase 1), or None if the native library is unavailable."""

@@ -220,3 +220,54 @@ def test_bayesian_consensus_columns_matches_percolumn():
             assert cb[c] == b, c
             if b != GAP:
                 assert cr[c] == r, c
+
+
+@pytest.mark.slow
+def test_edge_consensus_fast_paths_match_loop(monkeypatch):
+    """The native batched consensus (edge_consensus_batch) and the
+    vectorized uniform-fill path must produce exactly the per-edge
+    loop's output for every caller, on noisy data (polymorphic
+    bubbles exercise the POA path)."""
+    import os
+
+    from shasta_tpu import native
+    from shasta_tpu.consensus.bayesian import BayesianConsensusCaller
+    from shasta_tpu.consensus.caller import (
+        MedianConsensusCaller,
+        ModalConsensusCaller,
+    )
+    from shasta_tpu.graph.assembly_graph import assemble_marker_graph_edges
+    from tests.test_marker_graph import full_pipeline_to_marker_graph
+
+    reads, markers, mg = full_pipeline_to_marker_graph(
+        genome_size=12000, n_reads=90, read_len=2500, seed=17,
+        error_rate=0.01,
+    )
+
+    def run(caller, native_on, uniform_on):
+        monkeypatch.setenv(
+            "SHASTA_TPU_NATIVE_CONSENSUS", "1" if native_on else "0"
+        )
+        monkeypatch.setenv(
+            "SHASTA_TPU_UNIFORM_FAST", "1" if uniform_on else "0"
+        )
+        return assemble_marker_graph_edges(reads, markers, mg, caller=caller)
+
+    for caller in (
+        ModalConsensusCaller(),
+        MedianConsensusCaller(),
+        BayesianConsensusCaller(),
+    ):
+        name = caller.name
+        ref = run(caller, False, False)
+        uni = run(caller, False, True)
+        for f in ("offsets", "seq", "rep", "overlap"):
+            assert np.array_equal(
+                getattr(ref, f), getattr(uni, f)
+            ), (name, "uniform", f)
+        if native.available():
+            nat = run(caller, True, False)
+            for f in ("offsets", "seq", "rep", "overlap"):
+                assert np.array_equal(
+                    getattr(ref, f), getattr(nat, f)
+                ), (name, "native", f)
