@@ -4,12 +4,13 @@
 
 Usage: WriteAlignmentDetails.py <runDir> [output.csv]
 """
+import os
 import sys
 
 from _common import open_run
 
 a = open_run(sys.argv)
-out = sys.argv[2] if len(sys.argv) > 2 else "AlignmentDetails.csv"
+out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(a.run_dir, "AlignmentDetails.csv")
 al = a.alignments
 with open(out, "w") as f:
     f.write("AlignmentId,ReadId0,ReadId1,SameStrand,Ordinal0,Ordinal1\n")

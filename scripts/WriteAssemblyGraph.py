@@ -4,6 +4,7 @@ marker-graph chains) (reference: scripts/WriteAssemblyGraph.py).
 
 Usage: WriteAssemblyGraph.py <runDir> [output.csv]
 """
+import os
 import sys
 
 from _common import open_run
@@ -11,7 +12,7 @@ from shasta_tpu.graph.assembly_graph import AssemblyGraph
 
 a = open_run(sys.argv)
 ag = AssemblyGraph.from_arrays(a.store.load_stage("AssemblyGraph"))
-out = sys.argv[2] if len(sys.argv) > 2 else "AssemblyGraph.csv"
+out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(a.run_dir, "AssemblyGraph.csv")
 with open(out, "w") as f:
     f.write("Segment,Source,Target,MarkerGraphEdgeCount,IsAssembled\n")
     for e in range(ag.edge_count):

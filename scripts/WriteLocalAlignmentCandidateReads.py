@@ -6,6 +6,7 @@ oriented read in the alignment candidate graph
 Usage: WriteLocalAlignmentCandidateReads.py <runDir> --readId N --strand S --maxDistance D
 """
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -49,6 +50,7 @@ while frontier:
     frontier = nxt
 name = (f"LocalAlignmentCandidates-{args.readId}-{args.strand}-"
         f"{args.maxDistance}.fasta")
+name = os.path.join(a.run_dir, name)
 with open(name, "w") as f:
     for orid in sorted(dist):
         rid, s = orid // 2, orid % 2

@@ -6,6 +6,7 @@ oriented read in the read graph
 Usage: WriteLocalReadGraphReads.py <runDir> --readId N --strand S --maxDistance D
 """
 import argparse
+import os
 import sys
 
 from _common import open_run
@@ -39,6 +40,7 @@ while frontier:
                 nxt.append(v)
     frontier = nxt
 name = f"LocalReadGraph-{args.readId}-{args.strand}-{args.maxDistance}.fasta"
+name = os.path.join(a.run_dir, name)
 with open(name, "w") as f:
     for orid in sorted(dist):
         rid, s = orid // 2, orid % 2

@@ -4,6 +4,7 @@
 
 Usage: WriteMarkersFrequency.py <runDir> [output.csv]
 """
+import os
 import sys
 
 import numpy as np
@@ -18,7 +19,7 @@ def kmer_str(kmer_id: int, k: int) -> str:
 
 
 a = open_run(sys.argv)
-out = sys.argv[2] if len(sys.argv) > 2 else "MarkersFrequency.csv"
+out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(a.run_dir, "MarkersFrequency.csv")
 k = a.markers.k
 counts = np.bincount(a.markers.kmer_ids, minlength=4 ** k)
 nz = np.flatnonzero(counts)

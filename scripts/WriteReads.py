@@ -3,13 +3,14 @@
 
 Usage: WriteReads.py <runDir> [output.fasta]
 """
+import os
 import sys
 
 from _common import open_run
 from shasta_tpu.data import bases as B
 
 a = open_run(sys.argv)
-out = sys.argv[2] if len(sys.argv) > 2 else "Reads.fasta"
+out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(a.run_dir, "Reads.fasta")
 with open(out, "w") as f:
     for rid in range(a.reads.read_count):
         f.write(f">{a.reads.names[rid]}\n")

@@ -14,12 +14,17 @@ matrix bound are capped; by default only observations matching the
 consensus base contribute (ignoreNonConsensusBaseRepeats, :136).
 
 Model sources:
-- the 8 packaged trained models in ``consensus/models/*.csv`` —
-  the reference's built-in basecaller models (guppy-2.3.1-a ...
-  guppy-5.0.7-b, bonito-0.3.1-a, r10-guppy-3.4.8-a), extracted as
-  data tables from the builtin headers
-  (reference: src/SimpleBayesianConsensusCaller-Builtin-*.hpp) into
-  the reference's own CSV model format;
+- the 9 packaged trained models in ``consensus/models/*.csv`` —
+  extracted from the reference's own shipped model data: the 8
+  built-in basecaller models (guppy-2.3.1-a ... guppy-5.0.7-b,
+  bonito-0.3.1-a, r10-guppy-3.4.8-a) from the numeric tables in the
+  builtin headers
+  (reference: src/SimpleBayesianConsensusCaller-Builtin-*.hpp), plus
+  ecoli-flipflop-k12 from conf/SimpleBayesianConsensusCaller-2.csv,
+  re-serialized into the reference's own CSV model format.
+  ``Bayesian:{N}`` numbered names (the reference's
+  conf/SimpleBayesianConsensusCaller-{N}.csv family) resolve through
+  ``_NUMBERED_ALIASES``;
 - a CSV file in the reference's format (sections ">AT prior",
   ">GC prior", ">A likelihood" ... — conf/SimpleBayesianConsensusCaller-*.csv);
 - a built-in parametric model ("default") with a geometric-tailed
@@ -116,6 +121,23 @@ def parametric_model(
 
 _PACKAGED_MODEL_DIR = os.path.join(os.path.dirname(__file__), "models")
 
+# The reference ships the same trained matrices twice: as built-in
+# headers (src/SimpleBayesianConsensusCaller-Builtin-*.hpp) and as
+# numbered conf CSVs (conf/SimpleBayesianConsensusCaller-{N}.csv).
+# Verified value-identical pairings; N=2 (E. coli flipflop) exists
+# only as a conf CSV and is packaged as ecoli-flipflop-k12.
+_NUMBERED_ALIASES = {
+    "2": "ecoli-flipflop-k12",
+    "3": "guppy-2.3.1-a",
+    "5": "guppy-3.0.5-a",
+    "6": "guppy-3.4.4-a",
+    "7": "guppy-3.6.0-a",
+    "8": "r10-guppy-3.4.8-a",
+    "9": "bonito-0.3.1-a",
+    "10": "guppy-5.0.7-a",
+    "11": "guppy-5.0.7-b",
+}
+
 
 def builtin_model_names() -> List[str]:
     """Names of the packaged trained models."""
@@ -131,6 +153,7 @@ def resolve_model(name: str) -> BayesianModel:
     a packaged trained model, or the parametric fallback."""
     if os.path.exists(name):
         return load_model_csv(name)
+    name = _NUMBERED_ALIASES.get(name, name)
     model_dir = os.environ.get("SHASTA_TPU_BAYESIAN_MODEL_DIR", "")
     for d in ([model_dir] if model_dir else []) + [_PACKAGED_MODEL_DIR]:
         p = os.path.join(d, f"{name}.csv")

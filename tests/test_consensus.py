@@ -121,6 +121,31 @@ def test_bayesian_builtin_models():
         assert abs(r - rep) <= 1, (rep, r)
 
 
+def test_bayesian_numbered_aliases():
+    """Every numbered Bayesian model name the reference ships as a
+    conf CSV (reference: conf/SimpleBayesianConsensusCaller-{N}.csv,
+    N in 2,3,5..11) resolves to a real trained matrix, not the
+    parametric fallback (VERDICT r2 item 9)."""
+    import warnings
+
+    from shasta_tpu.consensus.bayesian import (
+        _NUMBERED_ALIASES,
+        builtin_model_names,
+        resolve_model,
+    )
+
+    assert "ecoli-flipflop-k12" in builtin_model_names()
+    for num, name in _NUMBERED_ALIASES.items():
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # fallback warns — fail then
+            m = resolve_model(num)
+        assert m.name != "parametric-default", num
+        assert m.name == resolve_model(name).name
+    # The one model with no builtin header carries the reference's
+    # model name from conf/SimpleBayesianConsensusCaller-2.csv.
+    assert "flipflop" in resolve_model("2").name.lower()
+
+
 def test_center_star_msa_identical():
     s = np.array([0, 1, 2, 3], np.uint8)
     rows = MSA.center_star_msa([s, s.copy(), s.copy()])
