@@ -47,6 +47,20 @@ def initialize(
     global _initialized
     if _initialized:
         return
+    try:
+        # Already initialized by the launcher or the caller (the
+        # multi-host entry path): adopt that state. Checked directly on
+        # the distributed global state because probing via
+        # jax.process_count() would itself initialize the XLA backend,
+        # and calling jax.distributed.initialize() again — even to have
+        # it fail — can start a second stray coordinator service.
+        from jax._src.distributed import global_state as _gs
+
+        if _gs.client is not None or _gs.coordinator_address is not None:
+            _initialized = True
+            return
+    except (ImportError, AttributeError):  # pragma: no cover
+        pass
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -71,7 +85,7 @@ def initialize(
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
         msg = str(e).lower()
-        if "already" in msg:
+        if "already" in msg or "only be called once" in msg:
             # Initialized by the launcher (or a previous caller in
             # this process) — that is the state we want.
             pass
@@ -151,6 +165,13 @@ def run_assembly_distributed(
     from shasta_tpu.pipeline.assemble import run_assembly
 
     initialize()
+    # Bring the backend up NOW: the global topology exchange behind
+    # jax.devices() is a collective with a bounded timeout, so it must
+    # run while every process is at the same point — not lazily at the
+    # first device use, which can be minutes into a skewed host-side
+    # parsing phase on another process.
+    jax.devices()
+    barrier("assembly-start")
     mesh = global_mesh()
     files = shard_input_files(input_files)
     # SPMD: every process executes the same pipeline (the host-side

@@ -50,6 +50,32 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "pairs") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def fetch(x) -> np.ndarray:
+    """Device->host fetch that also works for global arrays spanning
+    non-addressable devices (multi-process meshes): reshard to fully
+    replicated first (an all_gather over the mesh), then read the local
+    copy. Every process must call this at the same point — true for
+    the pipeline's SPMD-replicated host passes."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    rep = jax.jit(
+        lambda a: a,
+        out_shardings=NamedSharding(x.sharding.mesh, P()),
+    )(x)
+    return np.asarray(rep)
+
+
+def fetch_tree(x):
+    """``fetch`` mapped over a tuple/list of arrays."""
+    if isinstance(x, (tuple, list)):
+        return type(x)(fetch_tree(e) for e in x)
+    return fetch(x)
+
+
+def multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
 # ---------------------------------------------------------------------------
 # Sharded banded alignment (data-parallel over candidate pairs)
 # ---------------------------------------------------------------------------
@@ -86,7 +112,8 @@ def sharded_banded_forward(
         out_specs=(P(axis), P(axis), P(axis)),
         check_rep=False,
     )
-    return jax.jit(fn)(a, a_len, b, b_len, band_min)
+    out = jax.jit(fn)(a, a_len, b, b_len, band_min)
+    return fetch_tree(out) if multiprocess() else out
 
 
 def sharded_forward_traceback(
@@ -125,7 +152,11 @@ def sharded_forward_traceback(
         out_specs=(P(None, axis), P(None, axis)),
         check_rep=False,
     )
-    return jax.jit(fn)(a, a_len, b, b_len, band_min)
+    out = jax.jit(fn)(a, a_len, b, b_len, band_min)
+    # Multi-process meshes: the pair-sharded outputs span devices of
+    # other processes; materialize the full result on every host so
+    # the (replicated) host passes stay in lockstep.
+    return fetch_tree(out) if multiprocess() else out
 
 
 # ---------------------------------------------------------------------------
@@ -173,7 +204,8 @@ def sharded_lowhash_step(
         out_specs=(P(axis), P(axis), P()),
         check_rep=False,
     )
-    return jax.jit(fn)(features)
+    out = jax.jit(fn)(features)
+    return fetch_tree(out) if multiprocess() else out
 
 
 def sharded_find_candidates(
@@ -236,7 +268,8 @@ def sharded_find_candidates(
             out_specs=P(axis),
             check_rep=False,
         )
-        return fn(buf)
+        out = fn(buf)
+        return fetch(out) if multiprocess() else out
 
     pair_keys = []
     for it in range(params.iteration_count):
@@ -417,7 +450,8 @@ def sharded_pallas_align(
         out_specs=P(axis),
         check_rep=False,
     )
-    return jax.jit(fn)(a, a_len, b, b_len, band_min)
+    out = jax.jit(fn)(a, a_len, b, b_len, band_min)
+    return fetch(out) if multiprocess() else out
 
 
 def sharded_union_find_labels(

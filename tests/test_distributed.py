@@ -1,8 +1,14 @@
-"""Multi-host entry points (single-process degenerate case; the
-multi-device data path itself is covered by test_mesh_pipeline.py on
-the 8-virtual-device CPU mesh)."""
+"""Multi-host entry points: the single-process degenerate case, plus a
+REAL 2-process run — two subprocesses coordinated through
+jax.distributed (Gloo CPU collectives, 4 virtual devices each forming
+one 8-device global mesh) executing ``run_assembly_distributed`` to
+byte-identical output (the multi-device data path itself is also
+covered by test_mesh_pipeline.py on the 8-virtual-device CPU mesh)."""
 
 import os
+import socket
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -45,3 +51,59 @@ def test_run_assembly_distributed(tmp_path):
     assert summary is not None
     assert summary["assembledSegmentCount"] >= 1
     assert os.path.exists(os.path.join(run_dir, "Assembly.fasta"))
+
+
+@pytest.mark.slow
+def test_two_process_distributed_identity(tmp_path):
+    """Launch TWO coordinated processes (subprocess + jax.distributed)
+    and assert ``run_assembly_distributed`` on host 0 writes output
+    byte-identical to a 1-process run on the same input. Executes the
+    p>1 paths: the Gloo topology exchange, allgather_to_hosts, barrier,
+    the sharded LowHash all_to_all and union-find over a mesh spanning
+    two processes, and the non-addressable-output fetch
+    (parallel/mesh.py:fetch)."""
+    genome = synth.random_genome(15000, seed=301)
+    reads = synth.sample_reads(genome, 90, 3000, seed=302, both_strands=True)
+    fa = os.path.join(tmp_path, "r.fasta")
+    synth.write_fasta(fa, reads)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    child = os.path.join(os.path.dirname(__file__), "_distributed_child.py")
+    env = dict(os.environ)
+    env.pop("PYTEST_CURRENT_TEST", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, child, str(i), "2", f"localhost:{port}",
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=570)
+            outs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:  # exact PIDs only — never pattern kills
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"child {i} failed:\n{out[-3000:]}"
+        assert f"CHILD{i} OK" in out
+
+    # 1-process reference on the same input, in this process.
+    from shasta_tpu.parallel import distributed as D
+
+    solo = D.run_assembly_distributed(
+        [fa], os.path.join(tmp_path, "run_solo"), small_config()
+    )
+    assert solo is not None and solo["assembledSegmentCount"] >= 1
+    for name in ("Assembly.fasta", "Assembly.gfa"):
+        with open(os.path.join(tmp_path, "run_solo", name), "rb") as f:
+            a = f.read()
+        with open(os.path.join(tmp_path, "run_dist", name), "rb") as f:
+            b = f.read()
+        assert a == b, f"{name} differs between 1-process and 2-process runs"
