@@ -714,8 +714,14 @@ class _DeviceCsr:
         off: np.ndarray,
         lens: np.ndarray,
         aux: Optional[np.ndarray] = None,
+        mesh=None,
     ):
         import jax.numpy as jnp
+
+        # Multi-device mesh: class matrices replicate over the mesh
+        # (read-only shared data, the analog of the reference's
+        # shared-memory reads, src/MemoryMappedVector.hpp:72-97).
+        self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
 
         nf = _csr_bucket(max(flat.shape[0], 1))
         flat_p = np.full(nf, -3, np.int32)
@@ -761,6 +767,10 @@ class _DeviceCsr:
             m = _build_class_matrix(
                 self.flat_dev, jnp.asarray(off_sel), jnp.asarray(len_sel), L=L
             )
+            if self.mesh is not None:
+                from shasta_tpu.parallel.mesh import put_replicated
+
+                m = put_replicated(m, self.mesh)
             self._mats[L] = m
         return m
 
@@ -778,6 +788,10 @@ class _DeviceCsr:
             m = _build_class_matrix(
                 self.aux_dev, jnp.asarray(off_sel), jnp.asarray(len_sel), L=L
             )
+            if self.mesh is not None:
+                from shasta_tpu.parallel.mesh import put_replicated
+
+                m = put_replicated(m, self.mesh)
             self._aux_mats[L] = m
         return m
 
@@ -799,12 +813,15 @@ def _to_device_csr(
     aux: Optional[np.ndarray] = None,
 ):
     """Build the device-side batch-construction structure, or None when
-    the Pallas path is off or a multi-device mesh handles batching."""
+    the Pallas path is off. Under a multi-device mesh the class
+    matrices are placed replicated over the mesh and the take shards
+    over pairs (parallel/mesh.py:sharded_align_take) — the mesh keeps
+    the fast feed instead of falling back to host-side row padding."""
     from shasta_tpu.parallel.context import current_mesh
 
-    if not _pallas_available() or current_mesh() is not None:
+    if not _pallas_available():
         return None
-    return _DeviceCsr(flat, off, lens, aux=aux)
+    return _DeviceCsr(flat, off, lens, aux=aux, mesh=current_mesh())
 
 
 def _dispatch_csr(
@@ -837,7 +854,7 @@ def _dispatch_csr(
 
     n = ids_a.shape[0]
     use_pallas, mesh, mesh_d = _dispatch_mode(LA, W)
-    device_gather = dev_csr is not None and use_pallas and mesh_d == 1
+    device_gather = dev_csr is not None and use_pallas
     pending = []
     for lo, hi, B in _batch_plan(n, LA, LB, W, use_pallas, mesh_d):
         pad = B - (hi - lo)
@@ -870,30 +887,58 @@ def _dispatch_csr(
                 rowa[hi - lo :] = 0
                 rowb[hi - lo :] = 0
             if band_fused and dev_csr.aux_dev is not None:
-                out = align_pallas.banded_align_band_take(
-                    dev_csr.matrix(LA), rowa, dev_csr.aux_matrix(LA),
-                    dev_csr.matrix(LB), rowb, dev_csr.aux_matrix(LB),
-                    a_len, b_len, bm, np.int32(hi - lo),
-                    LA=LA, LB=LB, W=W,
-                    match=params.match_score,
-                    mismatch=params.mismatch_score,
-                    gap=params.gap_score,
-                )
+                if mesh_d > 1:
+                    from shasta_tpu.parallel.mesh import sharded_band_take
+
+                    out = sharded_band_take(
+                        mesh,
+                        dev_csr.matrix(LA), rowa, dev_csr.aux_matrix(LA),
+                        dev_csr.matrix(LB), rowb, dev_csr.aux_matrix(LB),
+                        a_len, b_len, bm,
+                        LA=LA, LB=LB, W=W,
+                        match=params.match_score,
+                        mismatch=params.mismatch_score,
+                        gap=params.gap_score,
+                    )
+                else:
+                    out = align_pallas.banded_align_band_take(
+                        dev_csr.matrix(LA), rowa, dev_csr.aux_matrix(LA),
+                        dev_csr.matrix(LB), rowb, dev_csr.aux_matrix(LB),
+                        a_len, b_len, bm, np.int32(hi - lo),
+                        LA=LA, LB=LB, W=W,
+                        match=params.match_score,
+                        mismatch=params.mismatch_score,
+                        gap=params.gap_score,
+                    )
                 pending.append(("band", out, hi - lo))
                 continue
             pack = (
                 W <= 254
                 and os.environ.get("SHASTA_TPU_PACKU8", "1") != "0"
             )
-            out = align_pallas.banded_align_pairs_take(
-                dev_csr.matrix(LA), rowa, dev_csr.matrix(LB), rowb,
-                a_len, b_len, bm, np.int32(hi - lo),
-                LA=LA, LB=LB, W=W,
-                match=params.match_score,
-                mismatch=params.mismatch_score,
-                gap=params.gap_score,
-                pack_u8=pack,
-            )
+            if mesh_d > 1:
+                from shasta_tpu.parallel.mesh import sharded_align_take
+
+                out = sharded_align_take(
+                    mesh,
+                    dev_csr.matrix(LA), rowa, dev_csr.matrix(LB), rowb,
+                    a_len, b_len, bm,
+                    LA=LA, LB=LB, W=W,
+                    match=params.match_score,
+                    mismatch=params.mismatch_score,
+                    gap=params.gap_score,
+                    pack_u8=pack,
+                )
+            else:
+                out = align_pallas.banded_align_pairs_take(
+                    dev_csr.matrix(LA), rowa, dev_csr.matrix(LB), rowb,
+                    a_len, b_len, bm, np.int32(hi - lo),
+                    LA=LA, LB=LB, W=W,
+                    match=params.match_score,
+                    mismatch=params.mismatch_score,
+                    gap=params.gap_score,
+                    pack_u8=pack,
+                )
             if pack:
                 met_dev, delta_dev = out
                 pending.append(("p2", (met_dev, delta_dev, bm), hi - lo))

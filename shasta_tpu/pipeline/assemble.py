@@ -283,11 +283,10 @@ class Assembler:
                 self.candidates = LH.all_pairs_candidates(
                     self.reads.read_count, self.reads.is_palindromic
                 )
-            elif (
-                self.mesh is not None
-                and self.mesh.devices.size > 1
-                and cm.version == 0
-            ):
+            elif self.mesh is not None and cm.version == 0:
+                # (A 1-device mesh runs the same sharded code — the
+                # all_to_all degenerates — so single-chip mesh runs
+                # exercise this path on real hardware.)
                 # LowHash buckets exchanged via device all-to-all
                 # (reference analog: the shared-memory bucket fill,
                 # src/LowHash0.cpp:169-182). Produces the identical
@@ -527,7 +526,7 @@ class Assembler:
             )
             _mark("gather_unite_pairs")
             labels = None
-            if self.mesh is not None and self.mesh.devices.size > 1:
+            if self.mesh is not None:
                 # Union-find min-hooking rounds run edge-parallel over
                 # the mesh (reference analog: the lock-free CAS DSU,
                 # src/dset64-gccAtomic.hpp); the wrapper verifies

@@ -364,3 +364,95 @@ def test_chunked_selected_for_oversized_shapes():
     assert AP._block_pairs(8192, 128) == 0
     assert AP._chunked_block_pairs(8192, 8192, 128) >= 32
     assert AP.supported(8192, 128)
+
+
+def test_mesh_take_feed_matches_single_device():
+    """The meshed take-feed (class matrices replicated over the mesh,
+    pairs sharded — parallel/mesh.py sharded_align_take /
+    sharded_band_take) must produce output identical to the
+    single-device take entries, so a multi-chip mesh keeps the fast
+    device-side batch construction (VERDICT r2 item 2)."""
+    from shasta_tpu.ops.align import _DeviceCsr, _bucket_vec, _LEN_BUCKETS
+    from shasta_tpu.parallel import mesh as M
+
+    mesh = M.make_mesh()  # the 8 virtual CPU devices
+    assert mesh.devices.size == 8
+
+    LA = LB = W = 128
+    a, a_len, b, b_len, bm = make_batch(9, B=6, LA=LA, LB=LB, W=W)
+    rows = [a[t, : a_len[t]] for t in range(6)] + [
+        b[t, : b_len[t]] for t in range(6)
+    ]
+    lens = np.array([r.shape[0] for r in rows], np.int32)
+    off = np.zeros(lens.shape[0] + 1, np.int32)
+    np.cumsum(lens, out=off[1:])
+    flat = np.concatenate(rows).astype(np.int32)
+    rng = np.random.default_rng(13)
+    ords = [
+        np.sort(rng.choice(4 * int(n), size=int(n), replace=False)).astype(
+            np.int32
+        )
+        for n in lens
+    ]
+    aux = np.concatenate(ords)
+
+    dev = _DeviceCsr(flat, off, lens, aux=aux)
+    dev_m = _DeviceCsr(flat, off, lens, aux=aux, mesh=mesh)
+    assert dev_m.mesh is mesh
+    assert (_bucket_vec(lens.astype(np.int64), _LEN_BUCKETS) == LA).all()
+
+    # 6 live pairs padded to 8 (divisible by the mesh).
+    ia_p = np.concatenate([np.arange(6), np.zeros(2)]).astype(np.int64)
+    ib_p = np.concatenate([np.arange(6, 12), np.zeros(2)]).astype(np.int64)
+    bm_p = np.concatenate([bm, np.zeros(2, np.int32)])
+    rowa = dev.local[ia_p].astype(np.int32)
+    rowb = dev.local[ib_p].astype(np.int32)
+    al_p = dev.lens[ia_p].astype(np.int32)
+    bl_p = dev.lens[ib_p].astype(np.int32)
+    al_p[6:] = 0
+    bl_p[6:] = 0
+
+    M._align_take_fn.cache_clear()
+    M._band_take_fn.cache_clear()
+    AP._band_take_jit.clear_cache()
+    try:
+        for pack in (False, True):
+            ref = AP.banded_align_pairs_take(
+                dev.matrix(LA), rowa, dev.matrix(LB), rowb,
+                al_p, bl_p, bm_p, np.int32(6),
+                LA=LA, LB=LB, W=W, match=6, mismatch=-1, gap=-1,
+                pack_u8=pack,
+            )
+            got = M.sharded_align_take(
+                mesh, dev_m.matrix(LA), rowa, dev_m.matrix(LB), rowb,
+                al_p, bl_p, bm_p,
+                LA=LA, LB=LB, W=W, match=6, mismatch=-1, gap=-1,
+                pack_u8=pack,
+            )
+            if pack:
+                assert np.array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+                assert np.array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+            else:
+                assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+        band_ref = np.asarray(
+            AP.banded_align_band_take(
+                dev.matrix(LA), rowa, dev.aux_matrix(LA),
+                dev.matrix(LB), rowb, dev.aux_matrix(LB),
+                al_p, bl_p, bm_p, np.int32(6),
+                LA=LA, LB=LB, W=W, match=6, mismatch=-1, gap=-1,
+            )
+        )
+        band_got = np.asarray(
+            M.sharded_band_take(
+                mesh, dev_m.matrix(LA), rowa, dev_m.aux_matrix(LA),
+                dev_m.matrix(LB), rowb, dev_m.aux_matrix(LB),
+                al_p, bl_p, bm_p,
+                LA=LA, LB=LB, W=W, match=6, mismatch=-1, gap=-1,
+            )
+        )
+        assert np.array_equal(band_got, band_ref)
+    finally:
+        M._align_take_fn.cache_clear()
+        M._band_take_fn.cache_clear()
+        AP._band_take_jit.clear_cache()

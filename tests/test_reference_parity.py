@@ -102,6 +102,65 @@ def test_output_file_family_and_golden_metrics(tmp_path):
     }
 
 
+STAGE_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "mode0_stage_hashes.json"
+)
+
+
+def _stage_hashes(run_dir):
+    """Per-stage content hashes of every persisted stage manifest
+    (VERDICT r2 item 5: a regression in any stage must NAME that
+    stage, not just move an end-of-run scalar). Hash = sha256 over
+    each array's name, dtype, shape and raw bytes."""
+    import hashlib
+
+    from shasta_tpu.data.store import RunStore
+
+    store = RunStore(run_dir, create=False)
+    out = {}
+    for stage in sorted(store.stage_names()):
+        h = hashlib.sha256()
+        arrays = store.load_stage(stage)
+        for name in sorted(arrays):
+            a = np.ascontiguousarray(arrays[name])
+            h.update(name.encode())
+            h.update(str(a.dtype).encode())
+            h.update(str(a.shape).encode())
+            h.update(a.tobytes())
+        out[stage] = h.hexdigest()
+    return out
+
+
+@pytest.mark.slow
+def test_per_stage_golden_hashes(tmp_path):
+    """Fixed-seed run: every stage manifest (reads, markers,
+    candidates, alignments, read graph, marker graph, assembly) hashes
+    to its pinned value — the stage-localized regression net the
+    reference gets from its persisted Data/ files (reference:
+    scripts/CreateMarkerGraphVertices.py stage-wise rerun discipline).
+    Regenerate deliberately with SHASTA_TPU_REGEN_GOLDEN=1."""
+    run_dir, _summary = _golden_run(tmp_path)
+    got = _stage_hashes(run_dir)
+    assert len(got) >= 8, sorted(got)
+
+    if os.environ.get("SHASTA_TPU_REGEN_GOLDEN"):
+        os.makedirs(os.path.dirname(STAGE_GOLDEN), exist_ok=True)
+        with open(STAGE_GOLDEN, "w") as f:
+            json.dump(got, f, indent=2, sort_keys=True)
+        pytest.skip("stage golden regenerated")
+    assert os.path.exists(STAGE_GOLDEN), (
+        "stage golden missing; run with SHASTA_TPU_REGEN_GOLDEN=1"
+    )
+    with open(STAGE_GOLDEN) as f:
+        want = json.load(f)
+    assert sorted(got) == sorted(want), (
+        "stage set changed — regenerate deliberately",
+        sorted(set(got) ^ set(want)),
+    )
+    bad = [s for s in sorted(want) if got[s] != want[s]]
+    assert not bad, f"stage output changed in: {bad}"
+
+
 @pytest.mark.slow
 def test_reference_tinytest_asset(tmp_path):
     """Run on the reference's own CI smoke input
