@@ -127,6 +127,59 @@ def kernel_roofline(seed=11):
     return B * LA * W / per_kernel / 1e9, B / per_kernel
 
 
+def vpu_peak(seed=23):
+    """Measured VPU int32 ceiling on THIS chip: a jitted pure
+    elementwise add/max chain over a VMEM-friendly (1024, 512) int32
+    tile (8 ops per element per iteration), timed with the same
+    two-length fori_loop subtraction as kernel_roofline so launch and
+    fetch overhead cancel. XLA fuses the chain into one VPU loop, so
+    ops/s here is the practical elementwise int32 ceiling the DP
+    kernel is compared against (kernel_pct_peak)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    x0 = jnp.asarray(rng.integers(-1000, 1000, (1024, 512)).astype(np.int32))
+    ELEMS = 1024 * 512
+    OPS_PER_ITER = 8
+
+    @functools.partial(jax.jit, static_argnames=("K",))
+    def chain(x, K):
+        def body(i, y):
+            # 8 dependent elementwise int32 ops; the iota-free adds of
+            # i keep every iteration data-dependent on the index so
+            # nothing folds away.
+            y = y + i
+            y = jnp.maximum(y, y - 3)
+            y = y + (y >> 1)
+            y = jnp.maximum(y, i - y)
+            y = y ^ i
+            y = y + 7
+            y = jnp.maximum(y, 0)
+            y = y - (i & 3)
+            return y
+
+        return jax.lax.fori_loop(0, K, body, x).sum()
+
+    K0, K1 = 64, 1088
+    np.asarray(chain(x0, K=K0))
+    np.asarray(chain(x0, K=K1))
+    t_short = t_long = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        np.asarray(chain(x0, K=K0))
+        t_short = min(t_short, time.monotonic() - t0)
+        t0 = time.monotonic()
+        np.asarray(chain(x0, K=K1))
+        t_long = min(t_long, time.monotonic() - t0)
+    per_iter = (t_long - t_short) / (K1 - K0)
+    if per_iter <= 0:
+        return 0.0
+    return ELEMS * OPS_PER_ITER / per_iter
+
+
 def main():
     from shasta_tpu.ops.align import AlignParams, align_candidates
 
@@ -183,6 +236,20 @@ def main():
         gcells, kernel_pairs = kernel_roofline()
     except Exception:
         gcells, kernel_pairs = 0.0, 0.0
+    try:
+        vpu_gops = vpu_peak() / 1e9
+    except Exception:
+        vpu_gops = 0.0
+
+    # Roofline: the DP kernel executes KERNEL_OPS_PER_CELL elementwise
+    # int32 VPU ops per band cell (derivation: ops/align_pallas.py:55
+    # and README "Kernel roofline"); pct_peak compares its achieved
+    # op rate against the measured elementwise ceiling of this chip.
+    from shasta_tpu.ops.align_pallas import KERNEL_OPS_PER_CELL
+
+    pct_peak = (
+        100.0 * gcells * KERNEL_OPS_PER_CELL / vpu_gops if vpu_gops else 0.0
+    )
 
     print(
         json.dumps(
@@ -194,6 +261,9 @@ def main():
                 "mesh1_alignments_per_sec": round(best_mesh, 1),
                 "kernel_gcells_per_sec": round(gcells, 2),
                 "kernel_pairs_per_sec": round(kernel_pairs, 0),
+                "kernel_ops_per_cell": KERNEL_OPS_PER_CELL,
+                "vpu_peak_gops": round(vpu_gops, 1),
+                "kernel_pct_peak": round(pct_peak, 1),
             }
         )
     )

@@ -1,0 +1,66 @@
+"""Mode-2 (phased diploid) scale benchmark: SCALE Mb diploid genome
+(het SNP every ~700 bases, the reference's human-like density),
+~25x combined coverage, 1% errors, full mode-2 pipeline wall-clock on
+one chip (VERDICT r2 item 7 acceptance: a 5 Mb diploid mode-2 run
+completes in minutes with per-stage seconds recorded).
+
+Usage: SCALE=5 python benchmarks/mode2_scale_bench.py
+"""
+import sys, time, json, tempfile, os
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+SCALE = int(os.environ.get("SCALE", "1"))
+import numpy as np
+from tests import synth
+from shasta_tpu.pipeline.assemble import run_assembly
+from shasta_tpu.pipeline.config import AssemblyConfig
+
+t0 = time.monotonic()
+size = 1_000_000 * SCALE
+rng = np.random.default_rng(700)
+hapA = synth.random_genome(size, seed=701)
+hapB = hapA.copy()
+snp_positions = np.arange(350, size, 700)
+hapB[snp_positions] = (
+    hapA[snp_positions] + 1 + rng.integers(0, 3, snp_positions.shape[0])
+) % 4
+
+n_reads_per_hap = 1250 * SCALE  # 2x 12.5x of 10 kb reads = ~25x total
+reads = []
+reads += synth.sample_reads(
+    hapA, n_reads_per_hap, 10000, seed=702, error_rate=0.01, both_strands=True
+)
+reads += synth.sample_reads(
+    hapB, n_reads_per_hap, 10000, seed=703, error_rate=0.01, both_strands=True
+)
+tmp = tempfile.mkdtemp()
+fa = os.path.join(tmp, "r.fasta")
+synth.write_fasta(fa, reads)
+print(
+    f"[{time.monotonic()-t0:.0f}s] diploid reads written "
+    f"({sum(len(r) for r in reads)/1e6:.0f} Mb, "
+    f"{snp_positions.shape[0]} het SNPs)",
+    flush=True,
+)
+
+cfg = AssemblyConfig()
+cfg.reads.min_read_length = 1000
+cfg.kmers.k = 10
+cfg.kmers.probability = 0.1
+cfg.min_hash.hash_fraction = 0.02
+cfg.min_hash.min_hash_iteration_count = 8
+cfg.min_hash.min_frequency = 2
+cfg.min_hash.max_bucket_size = 60
+cfg.align.min_aligned_marker_count = 40
+cfg.align.max_skip = 60
+cfg.align.max_drift = 40
+cfg.align.max_trim = 60
+cfg.read_graph.max_alignment_count = 8
+cfg.read_graph.strand_separation_method = 2
+cfg.marker_graph.min_coverage = 0
+cfg.marker_graph.min_edge_coverage = 4
+cfg.marker_graph.min_edge_coverage_per_strand = 1
+cfg.assembly.mode = 2
+summary = run_assembly([fa], os.path.join(tmp, "run"), cfg)
+print(json.dumps({k: v for k, v in summary.items() if k != "stageSeconds"}, indent=1), flush=True)
+print("stage seconds:", json.dumps({k: round(v, 1) for k, v in summary["stageSeconds"].items()}, indent=1))

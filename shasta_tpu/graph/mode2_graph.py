@@ -330,10 +330,54 @@ class AssemblyGraph2:
             b.coverage_sum = int(n_per.sum())
 
     def store_read_information(self) -> None:
-        """(reference: storeReadInformationParallel — here one
-        vectorized pass per branch)"""
-        for e in self.edges.values():
-            self.store_read_information_edge(e)
+        """All branches in ONE batched segmented pass (reference runs
+        storeReadInformationParallel multithreaded,
+        src/AssemblyGraph2.cpp:44-233; here the per-branch loops become
+        reduceat/unique over branch-concatenated arrays, so host time
+        stays flat as the bubble count grows)."""
+        mg = self.mg
+        branches = [b for e in self.edges.values() for b in e.branches]
+        sel = []
+        for b in branches:
+            if b.path.shape[0] == 0:
+                b.reads = np.zeros(0, np.int64)
+                b.minimum_coverage = 0
+                b.coverage_sum = 0
+            else:
+                sel.append(b)
+        if not sel:
+            return
+        blens = np.array([b.path.shape[0] for b in sel], np.int64)
+        bstarts = np.zeros(len(sel) + 1, np.int64)
+        np.cumsum(blens, out=bstarts[1:])
+        path_cat = np.concatenate([b.path for b in sel]).astype(np.int64)
+        lo = mg.interval_offsets[path_cat]
+        n_per = (mg.interval_offsets[path_cat + 1] - lo).astype(np.int64)
+        mincov = np.minimum.reduceat(n_per, bstarts[:-1])
+        covsum = np.add.reduceat(n_per, bstarts[:-1])
+        # Expand every marker interval of every path element.
+        tot = int(n_per.sum())
+        elem_starts = np.zeros(path_cat.shape[0] + 1, np.int64)
+        np.cumsum(n_per, out=elem_starts[1:])
+        idx = np.repeat(lo, n_per) + (
+            np.arange(tot, dtype=np.int64) - np.repeat(elem_starts[:-1], n_per)
+        )
+        orid = mg.interval_orid[idx].astype(np.int64)
+        per_branch = covsum  # intervals per branch == coverage sum
+        branch_of = np.repeat(
+            np.arange(len(sel), dtype=np.int64), per_branch
+        )
+        # unique oriented reads per branch: one global sort of the
+        # combined (branch, orid) key.
+        n_or = int(orid.max()) + 1 if tot else 1
+        ukey = np.unique(branch_of * n_or + orid)
+        ub = ukey // n_or
+        uo = ukey % n_or
+        cuts = np.searchsorted(ub, np.arange(len(sel) + 1))
+        for i, b in enumerate(sel):
+            b.reads = uo[cuts[i] : cuts[i + 1]]
+            b.minimum_coverage = int(mincov[i])
+            b.coverage_sum = int(covsum[i])
 
     def set_assembler(self, fn: Callable[[np.ndarray], np.ndarray]) -> None:
         """fn(path of marker-graph edge ids) -> raw uint8 sequence."""
@@ -1085,16 +1129,19 @@ def remove_bad_bubbles_iterative(g: AssemblyGraph2, p: Mode2Parameters) -> int:
         pg.compute_spanning_tree()
         pg.phase()
 
-        # Gather per-component vertex lists.
-        comps: Dict[int, List[int]] = {}
-        for vi in range(pg.vertex_count):
-            comps.setdefault(int(pg.component_v[vi]), []).append(vi)
-        bad: List[int] = []
-        for comp in comps.values():
-            if len(comp) >= p.bubble_removal_component_size_threshold:
-                continue
-            bad.extend(comp)
-        if not bad:
+        # Vertices in small phasing components, one bincount pass.
+        n_v = pg.vertex_count
+        comp = np.asarray(pg.component_v[:n_v], np.int64)
+        valid = comp != INVALID
+        sizes = np.bincount(comp[valid]) if valid.any() else np.zeros(1)
+        small = np.zeros(n_v, bool)
+        small[valid] = (
+            sizes[comp[valid]] < p.bubble_removal_component_size_threshold
+        )
+        n_invalid = int((~valid).sum())
+        small[~valid] = n_invalid < p.bubble_removal_component_size_threshold
+        bad = np.flatnonzero(small)
+        if bad.shape[0] == 0:
             break
         for vi in bad:
             for eid, _phase in pg.bubbles[vi]:

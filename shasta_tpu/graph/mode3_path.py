@@ -182,10 +182,15 @@ def _walk(
     start: int,
     direction: int,
     stop_at_first_primary: bool,
+    candidate_mask: Optional[np.ndarray] = None,
 ):
     """The shared link-walk of createAssemblyPath /
     createJaccardGraphEdges. Returns (primary path segments, or the
-    single Jaccard edge found)."""
+    single Jaccard edge found). ``candidate_mask`` (Jaccard-edge
+    search only) restricts which segments may END the search: masked-
+    out segments are demoted to pass-through intermediates, so edges
+    re-form across them (the iterative cleanup of
+    create_jaccard_graph_iterative)."""
     m3 = conn.m3
     reference = start
     segments = [PathSegment(start, True)]
@@ -234,6 +239,7 @@ def _walk(
         if (
             info.common_count >= MIN_COMMON_FOR_PRIMARY
             and conn.raw_jaccard(info) >= MIN_JACCARD
+            and (candidate_mask is None or candidate_mask[seg1])
         ):
             if stop_at_first_primary:
                 intermediates = [
@@ -291,13 +297,22 @@ class JaccardEdge:
 
 def create_jaccard_graph(
     conn: Mode3Connectivity,
+    candidate_mask: Optional[np.ndarray] = None,
 ) -> Dict[Tuple[int, int], JaccardEdge]:
     """One forward + one backward search per segment (reference:
-    createJaccardGraph, src/mode3-JaccardGraph.cpp:28)."""
+    createJaccardGraph, src/mode3-JaccardGraph.cpp:28). With a
+    ``candidate_mask``, searches start only from masked-in segments
+    and may only end at masked-in segments (masked-out segments pass
+    through as intermediates)."""
     edges: Dict[Tuple[int, int], JaccardEdge] = {}
     for seg in range(conn.m3.segment_count):
+        if candidate_mask is not None and not candidate_mask[seg]:
+            continue
         for direction in (0, 1):
-            found = _walk(conn, seg, direction, stop_at_first_primary=True)
+            found = _walk(
+                conn, seg, direction, stop_at_first_primary=True,
+                candidate_mask=candidate_mask,
+            )
             if found is None:
                 continue
             other, info, intermediates = found
@@ -318,6 +333,39 @@ def create_jaccard_graph(
             else:
                 e.found_backward = True
     return edges
+
+
+def create_jaccard_graph_iterative(
+    conn: Mode3Connectivity,
+    max_iterations: int = 4,
+) -> Tuple[Dict[Tuple[int, int], JaccardEdge], np.ndarray]:
+    """Iterative Jaccard-graph construction with weak-vertex cleanup
+    (the reference ships this machinery — JaccardGraph::
+    isStrongVertex / removeWeakVertices,
+    src/mode3-JaccardGraph.cpp:238-296 — guarded off in
+    createJaccardGraph; here it runs as designed and then RE-RUNS the
+    directional searches with removed vertices demoted to
+    pass-through intermediates, so strong edges re-form across weak
+    segments and chains reconnect). A vertex is weak when it has
+    incident edges but none strong (found in both directions).
+    Returns (edges, candidate_mask) — the mask marks surviving
+    (strong or edge-less) segments after the final pass."""
+    n_seg = conn.m3.segment_count
+    mask = np.ones(n_seg, bool)
+    edges = create_jaccard_graph(conn)
+    for _ in range(max_iterations - 1):
+        has_edge = np.zeros(n_seg, bool)
+        strong = np.zeros(n_seg, bool)
+        for e in edges.values():
+            has_edge[e.seg0] = has_edge[e.seg1] = True
+            if e.is_strong:
+                strong[e.seg0] = strong[e.seg1] = True
+        weak = mask & has_edge & ~strong
+        if not weak.any():
+            break
+        mask &= ~weak
+        edges = create_jaccard_graph(conn, candidate_mask=mask)
+    return edges, mask
 
 
 def find_jaccard_clusters(

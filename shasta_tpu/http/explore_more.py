@@ -748,6 +748,39 @@ class _AssemblyGraphViews:
         )
 
 
+def _force_layout(n: int, edges, iterations: int = 200, seed: int = 1):
+    """Fruchterman-Reingold-style force layout in numpy (the TPU
+    build's stand-in for the reference's neato/fruchterman_reingold
+    layouts, mode3-LocalAssemblyGraph.cpp:1026-1090 +
+    boost/graph/fruchterman_reingold.hpp). ``edges`` are
+    (u, v, desired_length) springs; all-pairs repulsion keeps
+    non-adjacent components apart. Deterministic per seed."""
+    rng = np.random.default_rng(seed)
+    pos = rng.normal(0.0, 1.0, (n, 2))
+    if not edges:
+        return pos
+    eu = np.array([e[0] for e in edges], np.int64)
+    ev = np.array([e[1] for e in edges], np.int64)
+    el = np.array([e[2] for e in edges], np.float64)
+    k = float(np.mean(el))
+    pos *= k
+    for it in range(iterations):
+        d = pos[:, None, :] - pos[None, :, :]
+        dist2 = (d * d).sum(-1)
+        np.fill_diagonal(dist2, np.inf)
+        rep = (k * k / dist2)[:, :, None] * d / np.sqrt(dist2)[:, :, None]
+        disp = np.nan_to_num(rep).sum(1)
+        dv = pos[eu] - pos[ev]
+        dist = np.sqrt((dv * dv).sum(-1)) + 1e-9
+        f = ((dist - el) / dist)[:, None] * dv  # spring toward length
+        np.subtract.at(disp, eu, f)
+        np.add.at(disp, ev, f)
+        t = 0.12 * k * (1.0 - it / iterations) + 1e-3
+        norm = np.sqrt((disp * disp).sum(-1)) + 1e-9
+        pos = pos + disp / norm[:, None] * np.minimum(norm, t)[:, None]
+    return pos
+
+
 class _Mode3Views:
     """Mode 3 assembly pages (reference:
     src/AssemblerHttpServer-Mode3.cpp)."""
@@ -766,8 +799,15 @@ class _Mode3Views:
         return self._mode3_cache
 
     def page_mode3(self, q) -> str:
-        """Local mode-3 segment/link graph (reference:
-        exploreMode3AssemblyGraph)."""
+        """Local mode-3 segment/link graph, drawn the way the
+        reference's mode3::LocalAssemblyGraph does (reference:
+        mode3-LocalAssemblyGraph.cpp:513-1100): segments are thick
+        length-proportional lines positioned by a force-directed
+        layout (own Fruchterman-Reingold pass — the TPU build has no
+        graphviz), links are cubic Bezier curves with
+        coverage-proportional thickness, and segments are colored by
+        raw Jaccard similarity to the start segment. ``layout=layered``
+        falls back to the BFS-column view."""
         m3 = self._mode3()
         if m3 is None:
             return "<p>Mode 3 data not available (mode-3 runs only).</p>"
@@ -775,6 +815,7 @@ class _Mode3Views:
 
         start = _ors(q, "segmentId")
         dist = _ors(q, "maxDistance", "3")
+        layout = q.get("layout", ["force"])[0]
         if not (0 <= start < m3.segment_count):
             return f"<p>Segment id out of range (0..{m3.segment_count - 1}).</p>"
         by_s = {}
@@ -786,11 +827,130 @@ class _Mode3Views:
                 int(m3.link_source[i])
             )
         levels, edges = _local_bfs(start, lambda v: by_s.get(v, []), dist)
-        return (
+        header = (
             f"<h1>Mode 3 assembly graph around segment {start}</h1>"
-            f"<p>{m3.segment_count} segments, {m3.link_count} links.</p>"
-            + _svg_layered_graph(levels, edges, highlight=start)
+            f"<p>{m3.segment_count} segments, {m3.link_count} links. "
+            f"Segment color = raw Jaccard similarity with segment "
+            f"{start} (red = start, green = high, grey = low/none); "
+            f"link thickness = transition coverage. "
+            f'<a href="?segmentId={start}&maxDistance={dist}'
+            f'&layout=layered">layered view</a></p>'
         )
+        if layout == "layered":
+            return header + _svg_layered_graph(levels, edges, highlight=start)
+        return header + self._mode3_force_svg(m3, start, levels, edges)
+
+    def _mode3_force_svg(self, m3, start, levels, edges) -> str:
+        """The laid-out view: every segment becomes a 2-endpoint bar
+        whose desired length grows with its marker-path length
+        (reference: LocalAssemblyGraph::computeLayout,
+        mode3-LocalAssemblyGraph.cpp:1026-1090 builds the same
+        auxiliary graph and hands it to neato; here the spring/charge
+        iteration runs in numpy)."""
+        segs = sorted({v for level in levels for v in level})
+        if not segs:
+            return "<p>Empty neighborhood.</p>"
+        seg_idx = {s: i for i, s in enumerate(segs)}
+        n = len(segs)
+        path_len = np.array(
+            [m3.ag.chain(s).shape[0] for s in segs], np.float64
+        )
+        # Display length like the reference: ~sqrt-compressed markers.
+        disp = 30.0 + 14.0 * np.sqrt(path_len)
+        # Auxiliary graph: vertex 2i = segment start, 2i+1 = end.
+        aux_edges = [(2 * i, 2 * i + 1, disp[i]) for i in range(n)]
+        link_list = []
+        link_cov = []
+        for (u, v) in set(edges):
+            if u in seg_idx and v in seg_idx:
+                li = self._find_m3_link(m3, u, v)
+                cov = 0
+                if li is not None:
+                    cov = int(
+                        m3.transition_offsets[li + 1]
+                        - m3.transition_offsets[li]
+                    )
+                aux_edges.append((2 * seg_idx[u] + 1, 2 * seg_idx[v], 40.0))
+                link_list.append((seg_idx[u], seg_idx[v]))
+                link_cov.append(cov)
+        pos = _force_layout(2 * n, aux_edges, seed=start + 1)
+        # Scale into the viewport.
+        lo = pos.min(0)
+        span = np.maximum(pos.max(0) - lo, 1e-6)
+        size = min(1200.0, 260.0 + 90.0 * np.sqrt(n))
+        pos = (pos - lo) / span * (size - 80.0) + 40.0
+
+        # Jaccard color vs the start segment.
+        jac = {}
+        try:
+            from shasta_tpu.graph.mode3 import analyze_segment_pair
+            from shasta_tpu.graph.mode3_path import Mode3Connectivity
+
+            conn = getattr(self, "_mode3_conn_cache", None)
+            if conn is None:
+                conn = Mode3Connectivity(m3, self.marker_graph, self.markers)
+                self._mode3_conn_cache = conn
+            for s in segs:
+                if s == start:
+                    continue
+                info = conn.analyze_segment_pair(start, s)
+                jac[s] = conn.raw_jaccard(info)
+        except Exception:
+            pass
+
+        parts = [
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{size:.0f}" '
+            f'height="{size:.0f}" style="background:#fafafa">'
+        ]
+        maxcov = max(link_cov) if link_cov else 1
+        for (i0, i1), cov in zip(link_list, link_cov):
+            x1, y1 = pos[2 * i0 + 1]
+            x2, y2 = pos[2 * i1]
+            dx, dy = x2 - x1, y2 - y1
+            cx1, cy1 = x1 + 0.25 * dx - 0.15 * dy, y1 + 0.25 * dy + 0.15 * dx
+            cx2, cy2 = x1 + 0.75 * dx - 0.15 * dy, y1 + 0.75 * dy + 0.15 * dx
+            w = 1.0 + 3.0 * (cov / max(1, maxcov))
+            parts.append(
+                f'<path d="M{x1:.1f},{y1:.1f} C{cx1:.1f},{cy1:.1f} '
+                f'{cx2:.1f},{cy2:.1f} {x2:.1f},{y2:.1f}" fill="none" '
+                f'stroke="#557" stroke-width="{w:.1f}" opacity="0.7">'
+                f"<title>link coverage {cov}</title></path>"
+            )
+        for s in segs:
+            i = seg_idx[s]
+            x1, y1 = pos[2 * i]
+            x2, y2 = pos[2 * i + 1]
+            if s == start:
+                color = "#e33"
+            else:
+                j = jac.get(s)
+                if j is None:
+                    color = "#999"
+                else:
+                    g = int(100 + 155 * min(1.0, max(0.0, j)))
+                    color = f"rgb(60,{g},80)"
+            parts.append(
+                f'<line x1="{x1:.1f}" y1="{y1:.1f}" x2="{x2:.1f}" '
+                f'y2="{y2:.1f}" stroke="{color}" stroke-width="9" '
+                f'stroke-linecap="round">'
+                f"<title>segment {s}, {int(path_len[seg_idx[s]])} "
+                f"marker-graph edges"
+                + (f", rawJaccard {jac[s]:.2f}" if s in jac else "")
+                + "</title></line>"
+            )
+            mx, my = (x1 + x2) / 2, (y1 + y2) / 2
+            parts.append(
+                f'<text x="{mx:.1f}" y="{my - 7:.1f}" font-size="10" '
+                f'text-anchor="middle" fill="#222">'
+                f'<a href="mode3Segment?segmentId={s}">{s}</a></text>'
+            )
+        parts.append("</svg>")
+        return "".join(parts)
+
+    @staticmethod
+    def _find_m3_link(m3, u, v):
+        sel = np.flatnonzero((m3.link_source == u) & (m3.link_target == v))
+        return int(sel[0]) if sel.shape[0] else None
 
     def page_mode3_segment(self, q) -> str:
         """Segment detail (reference: exploreMode3AssemblyGraphSegment)."""

@@ -1097,25 +1097,15 @@ def _collect_bucket(pending):
                 )
             mets.extend(fused[:n_real, :10].astype(np.int64))
         else:
-            m0, m1 = payload
-            m0 = np.asarray(m0)  # (n_steps, B)
-            m1 = np.asarray(m1)
+            # jnp fallback: one flat decode, then per-pair views.
+            met, rows, cols, vals = _entry_to_flat((kind, payload, n_real))
+            starts = np.searchsorted(rows, np.arange(n_real + 1))
             for t in range(n_real):
-                sel = m0[:, t] >= 0
-                o0 = m0[sel, t][::-1].astype(np.uint32)
-                o1 = m1[sel, t][::-1].astype(np.uint32)
-                results.append((o0, o1))
-                if o0.shape[0]:
-                    ms, md, omin, omax = _metrics_from_ordinals(o0, o1)
-                    mets.append(
-                        np.array(
-                            [o0.shape[0], o0[0], o0[-1], o1[0], o1[-1],
-                             omin, omax, ms, md, 0],
-                            np.int64,
-                        )
-                    )
-                else:
-                    mets.append(np.zeros(10, np.int64))
+                lo, hi = starts[t], starts[t + 1]
+                results.append(
+                    (cols[lo:hi].astype(np.uint32), vals[lo:hi].astype(np.uint32))
+                )
+            mets.extend(met)
     metrics = (
         np.stack(mets) if mets else np.zeros((0, 10), np.int64)
     )

@@ -53,6 +53,18 @@ NEG_INF = np.int32(-(2**30))
 BIG = np.int32(1 << 29)
 STOP, DIAG, UP, LEFT = 0, 1, 2, 3
 
+# VPU work per DP band cell, for the roofline comparison (bench.py
+# reports kernel_pct_peak = cells/s * this / measured VPU ops/s).
+# Counted from _kernel's per-(BB, W)-slab ops at W=128:
+# forward_row ~52 elementwise int32 ops/cell — window advance 2,
+# match+sub 2, j 1, valid mask 5, at_j0 1, shift 1, diag/up/base 3,
+# j0 clamp 2, run 1, prefix-max 2*log2(W)=14 (the dominant term),
+# V+mask 2, direction select 6, dir pack+store 3, end-cell
+# accumulation 9 — plus the traceback pass (~12 ops/cell: row fetch,
+# j mask, eligibility, packed reduce, exit decode). The count scales
+# with log2(W); treat it as W=128-accurate.
+KERNEL_OPS_PER_CELL = 64
+
 _VMEM_BUDGET = int(os.environ.get("SHASTA_TPU_VMEM", 12 * 1024 * 1024 + 512 * 1024))
 
 

@@ -920,10 +920,16 @@ class Assembler:
             from shasta_tpu.graph import mode3_path as M3P
 
             conn = M3P.Mode3Connectivity(m3, mg, self.markers)
-            jedges = M3P.create_jaccard_graph(conn)
+            # Iterative construction/cleanup: weak vertices (no strong
+            # incident edge) demote to pass-through and the searches
+            # re-run, so strong edges re-form across them (reference
+            # machinery: removeWeakVertices,
+            # mode3-JaccardGraph.cpp:238-296).
+            jedges, jmask = M3P.create_jaccard_graph_iterative(conn)
             n_strong = sum(1 for e in jedges.values() if e.is_strong)
             self.log.line(
-                f"The Jaccard graph has {m3.segment_count} vertices and "
+                f"The Jaccard graph has {int(jmask.sum())} strong of "
+                f"{m3.segment_count} vertices and "
                 f"{len(jedges)} edges ({n_strong} strong)."
             )
             M3P.write_jaccard_edges_csv(
