@@ -121,8 +121,21 @@ def create_marker_graph_edges_strict(
         np.uint64
     )
 
-    # Group by (src, tgt, length, hash).
-    order = np.lexsort((ord0, orid, h, seq_len, tgt, src))
+    # Group by (src, tgt, length, hash). Pack (src,tgt) and
+    # (orid,ord0) into single int64 keys when the value ranges allow
+    # (they do until ~3e9 vertices / 2^39 oriented reads): each
+    # dropped lexsort key is one full argsort pass over all intervals
+    # on the 4-core host (CLAUDE.md: prefer fewer sort keys).
+    n_v = np.int64(mg.vertex_count)
+    max_ord = int(max(ord0.max(), ord1.max())) + 1 if n_int else 1
+    if n_v * n_v > 0 and int(n_v) ** 2 < 2**62 and (
+        int(orid.max() if n_int else 0) + 1
+    ) * max_ord < 2**62:
+        pair_key = src.astype(np.int64) * n_v + tgt
+        ord_pack = orid.astype(np.int64) * np.int64(max_ord) + ord0
+        order = np.lexsort((ord_pack, h, seq_len, pair_key))
+    else:  # pragma: no cover - beyond-int64 packing scale
+        order = np.lexsort((ord0, orid, h, seq_len, tgt, src))
     src, tgt, orid, ord0, ord1 = (
         src[order], tgt[order], orid[order], ord0[order], ord1[order]
     )
@@ -185,9 +198,19 @@ def create_marker_graph_edges_strict(
         ord1[keep_interval],
         group[keep_interval],
     )
-    # Renumber groups -> edge ids, ordered by (src, tgt, first interval).
-    uniq, edge_of_interval = np.unique(group, return_inverse=True)
-    n_edges = uniq.shape[0]
+    # Renumber groups -> edge ids, ordered by (src, tgt, first
+    # interval). ``group`` is nondecreasing by construction, so the
+    # renumbering is a diff/cumsum — np.unique would re-sort all
+    # intervals for nothing.
+    if group.shape[0]:
+        new2 = np.empty(group.shape[0], bool)
+        new2[0] = True
+        np.not_equal(group[1:], group[:-1], out=new2[1:])
+        edge_of_interval = np.cumsum(new2) - 1
+        n_edges = int(edge_of_interval[-1]) + 1
+    else:
+        edge_of_interval = np.zeros(0, np.int64)
+        n_edges = 0
 
     e_src = np.zeros(n_edges, np.int64)
     e_tgt = np.zeros(n_edges, np.int64)
@@ -196,8 +219,9 @@ def create_marker_graph_edges_strict(
     e_cov = np.bincount(edge_of_interval, minlength=n_edges).astype(np.int32)
     interval_offsets = np.zeros(n_edges + 1, np.int64)
     np.cumsum(e_cov, out=interval_offsets[1:])
-    # Intervals are already sorted by edge then (orid, ord0).
-    order2 = np.argsort(edge_of_interval, kind="stable")
+    # Intervals are already sorted by edge then (orid, ord0);
+    # edge_of_interval is nondecreasing, so the "sort" is the identity.
+    order2 = np.arange(edge_of_interval.shape[0], dtype=np.int64)
 
     # RC edges: (s, t) -> (rc t, rc s); with parallel edges, pair by
     # coverage rank among parallels between the same rc vertex pair.
