@@ -276,16 +276,57 @@ class Explorer:
             n = int(ag.chain_offsets[e + 1] - ag.chain_offsets[e])
             return f"{e} ({n})"
 
+        layout = q.get("layout", ["force"])[0]
+        if layout == "layered":
+            svg = _svg_layered_graph(
+                levels, edges, label_of=label, highlight=start
+            )
+        else:
+            # Laid-out view (reference: the graphviz-laid
+            # LocalAssemblyGraph SVG, AssemblerHttpServer-
+            # AssemblyGraph.cpp): segments drawn as bars whose length
+            # tracks their marker-path length, positioned by the
+            # force-directed pass, colored by average edge coverage.
+            svg = _svg_segment_graph(
+                levels,
+                edges,
+                seg_len=lambda e: int(
+                    ag.chain_offsets[e + 1] - ag.chain_offsets[e]
+                ),
+                seg_color=self._segment_coverage_color,
+                highlight=start,
+                href="exploreAssemblyGraphEdge?edgeId=",
+            )
         rows = [
             "<h2>Local assembly graph</h2>",
             f"<p>Start segment {start}, distance {max_distance}; "
-            f"node label = segment id (marker graph edges).</p>",
-            _svg_layered_graph(levels, edges, label_of=label, highlight=start),
+            f"label = segment id; bar length tracks marker-path "
+            f"length; color = average marker-graph edge coverage "
+            f'(darker = higher). <a href="?segment={start}'
+            f'&maxDistance={max_distance}&layout='
+            f'{"layered" if layout != "layered" else "force"}">'
+            f'{"layered" if layout != "layered" else "laid-out"} '
+            f"view</a></p>",
+            svg,
             '<form>Segment <input name=segment value="%d"> '
             'Max distance <input name=maxDistance value="%d"> '
             "<input type=submit></form>" % (start, max_distance),
         ]
         return "\n".join(rows)
+
+    def _segment_coverage_color(self, e: int) -> str:
+        """Average marker-graph edge coverage of a segment -> a
+        green shade (reference colors local assembly graphs by
+        coverage, AssemblerHttpServer-AssemblyGraph.cpp)."""
+        ag = self.assembly_graph
+        mg = self.marker_graph
+        try:
+            chain = ag.chain(e)
+            cov = float(np.mean(mg.coverage[chain])) if chain.shape[0] else 0.0
+        except Exception:
+            cov = 0.0
+        shade = int(max(40, 200 - 10 * cov))
+        return f"rgb({shade},{min(255, shade + 60)},{shade})"
 
     def page_alignment(self, q) -> str:
         """Compute and display one alignment (reference:
@@ -370,6 +411,73 @@ def _svg_layered_graph(levels, edges, label_of=str, highlight=None):
             f'<circle cx="{x}" cy="{y}" r="14" fill="{color}"/>'
             f'<text x="{x}" y="{y + 4}" font-size="9" text-anchor="middle" '
             f'fill="white">{label_of(v)}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _svg_segment_graph(
+    levels, edges, seg_len, seg_color, highlight=None, href=None
+):
+    """Laid-out local graph: each segment is a bar whose desired
+    length grows with its size, positioned by the numpy
+    force-directed pass (reference analog: the graphviz/neato-laid
+    LocalAssemblyGraph SVGs; the TPU build lays out with its own
+    Fruchterman-Reingold — http/explore_more.py:_force_layout)."""
+    from shasta_tpu.http.explore_more import _force_layout
+
+    segs = sorted({v for level in levels for v in level})
+    if not segs:
+        return "<p>Empty neighborhood.</p>"
+    idx = {s: i for i, s in enumerate(segs)}
+    n = len(segs)
+    disp = [30.0 + 10.0 * (max(seg_len(s), 1) ** 0.5) for s in segs]
+    aux = [(2 * i, 2 * i + 1, disp[i]) for i in range(n)]
+    links = []
+    for (u, v) in set(edges):
+        if u in idx and v in idx and u != v:
+            aux.append((2 * idx[u] + 1, 2 * idx[v], 40.0))
+            links.append((idx[u], idx[v]))
+    pos = _force_layout(2 * n, aux, seed=(highlight or 0) + 1)
+    lo = pos.min(0)
+    span = np.maximum(pos.max(0) - lo, 1e-6)
+    size = min(1200.0, 260.0 + 90.0 * (n ** 0.5))
+    pos = (pos - lo) / span * (size - 80.0) + 40.0
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{size:.0f}" '
+        f'height="{size:.0f}" style="background:#fafafa">'
+    ]
+    for i0, i1 in links:
+        x1, y1 = pos[2 * i0 + 1]
+        x2, y2 = pos[2 * i1]
+        dx, dy = x2 - x1, y2 - y1
+        cx1, cy1 = x1 + 0.25 * dx - 0.15 * dy, y1 + 0.25 * dy + 0.15 * dx
+        cx2, cy2 = x1 + 0.75 * dx - 0.15 * dy, y1 + 0.75 * dy + 0.15 * dx
+        parts.append(
+            f'<path d="M{x1:.1f},{y1:.1f} C{cx1:.1f},{cy1:.1f} '
+            f'{cx2:.1f},{cy2:.1f} {x2:.1f},{y2:.1f}" fill="none" '
+            'stroke="#557" stroke-width="1.5" opacity="0.7"/>'
+        )
+    for s in segs:
+        i = idx[s]
+        x1, y1 = pos[2 * i]
+        x2, y2 = pos[2 * i + 1]
+        color = "#e33" if s == highlight else seg_color(s)
+        parts.append(
+            f'<line x1="{x1:.1f}" y1="{y1:.1f}" x2="{x2:.1f}" '
+            f'y2="{y2:.1f}" stroke="{color}" stroke-width="9" '
+            f'stroke-linecap="round">'
+            f"<title>segment {s}, {seg_len(s)} marker-graph edges"
+            "</title></line>"
+        )
+        mx, my = (x1 + x2) / 2, (y1 + y2) / 2
+        text = (
+            f'<a href="{href}{s}">{s}</a>' if href else str(s)
+        )
+        parts.append(
+            f'<text x="{mx:.1f}" y="{my - 7:.1f}" font-size="10" '
+            f'text-anchor="middle" fill="#222">{text}</text>'
         )
     parts.append("</svg>")
     return "".join(parts)
