@@ -403,10 +403,15 @@ def segment_oriented_read_infos(m3: Mode3Graph, mg: MarkerGraph):
     n_me = mg.edge_count
     seg_of_edge = np.full(n_me, -1, np.int64)
     pos_of_edge = np.full(n_me, -1, np.int64)
-    for a in range(ag.edge_count):
-        chain = ag.chain(a)
-        seg_of_edge[chain] = a
-        pos_of_edge[chain] = np.arange(chain.shape[0])
+    # One flat scatter over all chains (the per-segment loop dominated
+    # at tens of thousands of segments in the fragmented strict graph).
+    chain_lens = np.diff(ag.chain_offsets)
+    seg_of_edge[ag.chains] = np.repeat(
+        np.arange(ag.edge_count, dtype=np.int64), chain_lens
+    )
+    pos_of_edge[ag.chains] = np.arange(
+        ag.chains.shape[0], dtype=np.int64
+    ) - np.repeat(ag.chain_offsets[:-1], chain_lens)
 
     edge_of_interval = np.repeat(
         np.arange(n_me, dtype=np.int64), np.diff(mg.interval_offsets)

@@ -79,13 +79,35 @@ class Mode3Connectivity:
 
         # Per-link unique transition orids (reads transitioning more
         # than once are dropped, reference: analyzeSegmentLinkPair
-        # duplicate skipping, src/mode3.cpp:2084-2139).
-        self.link_unique_orids: List[np.ndarray] = []
-        for l in range(n_links):
-            lo, hi = m3.transition_offsets[l], m3.transition_offsets[l + 1]
-            orids = m3.t_orid[lo:hi]
-            vals, counts = np.unique(orids, return_counts=True)
-            self.link_unique_orids.append(vals[counts == 1])
+        # duplicate skipping, src/mode3.cpp:2084-2139). One global
+        # sort of (link, orid) keys instead of an np.unique per link —
+        # at tens of thousands of links the per-link loop dominated
+        # Jaccard-graph construction.
+        if n_links:
+            link_of_t = np.repeat(
+                np.arange(n_links, dtype=np.int64),
+                np.diff(m3.transition_offsets),
+            )
+            n_or_key = np.int64(max(m3.journey_offsets.shape[0] - 1, 1))
+            key = link_of_t * (2 * n_or_key) + m3.t_orid.astype(np.int64)
+            skey = np.sort(key)
+            first = np.empty(skey.shape[0], bool)
+            last = np.empty(skey.shape[0], bool)
+            if skey.shape[0]:
+                first[0] = True
+                np.not_equal(skey[1:], skey[:-1], out=first[1:])
+                last[-1] = True
+                np.not_equal(skey[1:], skey[:-1], out=last[:-1])
+            uniq_mask = first & last  # appears exactly once
+            ukey = skey[uniq_mask]
+            ulink = ukey // (2 * n_or_key)
+            uorid = ukey % (2 * n_or_key)
+            cuts = np.searchsorted(ulink, np.arange(n_links + 1))
+            self.link_unique_orids = [
+                uorid[cuts[l] : cuts[l + 1]] for l in range(n_links)
+            ]
+        else:
+            self.link_unique_orids = []
 
     def links_by_source(self, seg: int) -> np.ndarray:
         return self._links_sorted_by_source[
@@ -109,12 +131,17 @@ class Mode3Connectivity:
 
     def analyze_segment_link_pair(self, seg: int, link: int) -> int:
         """Common oriented reads between a segment and a link
-        (reference: analyzeSegmentLinkPair, src/mode3.cpp:2075)."""
-        return int(
-            np.intersect1d(
-                self.segment_orids(seg), self.link_unique_orids[link]
-            ).shape[0]
-        )
+        (reference: analyzeSegmentLinkPair, src/mode3.cpp:2075).
+        Both sides are sorted, so the intersection is a searchsorted
+        membership count (np.intersect1d re-sorts on every call, and
+        the path walks call this per outgoing link per step)."""
+        a = self.segment_orids(seg)
+        b = self.link_unique_orids[link]
+        if a.shape[0] == 0 or b.shape[0] == 0:
+            return 0
+        i = np.searchsorted(a, b)
+        ok = i < a.shape[0]
+        return int((a[i[ok]] == b[ok]).sum())
 
     def analyze_segment_pair(self, seg0: int, seg1: int):
         from shasta_tpu.graph.mode3 import analyze_segment_pair
