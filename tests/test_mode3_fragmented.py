@@ -1,0 +1,83 @@
+"""Mode 3 in its operating regime: an error-fragmented strict marker
+graph with reads much longer than segments (docs/Design.md "Mode 3
+behavior envelope"). The Jaccard machinery must engage — directional
+searches find edges, strong edges chain into assembled paths, and the
+paths must cover the genome substantially.
+
+(Contiguity note, measured and documented in Design.md: mode 3 is the
+reference's experimental subsystem and does not beat mode 0's N50;
+this test pins that the full subsystem FUNCTIONS in its regime, i.e.
+segments/links/journeys -> iterative JaccardGraph -> path assembly.)
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests import synth
+from shasta_tpu.pipeline.assemble import run_assembly
+from shasta_tpu.pipeline.config import AssemblyConfig
+
+
+@pytest.mark.slow
+def test_mode3_fragmented_regime(tmp_path):
+    genome = synth.random_genome(200_000, seed=777)
+    reads = synth.sample_reads(
+        genome, 500, 8000, seed=778, error_rate=0.03, both_strands=True
+    )
+    fa = os.path.join(tmp_path, "r.fasta")
+    synth.write_fasta(fa, reads)
+
+    c = AssemblyConfig()
+    c.reads.min_read_length = 1000
+    c.kmers.k = 10
+    c.kmers.probability = 0.1
+    c.min_hash.hash_fraction = 0.02
+    c.min_hash.min_hash_iteration_count = 6
+    c.min_hash.max_bucket_size = 60
+    c.min_hash.min_frequency = 2
+    c.align.min_aligned_marker_count = 40
+    c.align.max_skip = 60
+    c.align.max_drift = 40
+    c.align.max_trim = 120
+    c.read_graph.max_alignment_count = 8
+    c.marker_graph.min_coverage = 0
+    c.assembly.mode = 3
+
+    run_dir = os.path.join(tmp_path, "run3")
+    s = run_assembly([fa], run_dir, c)
+
+    # The 3% error rate fragments the strict graph into segments far
+    # shorter than the 8 kb reads (measured ~1.7k segments for 200 kb).
+    assert s["mode3SegmentCount"] > 500, s["mode3SegmentCount"]
+    assert s["mode3LinkCount"] > 500, s["mode3LinkCount"]
+    # Jaccard searches succeed in this regime (consecutive segments
+    # share most reads, rawJaccard ~1).
+    assert s["mode3JaccardEdgeCount"] > 200, s["mode3JaccardEdgeCount"]
+    assert s["mode3JaccardPathCount"] > 20, s["mode3JaccardPathCount"]
+    # Assembled Jaccard paths cover the genome substantially (both
+    # strands assemble, so total ~2x genome at full coverage; require
+    # a conservative 1x).
+    assert s["mode3JaccardPathTotalLength"] > 200_000, (
+        s["mode3JaccardPathTotalLength"]
+    )
+
+    # The full mode-3 output family exists.
+    for f in ("Mode3-Assembly.gfa", "Mode3-Paths.fasta",
+              "JaccardGraphEdges.csv"):
+        assert os.path.exists(os.path.join(run_dir, f)), f
+
+    # Stage reattach: the persisted Mode3 arrays round-trip.
+    from shasta_tpu.data.store import RunStore
+    from shasta_tpu.graph.mode3 import Mode3Graph
+
+    store = RunStore(run_dir, create=False)
+    arrays = dict(store.load_stage("Mode3"))
+    arrays.pop("cluster_id", None)
+    arrays.pop("jaccard_cluster_id", None)
+    arrays.pop("is_back_segment", None)
+    m3 = Mode3Graph.from_arrays(arrays)
+    assert m3.segment_count == s["mode3SegmentCount"]
+    assert m3.link_count == s["mode3LinkCount"]
