@@ -185,12 +185,20 @@ def build_read_store(
 
     # RLE-encode the kept reads.
     keep_ids = np.flatnonzero(keep)
-    # Build a flat array of just the kept reads.
-    keep_mask_flat = np.repeat(keep, raw_lengths)
-    kept_codes = codes[keep_mask_flat]
-    kept_lengths = raw_lengths[keep_ids]
-    kept_offsets = np.zeros(keep_ids.shape[0] + 1, dtype=np.int64)
-    np.cumsum(kept_lengths, out=kept_offsets[1:])
+    if keep_ids.shape[0] == n:
+        # Nothing discarded (the common case): reuse the parsed flat
+        # arrays instead of copying hundreds of MB through a repeated
+        # boolean mask.
+        kept_codes = np.ascontiguousarray(codes)
+        kept_lengths = raw_lengths
+        kept_offsets = np.asarray(offsets, np.int64)
+    else:
+        # Build a flat array of just the kept reads.
+        keep_mask_flat = np.repeat(keep, raw_lengths)
+        kept_codes = codes[keep_mask_flat]
+        kept_lengths = raw_lengths[keep_ids]
+        kept_offsets = np.zeros(keep_ids.shape[0] + 1, dtype=np.int64)
+        np.cumsum(kept_lengths, out=kept_offsets[1:])
 
     if representation == 0:
         # Raw mode: store the sequence as-is with unit repeat counts;
