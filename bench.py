@@ -148,26 +148,30 @@ def vpu_peak(seed=23):
     @functools.partial(jax.jit, static_argnames=("K",))
     def chain(x, K):
         def body(i, y):
-            # 8 dependent elementwise int32 ops; the iota-free adds of
-            # i keep every iteration data-dependent on the index so
-            # nothing folds away.
-            y = y + i
-            y = jnp.maximum(y, y - 3)
-            y = y + (y >> 1)
-            y = jnp.maximum(y, i - y)
-            y = y ^ i
-            y = y + 7
-            y = jnp.maximum(y, 0)
-            y = y - (i & 3)
+            # Exactly 8 dependent elementwise int32 vector ops (each
+            # line is ONE vector instruction; scalar-only arithmetic
+            # like i+1 does not count). The dependence on the loop
+            # index keeps every iteration live.
+            y = y + i            # 1 broadcast add
+            y = y ^ jnp.int32(0x9E3779B9)  # 2 xor const
+            y = jnp.maximum(y, i)          # 3 broadcast max
+            y = y + y                      # 4 add
+            y = y ^ i                      # 5 broadcast xor
+            y = jnp.minimum(y, jnp.int32(1 << 30))  # 6 min const
+            y = y + jnp.int32(13)          # 7 add const
+            y = y ^ (i + 1)                # 8 broadcast xor (i+1 scalar)
             return y
 
         return jax.lax.fori_loop(0, K, body, x).sum()
 
-    K0, K1 = 64, 1088
+    # The K spread must put the op-chain wall-time well above the
+    # relay's ~150 ms round-trip jitter: 8192 extra iterations x 0.5M
+    # elements x 8 ops = 34 Gops = tens of ms on a Tops-class VPU.
+    K0, K1 = 256, 8448
     np.asarray(chain(x0, K=K0))
     np.asarray(chain(x0, K=K1))
     t_short = t_long = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.monotonic()
         np.asarray(chain(x0, K=K0))
         t_short = min(t_short, time.monotonic() - t0)

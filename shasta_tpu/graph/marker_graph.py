@@ -316,14 +316,22 @@ def create_marker_graph_vertices(
         else union_find_labels(total, unite_u, unite_v)
     )
 
-    # Coverage per set.
-    reps, inverse, cov = np.unique(label, return_inverse=True, return_counts=True)
+    # Coverage per set. Labels are min-member representatives
+    # (label[label] == label), so the unique/inverse/counts triple
+    # falls out of linear passes — np.unique would sort all markers
+    # (the stage's top cost at 10^8+ markers on the 4-core host).
+    is_rep = np.zeros(total, bool)
+    is_rep[label] = True
+    reps = np.flatnonzero(is_rep)
+    rank = np.cumsum(is_rep) - 1  # rep id -> dense rank
+    inverse = rank[label]
+    cov = np.bincount(inverse, minlength=reps.shape[0])
     good = (cov >= min_coverage) & (cov <= max_coverage)
 
-    # Read id of each marker (marker -> oriented read via CSR search).
+    # Read id of each marker (one linear expansion of the CSR).
     moff = markers.offsets
-    orid_of_marker = (
-        np.searchsorted(moff, np.arange(total, dtype=np.int64), side="right") - 1
+    orid_of_marker = np.repeat(
+        np.arange(moff.shape[0] - 1, dtype=np.int64), np.diff(moff)
     )
     read_of_marker = orid_of_marker >> 1
     strand_of_marker = (orid_of_marker & 1).astype(np.int64)

@@ -67,6 +67,11 @@ def create_marker_graph_edges_strict(
     same = orid_of_valid[1:] == orid_of_valid[:-1]
     i0 = valid[:-1][same]
     i1 = valid[1:][same]
+    if i0.shape[0] == 0:
+        # No oriented read has two consecutive in-vertex markers
+        # (tiny/low-coverage runs): no intervals, no edges.
+        _set_empty_edges(mg)
+        return
     orid = orid_of_valid[:-1][same]
     src = vt[i0]
     tgt = vt[i1]

@@ -277,16 +277,20 @@ class Explorer:
             return f"{e} ({n})"
 
         layout = q.get("layout", ["force"])[0]
-        if layout == "layered":
-            svg = _svg_layered_graph(
-                levels, edges, label_of=label, highlight=start
-            )
-        else:
+        svg = None
+        if layout != "layered":
             # Laid-out view (reference: the graphviz-laid
             # LocalAssemblyGraph SVG, AssemblerHttpServer-
             # AssemblyGraph.cpp): segments drawn as bars whose length
             # tracks their marker-path length, positioned by the
             # force-directed pass, colored by average edge coverage.
+            # The BFS edge list carries both orientations; only draw
+            # real head-to-tail adjacencies.
+            def link_info(u, v):
+                if int(ag.target_v[u]) == int(ag.source_v[v]):
+                    return (1.5, "")
+                return None
+
             svg = _svg_segment_graph(
                 levels,
                 edges,
@@ -296,6 +300,11 @@ class Explorer:
                 seg_color=self._segment_coverage_color,
                 highlight=start,
                 href="exploreAssemblyGraphEdge?edgeId=",
+                link_info=link_info,
+            )
+        if svg is None:  # layered requested, or force budget exceeded
+            svg = _svg_layered_graph(
+                levels, edges, label_of=label, highlight=start
             )
         rows = [
             "<h2>Local assembly graph</h2>",
@@ -416,28 +425,54 @@ def _svg_layered_graph(levels, edges, label_of=str, highlight=None):
     return "".join(parts)
 
 
+# Above this many segments the O(n^2) force layout would hog the
+# 4-core host (dense all-pairs repulsion temporaries); fall back to
+# the cheap layered view instead.
+_FORCE_LAYOUT_MAX_SEGMENTS = 400
+
+
 def _svg_segment_graph(
-    levels, edges, seg_len, seg_color, highlight=None, href=None
+    levels,
+    edges,
+    seg_len,
+    seg_color,
+    highlight=None,
+    href=None,
+    link_info=None,
+    seg_title=None,
 ):
     """Laid-out local graph: each segment is a bar whose desired
     length grows with its size, positioned by the numpy
     force-directed pass (reference analog: the graphviz/neato-laid
     LocalAssemblyGraph SVGs; the TPU build lays out with its own
-    Fruchterman-Reingold — http/explore_more.py:_force_layout)."""
+    Fruchterman-Reingold — http/explore_more.py:_force_layout).
+
+    ``link_info(u, v)`` returns (stroke_width, title) for a drawable
+    directed connection, or None to skip — the BFS edge list carries
+    both orientations of each adjacency, and only the caller knows
+    which direction is real. ``seg_title(s)`` appends to the segment
+    tooltip. Returns None when the neighborhood exceeds the force-
+    layout budget (callers fall back to the layered view)."""
     from shasta_tpu.http.explore_more import _force_layout
 
     segs = sorted({v for level in levels for v in level})
     if not segs:
         return "<p>Empty neighborhood.</p>"
+    if len(segs) > _FORCE_LAYOUT_MAX_SEGMENTS:
+        return None
     idx = {s: i for i, s in enumerate(segs)}
     n = len(segs)
     disp = [30.0 + 10.0 * (max(seg_len(s), 1) ** 0.5) for s in segs]
     aux = [(2 * i, 2 * i + 1, disp[i]) for i in range(n)]
     links = []
-    for (u, v) in set(edges):
-        if u in idx and v in idx and u != v:
-            aux.append((2 * idx[u] + 1, 2 * idx[v], 40.0))
-            links.append((idx[u], idx[v]))
+    for (u, v) in sorted(set(edges)):
+        if u not in idx or v not in idx or u == v:
+            continue
+        info = link_info(u, v) if link_info is not None else (1.5, "")
+        if info is None:
+            continue
+        aux.append((2 * idx[u] + 1, 2 * idx[v], 40.0))
+        links.append((idx[u], idx[v], info[0], info[1]))
     pos = _force_layout(2 * n, aux, seed=(highlight or 0) + 1)
     lo = pos.min(0)
     span = np.maximum(pos.max(0) - lo, 1e-6)
@@ -448,28 +483,30 @@ def _svg_segment_graph(
         f'<svg xmlns="http://www.w3.org/2000/svg" width="{size:.0f}" '
         f'height="{size:.0f}" style="background:#fafafa">'
     ]
-    for i0, i1 in links:
+    for i0, i1, w, title in links:
         x1, y1 = pos[2 * i0 + 1]
         x2, y2 = pos[2 * i1]
         dx, dy = x2 - x1, y2 - y1
         cx1, cy1 = x1 + 0.25 * dx - 0.15 * dy, y1 + 0.25 * dy + 0.15 * dx
         cx2, cy2 = x1 + 0.75 * dx - 0.15 * dy, y1 + 0.75 * dy + 0.15 * dx
+        t = f"<title>{title}</title>" if title else ""
         parts.append(
             f'<path d="M{x1:.1f},{y1:.1f} C{cx1:.1f},{cy1:.1f} '
             f'{cx2:.1f},{cy2:.1f} {x2:.1f},{y2:.1f}" fill="none" '
-            'stroke="#557" stroke-width="1.5" opacity="0.7"/>'
+            f'stroke="#557" stroke-width="{w:.1f}" opacity="0.7">{t}</path>'
         )
     for s in segs:
         i = idx[s]
         x1, y1 = pos[2 * i]
         x2, y2 = pos[2 * i + 1]
         color = "#e33" if s == highlight else seg_color(s)
+        extra = seg_title(s) if seg_title is not None else ""
         parts.append(
             f'<line x1="{x1:.1f}" y1="{y1:.1f}" x2="{x2:.1f}" '
             f'y2="{y2:.1f}" stroke="{color}" stroke-width="9" '
             f'stroke-linecap="round">'
             f"<title>segment {s}, {seg_len(s)} marker-graph edges"
-            "</title></line>"
+            f"{extra}</title></line>"
         )
         mx, my = (x1 + x2) / 2, (y1 + y2) / 2
         text = (

@@ -836,54 +836,25 @@ class _Mode3Views:
             f'<a href="?segmentId={start}&maxDistance={dist}'
             f'&layout=layered">layered view</a></p>'
         )
-        if layout == "layered":
-            return header + _svg_layered_graph(levels, edges, highlight=start)
-        return header + self._mode3_force_svg(m3, start, levels, edges)
+        svg = None
+        if layout != "layered":
+            svg = self._mode3_force_svg(m3, start, levels, edges)
+        if svg is None:  # layered requested, or force budget exceeded
+            svg = _svg_layered_graph(levels, edges, highlight=start)
+        return header + svg
 
-    def _mode3_force_svg(self, m3, start, levels, edges) -> str:
-        """The laid-out view: every segment becomes a 2-endpoint bar
-        whose desired length grows with its marker-path length
-        (reference: LocalAssemblyGraph::computeLayout,
-        mode3-LocalAssemblyGraph.cpp:1026-1090 builds the same
-        auxiliary graph and hands it to neato; here the spring/charge
-        iteration runs in numpy)."""
+    def _mode3_force_svg(self, m3, start, levels, edges):
+        """The laid-out view: segments as length-proportional bars with
+        Jaccard coloring and coverage-thick links (reference:
+        LocalAssemblyGraph::computeLayout + writeSvg,
+        mode3-LocalAssemblyGraph.cpp:513-1090; rendering shared with
+        the mode-0 view via explore._svg_segment_graph)."""
+        from shasta_tpu.http.explore import _svg_segment_graph
+
         segs = sorted({v for level in levels for v in level})
-        if not segs:
-            return "<p>Empty neighborhood.</p>"
-        seg_idx = {s: i for i, s in enumerate(segs)}
-        n = len(segs)
-        path_len = np.array(
-            [m3.ag.chain(s).shape[0] for s in segs], np.float64
-        )
-        # Display length like the reference: ~sqrt-compressed markers.
-        disp = 30.0 + 14.0 * np.sqrt(path_len)
-        # Auxiliary graph: vertex 2i = segment start, 2i+1 = end.
-        aux_edges = [(2 * i, 2 * i + 1, disp[i]) for i in range(n)]
-        link_list = []
-        link_cov = []
-        for (u, v) in set(edges):
-            if u in seg_idx and v in seg_idx:
-                li = self._find_m3_link(m3, u, v)
-                cov = 0
-                if li is not None:
-                    cov = int(
-                        m3.transition_offsets[li + 1]
-                        - m3.transition_offsets[li]
-                    )
-                aux_edges.append((2 * seg_idx[u] + 1, 2 * seg_idx[v], 40.0))
-                link_list.append((seg_idx[u], seg_idx[v]))
-                link_cov.append(cov)
-        pos = _force_layout(2 * n, aux_edges, seed=start + 1)
-        # Scale into the viewport.
-        lo = pos.min(0)
-        span = np.maximum(pos.max(0) - lo, 1e-6)
-        size = min(1200.0, 260.0 + 90.0 * np.sqrt(n))
-        pos = (pos - lo) / span * (size - 80.0) + 40.0
-
         # Jaccard color vs the start segment.
         jac = {}
         try:
-            from shasta_tpu.graph.mode3 import analyze_segment_pair
             from shasta_tpu.graph.mode3_path import Mode3Connectivity
 
             conn = getattr(self, "_mode3_conn_cache", None)
@@ -891,61 +862,47 @@ class _Mode3Views:
                 conn = Mode3Connectivity(m3, self.marker_graph, self.markers)
                 self._mode3_conn_cache = conn
             for s in segs:
-                if s == start:
-                    continue
-                info = conn.analyze_segment_pair(start, s)
-                jac[s] = conn.raw_jaccard(info)
+                if s != start:
+                    info = conn.analyze_segment_pair(start, s)
+                    jac[s] = conn.raw_jaccard(info)
         except Exception:
             pass
 
-        parts = [
-            f'<svg xmlns="http://www.w3.org/2000/svg" width="{size:.0f}" '
-            f'height="{size:.0f}" style="background:#fafafa">'
+        def seg_color(s):
+            j = jac.get(s)
+            if j is None:
+                return "#999"
+            g = int(100 + 155 * min(1.0, max(0.0, j)))
+            return f"rgb(60,{g},80)"
+
+        def seg_title(s):
+            return f", rawJaccard {jac[s]:.2f}" if s in jac else ""
+
+        covs = [
+            int(m3.transition_offsets[li + 1] - m3.transition_offsets[li])
+            for li in range(m3.link_count)
         ]
-        maxcov = max(link_cov) if link_cov else 1
-        for (i0, i1), cov in zip(link_list, link_cov):
-            x1, y1 = pos[2 * i0 + 1]
-            x2, y2 = pos[2 * i1]
-            dx, dy = x2 - x1, y2 - y1
-            cx1, cy1 = x1 + 0.25 * dx - 0.15 * dy, y1 + 0.25 * dy + 0.15 * dx
-            cx2, cy2 = x1 + 0.75 * dx - 0.15 * dy, y1 + 0.75 * dy + 0.15 * dx
-            w = 1.0 + 3.0 * (cov / max(1, maxcov))
-            parts.append(
-                f'<path d="M{x1:.1f},{y1:.1f} C{cx1:.1f},{cy1:.1f} '
-                f'{cx2:.1f},{cy2:.1f} {x2:.1f},{y2:.1f}" fill="none" '
-                f'stroke="#557" stroke-width="{w:.1f}" opacity="0.7">'
-                f"<title>link coverage {cov}</title></path>"
-            )
-        for s in segs:
-            i = seg_idx[s]
-            x1, y1 = pos[2 * i]
-            x2, y2 = pos[2 * i + 1]
-            if s == start:
-                color = "#e33"
-            else:
-                j = jac.get(s)
-                if j is None:
-                    color = "#999"
-                else:
-                    g = int(100 + 155 * min(1.0, max(0.0, j)))
-                    color = f"rgb(60,{g},80)"
-            parts.append(
-                f'<line x1="{x1:.1f}" y1="{y1:.1f}" x2="{x2:.1f}" '
-                f'y2="{y2:.1f}" stroke="{color}" stroke-width="9" '
-                f'stroke-linecap="round">'
-                f"<title>segment {s}, {int(path_len[seg_idx[s]])} "
-                f"marker-graph edges"
-                + (f", rawJaccard {jac[s]:.2f}" if s in jac else "")
-                + "</title></line>"
-            )
-            mx, my = (x1 + x2) / 2, (y1 + y2) / 2
-            parts.append(
-                f'<text x="{mx:.1f}" y="{my - 7:.1f}" font-size="10" '
-                f'text-anchor="middle" fill="#222">'
-                f'<a href="mode3Segment?segmentId={s}">{s}</a></text>'
-            )
-        parts.append("</svg>")
-        return "".join(parts)
+        maxcov = max(covs) if covs else 1
+
+        def link_info(u, v):
+            # The BFS edge list carries both orientations of every
+            # adjacency; only real source->target links draw.
+            li = self._find_m3_link(m3, u, v)
+            if li is None:
+                return None
+            cov = covs[li]
+            return (1.0 + 3.0 * cov / max(1, maxcov), f"link coverage {cov}")
+
+        return _svg_segment_graph(
+            levels,
+            edges,
+            seg_len=lambda s: int(m3.ag.chain(s).shape[0]),
+            seg_color=seg_color,
+            highlight=start,
+            href="mode3Segment?segmentId=",
+            link_info=link_info,
+            seg_title=seg_title,
+        )
 
     @staticmethod
     def _find_m3_link(m3, u, v):

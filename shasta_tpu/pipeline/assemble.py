@@ -927,9 +927,14 @@ class Assembler:
             # mode3-JaccardGraph.cpp:238-296).
             jedges, jmask = M3P.create_jaccard_graph_iterative(conn)
             n_strong = sum(1 for e in jedges.values() if e.is_strong)
+            strong_v = set()
+            for e in jedges.values():
+                if e.is_strong:
+                    strong_v.add(e.seg0)
+                    strong_v.add(e.seg1)
             self.log.line(
-                f"The Jaccard graph has {int(jmask.sum())} strong of "
-                f"{m3.segment_count} vertices and "
+                f"The Jaccard graph has {m3.segment_count} vertices "
+                f"({len(strong_v)} with a strong edge) and "
                 f"{len(jedges)} edges ({n_strong} strong)."
             )
             M3P.write_jaccard_edges_csv(
