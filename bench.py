@@ -153,7 +153,7 @@ def vpu_peak(seed=23):
             # like i+1 does not count). The dependence on the loop
             # index keeps every iteration live.
             y = y + i            # 1 broadcast add
-            y = y ^ jnp.int32(0x9E3779B9)  # 2 xor const
+            y = y ^ jnp.int32(-1640531527)  # 2 xor const (0x9E3779B9)
             y = jnp.maximum(y, i)          # 3 broadcast max
             y = y + y                      # 4 add
             y = y ^ i                      # 5 broadcast xor

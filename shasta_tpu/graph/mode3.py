@@ -283,9 +283,8 @@ def find_assembly_paths(m3: Mode3Graph) -> List[np.ndarray]:
     out_count = np.bincount(m3.link_source, minlength=n_seg)
     in_count = np.bincount(m3.link_target, minlength=n_seg)
     next_seg = np.full(n_seg, -1, np.int64)
-    for s, t in zip(m3.link_source, m3.link_target):
-        if out_count[s] == 1 and in_count[t] == 1:
-            next_seg[s] = t
+    uniq = (out_count[m3.link_source] == 1) & (in_count[m3.link_target] == 1)
+    next_seg[m3.link_source[uniq]] = m3.link_target[uniq]
     has_pred = np.zeros(n_seg, dtype=bool)
     valid_next = next_seg[next_seg >= 0]
     has_pred[valid_next] = True
