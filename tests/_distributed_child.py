@@ -50,6 +50,11 @@ def main() -> None:
     )
     assert np.array_equal(got, expect), got
     D.barrier("child-helpers")
+    # Round-robin file dealing at p>1 (with fewer files than
+    # processes every process keeps all files).
+    files = [f"f{j}" for j in range(3 * nproc)]
+    assert D.shard_input_files(files) == files[pid::nproc]
+    assert D.shard_input_files(["only"]) == ["only"]
 
     summary = D.run_assembly_distributed(
         [os.path.join(workdir, "r.fasta")],

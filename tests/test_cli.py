@@ -258,3 +258,37 @@ def test_all_pairs_and_candidate_cap():
     assert sorted(capped.frequency.tolist()) == [3, 5, 5]
     # Original relative order preserved among kept.
     assert capped.read_id0.tolist() == sorted(capped.read_id0.tolist())
+
+
+def test_svg_segment_graph_hooks_and_budget():
+    """The shared laid-out renderer draws each adjacency once in the
+    direction link_info approves, carries per-link width/title and
+    per-segment title hooks, and returns None past the force-layout
+    segment budget (callers fall back to the layered view)."""
+    from shasta_tpu.http import explore as E
+
+    levels = [[0], [1, 2], [3]]
+    # BFS emits both orientations; link_info keeps the real ones.
+    edges = [(0, 1), (1, 0), (0, 2), (2, 0), (1, 3), (3, 1)]
+    real = {(0, 1), (0, 2), (1, 3)}
+
+    def link_info(u, v):
+        return (2.0, f"cov {u}->{v}") if (u, v) in real else None
+
+    svg = E._svg_segment_graph(
+        levels, edges,
+        seg_len=lambda s: 4 * (s + 1),
+        seg_color=lambda s: "#2a6",
+        highlight=0,
+        href="x?id=",
+        link_info=link_info,
+        seg_title=lambda s: f", extra{s}",
+    )
+    assert svg.count("<path") == len(real)
+    assert "cov 0-&gt;1" in svg or "cov 0->1" in svg
+    assert ", extra1" in svg
+    # Budget: a neighborhood past the cap returns None.
+    big = [list(range(E._FORCE_LAYOUT_MAX_SEGMENTS + 1))]
+    assert E._svg_segment_graph(
+        big, [], seg_len=lambda s: 1, seg_color=lambda s: "#2a6"
+    ) is None
