@@ -827,23 +827,42 @@ class _Mode3Views:
                 int(m3.link_source[i])
             )
         levels, edges = _local_bfs(start, lambda v: by_s.get(v, []), dist)
+        # Color-by options (reference: LocalAssemblyGraph::SvgOptions
+        # segmentColoring choices, mode3-LocalAssemblyGraph.cpp:821-868).
+        color_by = q.get("colorBy", ["jaccard"])[0]
+        legend = {
+            "jaccard": f"raw Jaccard similarity with segment {start}",
+            "commonCount": f"common oriented reads with segment {start}",
+            "coverage": "average oriented-read coverage",
+        }.get(color_by, "raw Jaccard similarity")
         header = (
             f"<h1>Mode 3 assembly graph around segment {start}</h1>"
             f"<p>{m3.segment_count} segments, {m3.link_count} links. "
-            f"Segment color = raw Jaccard similarity with segment "
-            f"{start} (red = start, green = high, grey = low/none); "
+            f"Segment color = {legend} "
+            f"(red = start, green/dark = high, grey = low/none); "
             f"link thickness = transition coverage. "
             f'<a href="?segmentId={start}&maxDistance={dist}'
             f'&layout=layered">layered view</a></p>'
+            f"<form>Segment <input name=segmentId value={start} size=8> "
+            f"Max distance <input name=maxDistance value={dist} size=4> "
+            f"Color by <select name=colorBy>"
+            + "".join(
+                f"<option value={v}{' selected' if v == color_by else ''}>"
+                f"{v}</option>"
+                for v in ("jaccard", "commonCount", "coverage")
+            )
+            + "</select> <input type=submit></form>"
         )
         svg = None
         if layout != "layered":
-            svg = self._mode3_force_svg(m3, start, levels, edges)
+            svg = self._mode3_force_svg(
+                m3, start, levels, edges, color_by=color_by
+            )
         if svg is None:  # layered requested, or force budget exceeded
             svg = _svg_layered_graph(levels, edges, highlight=start)
         return header + svg
 
-    def _mode3_force_svg(self, m3, start, levels, edges):
+    def _mode3_force_svg(self, m3, start, levels, edges, color_by="jaccard"):
         """The laid-out view: segments as length-proportional bars with
         Jaccard coloring and coverage-thick links (reference:
         LocalAssemblyGraph::computeLayout + writeSvg,
@@ -852,8 +871,10 @@ class _Mode3Views:
         from shasta_tpu.http.explore import _svg_segment_graph
 
         segs = sorted({v for level in levels for v in level})
-        # Jaccard color vs the start segment.
-        jac = {}
+        # Per-segment color metric vs the start segment (reference:
+        # SvgOptions segmentColoring).
+        metric = {}
+        label = "rawJaccard"
         try:
             from shasta_tpu.graph.mode3_path import Mode3Connectivity
 
@@ -861,22 +882,36 @@ class _Mode3Views:
             if conn is None:
                 conn = Mode3Connectivity(m3, self.marker_graph, self.markers)
                 self._mode3_conn_cache = conn
-            for s in segs:
-                if s != start:
-                    info = conn.analyze_segment_pair(start, s)
-                    jac[s] = conn.raw_jaccard(info)
+            if color_by == "coverage":
+                label = "avg coverage"
+                for s in segs:
+                    metric[s] = min(
+                        1.0, conn.segment_orids(s).shape[0] / 60.0
+                    )
+            elif color_by == "commonCount":
+                label = "common reads"
+                n0 = max(1, conn.segment_orids(start).shape[0])
+                for s in segs:
+                    if s != start:
+                        info = conn.analyze_segment_pair(start, s)
+                        metric[s] = min(1.0, info.common_count / n0)
+            else:
+                for s in segs:
+                    if s != start:
+                        info = conn.analyze_segment_pair(start, s)
+                        metric[s] = conn.raw_jaccard(info)
         except Exception:
             pass
 
         def seg_color(s):
-            j = jac.get(s)
+            j = metric.get(s)
             if j is None:
                 return "#999"
             g = int(100 + 155 * min(1.0, max(0.0, j)))
             return f"rgb(60,{g},80)"
 
         def seg_title(s):
-            return f", rawJaccard {jac[s]:.2f}" if s in jac else ""
+            return f", {label} {metric[s]:.2f}" if s in metric else ""
 
         covs = [
             int(m3.transition_offsets[li + 1] - m3.transition_offsets[li])
