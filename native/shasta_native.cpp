@@ -775,4 +775,78 @@ void union_find_min_labels(
     for (int64_t i = 0; i < n; i++) label[i] = dsu_find(label, i);
 }
 
+
+// Dual 64-bit polynomial content hash of each strict-edge interval's
+// intervening RLE sequence, computed directly from the read store
+// (no flat expansion; reference extracts and stores the sequences,
+// src/AssemblerMarkerGraphEdges.cpp:31-360). For interval t of
+// oriented read orid[t], the sequence is oriented positions
+// pos0[t]+k .. pos1[t]-1; reverse strand reads complement back-to-
+// front. Overlapping markers (pos1 < pos0+k) get a length sentinel.
+// h2 uses an independent multiplier so the pair acts as a 128-bit
+// content fingerprint (collision-free in practice; grouping uses
+// both).
+void strict_interval_hashes(
+    const uint8_t* rle,
+    const int64_t* read_offsets,
+    const int64_t* orid,
+    const int64_t* pos0,
+    const int64_t* pos1,
+    int64_t n,
+    int64_t k,
+    uint64_t* h1,
+    uint64_t* h2)
+{
+    auto work = [&](int64_t lo, int64_t hi) {
+        const uint64_t P1 = 0x100000001B3ull;
+        const uint64_t P2 = 0x9E3779B97F4A7C15ull;
+        for (int64_t t = lo; t < hi; t++) {
+            const int64_t o = orid[t];
+            const int64_t r = o >> 1;
+            const int comp = (int)(o & 1);
+            const int64_t rlo = read_offsets[r];
+            const int64_t rhi = read_offsets[r + 1];
+            const int64_t s = pos0[t] + k;
+            const int64_t e = pos1[t];
+            if (e < s) {
+                h1[t] = 0xFFFF000000000000ull + (uint64_t)(s - e);
+                h2[t] = h1[t];
+                continue;
+            }
+            uint64_t a = 0, b = 0, pw1 = 1, pw2 = 1;
+            if (comp) {
+                for (int64_t p = s; p < e; p++) {
+                    const uint64_t base = (uint64_t)(3 - rle[rhi - 1 - p]);
+                    a += (base + 1) * pw1; pw1 *= P1;
+                    b += (base + 1) * pw2; pw2 *= P2;
+                }
+            } else {
+                for (int64_t p = s; p < e; p++) {
+                    const uint64_t base = (uint64_t)rle[rlo + p];
+                    a += (base + 1) * pw1; pw1 *= P1;
+                    b += (base + 1) * pw2; pw2 *= P2;
+                }
+            }
+            h1[t] = a; h2[t] = b;
+        }
+    };
+    int n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 8) n_threads = 8;
+    if (n < 1 << 15) n_threads = 1;
+    if (n_threads == 1) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+        int64_t lo = t * chunk;
+        int64_t hi = lo + chunk < n ? lo + chunk : n;
+        if (lo >= hi) break;
+        threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

@@ -897,72 +897,120 @@ def assemble_chain(
 
     chain = np.asarray(chain, np.int64)
     n_e = chain.shape[0]
+    n_v = n_e + 1
     # Vertices along the chain.
-    v_ids = np.empty(n_e + 1, dtype=np.int64)
+    v_ids = np.empty(n_v, dtype=np.int64)
     v_ids[0] = mg.source[chain[0]]
     v_ids[1:] = mg.target[chain]
 
-    # Per-vertex sequences and repeat counts.
-    v_seqs = [unpack_kmer(int(kmer_first[v]), k) for v in v_ids]
-    v_reps = [vertex_repeats[v] for v in v_ids]
+    # Per-vertex sequences and repeat counts: all chain vertices
+    # unpacked in one bit-shift pass (the per-vertex Python loop was
+    # the assemble stage's dominant host cost at scale).
+    shifts = (2 * (k - 1 - np.arange(k, dtype=np.int64)))[None, :]
+    v_seq_mat = (
+        (kmer_first[v_ids].astype(np.int64)[:, None] >> shifts) & 3
+    ).astype(np.uint8)
+    v_rep_mat = vertex_repeats[v_ids]  # (n_v, k)
     v_cov = vertex_cov[v_ids]
 
-    # Edge fills.
-    e_seq = []
-    e_rep = []
-    e_overlap = np.empty(n_e, dtype=np.int64)
-    for t, e in enumerate(chain):
-        s, r, o = edge_consensus.get(int(e))
-        e_seq.append(s)
-        e_rep.append(r)
-        e_overlap[t] = o
+    # Edge fills as CSR slices.
+    eoff = edge_consensus.offsets
+    e_lo = eoff[chain].astype(np.int64)
+    e_len = (eoff[chain + 1] - eoff[chain]).astype(np.int64)
+    e_overlap = edge_consensus.overlap[chain].astype(np.int64)
 
     # Vertex offsets (reference: computeVertexOffsets).
-    v_off = np.zeros(n_e + 1, dtype=np.int64)
-    for i in range(n_e):
-        if e_overlap[i] > 0:
-            v_off[i + 1] = v_off[i] + k - e_overlap[i]
-        else:
-            v_off[i + 1] = v_off[i] + k + e_seq[i].shape[0]
+    delta = np.where(e_overlap > 0, k - e_overlap, k + e_len)
+    v_off = np.zeros(n_v, dtype=np.int64)
+    np.cumsum(delta, out=v_off[1:])
 
     # Assembled portion per vertex (reference:
-    # computeVertexAssembledPortion — overlap resolution by
-    # coverage, ties by lower vertex id).
-    first = np.zeros(n_e + 1, dtype=np.int64)
-    second = np.full(n_e + 1, k, dtype=np.int64)
-    for i in range(n_e + 1):
-        for j in range(i - 1, -1, -1):
-            if v_off[j] + k < v_off[i]:
+    # computeVertexAssembledPortion — overlap resolution by coverage,
+    # ties by lower vertex id). The reference scans outward from each
+    # vertex until the first out-of-window or beating neighbor; since
+    # v_off is nondecreasing, the window is monotone in distance d, so
+    # the scans vectorize as one pass per d with undecided masks
+    # (window width <= k, so d stays small).
+    first = np.zeros(n_v, dtype=np.int64)
+    second = np.full(n_v, k, dtype=np.int64)
+    undecided = np.ones(n_v, bool)  # backward scan still running
+    for d in range(1, n_v):
+        i_idx = np.arange(d, n_v)
+        j_idx = i_idx - d
+        in_win = v_off[j_idx] + k >= v_off[i_idx]
+        if not in_win.any():
+            break
+        act = undecided[d:] & in_win
+        if not act.any():
+            if not undecided[d:].any():
                 break
-            if v_cov[j] > v_cov[i] or (
-                v_cov[j] == v_cov[i] and v_ids[j] < v_ids[i]
-            ):
-                first[i] = v_off[j] + k - v_off[i]
+            undecided[d:] &= in_win
+            continue
+        beats = (v_cov[j_idx] > v_cov[i_idx]) | (
+            (v_cov[j_idx] == v_cov[i_idx]) & (v_ids[j_idx] < v_ids[i_idx])
+        )
+        hit = act & beats
+        ih = i_idx[hit]
+        first[ih] = v_off[ih - d] + k - v_off[ih]
+        undecided[d:] &= in_win & ~hit
+    undecided = np.ones(n_v, bool)  # forward scan
+    for d in range(1, n_v):
+        i_idx = np.arange(0, n_v - d)
+        j_idx = i_idx + d
+        in_win = v_off[i_idx] + k >= v_off[j_idx]
+        if not in_win.any():
+            break
+        act = undecided[: n_v - d] & in_win
+        if not act.any():
+            if not undecided[: n_v - d].any():
                 break
-        for j in range(i + 1, n_e + 1):
-            if v_off[i] + k < v_off[j]:
-                break
-            if v_cov[j] > v_cov[i] or (
-                v_cov[j] == v_cov[i] and v_ids[j] < v_ids[i]
-            ):
-                second[i] = v_off[j] - v_off[i]
-                break
-        if second[i] <= first[i]:
-            first[i] = 0
-            second[i] = 0
+            undecided[: n_v - d] &= in_win
+            continue
+        beats = (v_cov[j_idx] > v_cov[i_idx]) | (
+            (v_cov[j_idx] == v_cov[i_idx]) & (v_ids[j_idx] < v_ids[i_idx])
+        )
+        hit = act & beats
+        ih = i_idx[hit]
+        second[ih] = v_off[ih + d] - v_off[ih]
+        undecided[: n_v - d] &= in_win & ~hit
+    bad = second <= first
+    first[bad] = 0
+    second[bad] = 0
 
-    # Stitch (reference: AssembledSegment::assemble).
-    rle: List[np.ndarray] = []
-    rep: List[np.ndarray] = []
-    for i in range(n_e + 1):
-        rle.append(v_seqs[i][first[i] : second[i]])
-        rep.append(v_reps[i][first[i] : second[i]].astype(np.int32))
-        if i < n_e and e_seq[i].shape[0] > 0:
-            rle.append(e_seq[i])
-            rep.append(e_rep[i])
-    rle_arr = np.concatenate(rle) if rle else np.zeros(0, np.uint8)
-    rep_arr = np.concatenate(rep) if rep else np.zeros(0, np.int32)
-    rep_arr = np.maximum(rep_arr, 1)
+    # Stitch (reference: AssembledSegment::assemble) — one segmented
+    # copy into the output, vertex piece i interleaved with edge fill i.
+    v_take = second - first
+    piece_len = np.zeros(2 * n_v - 1, dtype=np.int64)
+    piece_len[0::2] = v_take
+    piece_len[1::2] = e_len
+    out_off = np.zeros(piece_len.shape[0] + 1, dtype=np.int64)
+    np.cumsum(piece_len, out=out_off[1:])
+    out_n = int(out_off[-1])
+    rle_arr = np.empty(out_n, np.uint8)
+    rep_arr = np.empty(out_n, np.int32)
+    # Vertex pieces: flat gather from the (n_v, k) matrices.
+    tv = int(v_take.sum())
+    if tv:
+        within = np.arange(tv, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(v_take)))[:-1], v_take
+        )
+        src = np.repeat(
+            np.arange(n_v, dtype=np.int64) * k + first, v_take
+        ) + within
+        dst = np.repeat(out_off[0::2][:n_v], v_take) + within
+        rle_arr[dst] = v_seq_mat.ravel()[src]
+        rep_arr[dst] = v_rep_mat.ravel()[src].astype(np.int32)
+    # Edge pieces.
+    te = int(e_len.sum())
+    if te:
+        within_e = np.arange(te, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(e_len)))[:-1], e_len
+        )
+        src_e = np.repeat(e_lo, e_len) + within_e
+        dst_e = np.repeat(out_off[1::2][:n_e], e_len) + within_e
+        rle_arr[dst_e] = edge_consensus.seq[src_e]
+        rep_arr[dst_e] = edge_consensus.rep[src_e].astype(np.int32)
+    np.maximum(rep_arr, 1, out=rep_arr)
     raw_arr = np.repeat(rle_arr, rep_arr)
     if with_offsets:
         return rle_arr, rep_arr, raw_arr, v_off

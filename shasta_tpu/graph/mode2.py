@@ -56,6 +56,20 @@ def create_marker_graph_edges_strict(
     markers per oriented read generate marker intervals; intervals with
     the same (source, target) split into one edge per distinct
     intervening RLE sequence; coverage thresholds apply per edge."""
+    import os as _os
+    import time as _time
+
+    _prof_on = bool(_os.environ.get("SHASTA_TPU_PROF"))
+    _t0 = _time.perf_counter() if _prof_on else 0.0
+    _marks = []
+
+    def _mark(name):
+        nonlocal _t0
+        if _prof_on:
+            now = _time.perf_counter()
+            _marks.append((name, now - _t0))
+            _t0 = now
+
     moff = markers.offsets
     vt = mg.vertex_table
     valid = np.flatnonzero(vt >= 0)
@@ -78,54 +92,83 @@ def create_marker_graph_edges_strict(
     ord0 = (i0 - moff[orid]).astype(np.int32)
     ord1 = (i1 - moff[orid]).astype(np.int32)
 
-    # Intervening RLE sequence per interval, extracted for ALL
-    # intervals in one flat vectorized gather (the per-interval loop
-    # was the scaling bottleneck of strict edge creation).
+    # Dual 64-bit polynomial content hash per interval's intervening
+    # RLE sequence (wrap-around mod 2^64), plus offset sentinel for
+    # overlapping markers. The (h1, h2) pair is a 128-bit content
+    # fingerprint: grouping keys on BOTH, so merging two distinct
+    # sequences would need a simultaneous collision in two independent
+    # hashes (< 2^-70 at any realistic interval count) — this replaces
+    # the full content-compare audit, which cost as much as the
+    # extraction itself. (Reference stores and compares the sequences
+    # directly, src/AssemblerMarkerGraphEdges.cpp:31-360 — a deliberate
+    # deviation documented in docs/ComponentMap.md.)
     k = markers.k
     pos0 = markers.positions[i0].astype(np.int64)
     pos1 = markers.positions[i1].astype(np.int64)
     n_int = i0.shape[0]
     seq_lo = pos0 + k
     seq_len = np.maximum(pos1 - seq_lo, 0)
-    total = int(seq_len.sum())
-    starts = np.concatenate(([0], np.cumsum(seq_len)))
-    int_id = np.repeat(np.arange(n_int, dtype=np.int64), seq_len)
-    pos_in = np.arange(total, dtype=np.int64) - starts[int_id]
-    pos_flat = seq_lo[int_id] + pos_in
-    rid = (orid >> 1).astype(np.int64)
-    lo_off = reads.offsets[rid]
-    hi_off = reads.offsets[rid + 1]
-    comp = (orid & 1).astype(bool)
-    idx_flat = np.where(
-        comp[int_id],
-        hi_off[int_id] - 1 - pos_flat,
-        lo_off[int_id] + pos_flat,
-    )
-    b_flat = reads.rle_bases[idx_flat].astype(np.uint64)
-    b_flat = np.where(comp[int_id], np.uint64(3) - b_flat, b_flat)
+    _mark("extract_prep")
 
-    # 64-bit polynomial content hash per interval (wrap-around mod
-    # 2^64), plus offset sentinel for overlapping markers.
-    P = np.uint64(0x100000001B3)
-    max_len = int(seq_len.max()) if n_int else 0
-    powtab = np.ones(max(max_len, 1), dtype=np.uint64)
-    with np.errstate(over="ignore"):  # wrap-around mod 2^64 is intended
-        for t in range(1, max_len):
-            powtab[t] = powtab[t - 1] * P
-    h = np.zeros(n_int, dtype=np.uint64)
-    if total:
+    from shasta_tpu import native as _native
+
+    hh = (
+        _native.strict_interval_hashes_native(
+            reads.rle_bases, reads.offsets, orid, pos0, pos1, k
+        )
+        if n_int >= 1 << 16
+        else None
+    )
+    if hh is not None:
+        # Threaded native pass straight from the read store — no flat
+        # expansion crosses memory.
+        h, h2 = hh
+        _mark("hash_native")
+    else:
+        total = int(seq_len.sum())
+        starts = np.concatenate(([0], np.cumsum(seq_len)))
+        int_id = np.repeat(np.arange(n_int, dtype=np.int64), seq_len)
+        pos_in = np.arange(total, dtype=np.int64) - starts[int_id]
+        pos_flat = seq_lo[int_id] + pos_in
+        rid = (orid >> 1).astype(np.int64)
+        lo_off = reads.offsets[rid]
+        hi_off = reads.offsets[rid + 1]
+        comp = (orid & 1).astype(bool)
+        idx_flat = np.where(
+            comp[int_id],
+            hi_off[int_id] - 1 - pos_flat,
+            lo_off[int_id] + pos_flat,
+        )
+        b_flat = reads.rle_bases[idx_flat].astype(np.uint64)
+        b_flat = np.where(comp[int_id], np.uint64(3) - b_flat, b_flat)
+        _mark("gather_bases")
+        P1 = np.uint64(0x100000001B3)
+        P2 = np.uint64(0x9E3779B97F4A7C15)
+        max_len = int(seq_len.max()) if n_int else 0
+        powtab1 = np.ones(max(max_len, 1), dtype=np.uint64)
+        powtab2 = np.ones(max(max_len, 1), dtype=np.uint64)
         with np.errstate(over="ignore"):  # wrap mod 2^64 is intended
-            contrib = (b_flat + np.uint64(1)) * powtab[pos_in]
-        # Segment sums via reduceat (int_id is sorted by construction);
-        # uint64 wrap-around is preserved by summing in uint64 chunks.
-        starts_nonempty = starts[:-1][seq_len > 0]
-        sums = np.add.reduceat(contrib, starts_nonempty)
-        h[seq_len > 0] = sums
-    overlap = pos1 < seq_lo
-    h[overlap] = np.uint64(0xFFFF000000000000) + (seq_lo - pos1)[overlap].astype(
-        np.uint64
-    )
+            for t in range(1, max_len):
+                powtab1[t] = powtab1[t - 1] * P1
+                powtab2[t] = powtab2[t - 1] * P2
+        h = np.zeros(n_int, dtype=np.uint64)
+        h2 = np.zeros(n_int, dtype=np.uint64)
+        if total:
+            with np.errstate(over="ignore"):
+                bp1 = b_flat + np.uint64(1)
+                contrib = bp1 * powtab1[pos_in]
+                contrib2 = bp1 * powtab2[pos_in]
+            starts_nonempty = starts[:-1][seq_len > 0]
+            h[seq_len > 0] = np.add.reduceat(contrib, starts_nonempty)
+            h2[seq_len > 0] = np.add.reduceat(contrib2, starts_nonempty)
+        overlap = pos1 < seq_lo
+        sent = np.uint64(0xFFFF000000000000) + (seq_lo - pos1)[
+            overlap
+        ].astype(np.uint64)
+        h[overlap] = sent
+        h2[overlap] = sent
 
+    _mark("hash")
     # Group by (src, tgt, length, hash). Pack (src,tgt) and
     # (orid,ord0) into single int64 keys when the value ranges allow
     # (they do until ~3e9 vertices / 2^39 oriented reads): each
@@ -138,13 +181,14 @@ def create_marker_graph_edges_strict(
     ) * max_ord < 2**62:
         pair_key = src.astype(np.int64) * n_v + tgt
         ord_pack = orid.astype(np.int64) * np.int64(max_ord) + ord0
-        order = np.lexsort((ord_pack, h, seq_len, pair_key))
+        order = np.lexsort((ord_pack, h2, h, seq_len, pair_key))
     else:  # pragma: no cover - beyond-int64 packing scale
-        order = np.lexsort((ord0, orid, h, seq_len, tgt, src))
+        order = np.lexsort((ord0, orid, h2, h, seq_len, tgt, src))
     src, tgt, orid, ord0, ord1 = (
         src[order], tgt[order], orid[order], ord0[order], ord1[order]
     )
-    h_s, len_s = h[order], seq_len[order]
+    h_s, h2_s, len_s = h[order], h2[order], seq_len[order]
+    _mark("sort")
     new_edge = np.empty(src.shape[0], dtype=bool)
     new_edge[0] = True
     new_edge[1:] = (
@@ -152,37 +196,11 @@ def create_marker_graph_edges_strict(
         | (tgt[1:] != tgt[:-1])
         | (len_s[1:] != len_s[:-1])
         | (h_s[1:] != h_s[:-1])
+        | (h2_s[1:] != h2_s[:-1])
     )
     group = np.cumsum(new_edge) - 1
 
-    # Exactness audit: equal hash within a group must mean equal
-    # content; verify every interval against its group head (one flat
-    # vectorized compare; a 64-bit collision would be astronomically
-    # rare but must not silently merge distinct sequences).
-    if total:
-        head_of_group = np.flatnonzero(new_edge)
-        head_of_int = head_of_group[group]
-        orig = np.empty(n_int, np.int64)
-        orig = order  # sorted position -> original interval id
-        a_id = orig
-        b_id = orig[head_of_int]
-        same_pair = a_id != b_id
-        check = np.flatnonzero(same_pair)
-        if check.shape[0]:
-            la = starts[a_id[check]]
-            lb = starts[b_id[check]]
-            ln = seq_len[a_id[check]]
-            tot2 = int(ln.sum())
-            cid = np.repeat(np.arange(check.shape[0]), ln)
-            off = np.arange(tot2, dtype=np.int64) - np.concatenate(
-                ([0], np.cumsum(ln))
-            )[:-1][cid]
-            if not np.array_equal(
-                b_flat[la[cid] + off], b_flat[lb[cid] + off]
-            ):
-                raise RuntimeError(
-                    "strict-edge hash collision detected; please report"
-                )
+    _mark("group")
     n_groups = int(group[-1]) + 1
     cov = np.bincount(group, minlength=n_groups)
     strand1 = np.bincount(group, weights=(orid & 1), minlength=n_groups)
@@ -280,6 +298,14 @@ def create_marker_graph_edges_strict(
             match = [int(f) for f in cands if _ivset(int(f)) == want]
             rc_edge[e] = match[0] if match else int(cands[0])
 
+    _mark("rc_match")
+    if _prof_on:
+        import sys as _sys
+
+        total_s = sum(d for _n, d in _marks)
+        parts = " ".join(f"{n}={d:.2f}s" for n, d in _marks)
+        print(f"[strict prof] n_int={n_int} total={total_s:.2f}s {parts}",
+              file=_sys.stderr, flush=True)
     mg.source = e_src
     mg.target = e_tgt
     mg.coverage = e_cov

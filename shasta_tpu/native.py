@@ -483,3 +483,28 @@ def cross_strand_edges2_native(graph, pairs_in_order: np.ndarray):
     )
     graph.crosses_strands[:] = crosses.astype(bool)
     return int(n_flagged[0])
+
+def strict_interval_hashes_native(rle_bases, read_offsets, orid, pos0, pos1, k: int):
+    """Dual 64-bit polynomial content hashes of strict-edge intervals,
+    threaded, straight from the read store (no flat expansion).
+    Returns (h1, h2) uint64 arrays or None when unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    rle = np.ascontiguousarray(rle_bases, np.uint8)
+    ro = np.ascontiguousarray(read_offsets, np.int64)
+    o = np.ascontiguousarray(orid, np.int64)
+    p0 = np.ascontiguousarray(pos0, np.int64)
+    p1 = np.ascontiguousarray(pos1, np.int64)
+    n = o.shape[0]
+    h1 = np.empty(n, np.uint64)
+    h2 = np.empty(n, np.uint64)
+    lib.strict_interval_hashes(
+        _u8p(rle), _i64p(ro), _i64p(o), _i64p(p0), _i64p(p1),
+        ctypes.c_int64(n), ctypes.c_int64(k),
+        h1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        h2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return h1, h2

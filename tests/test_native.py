@@ -319,3 +319,62 @@ def test_expand_unite_pairs_native_matches_numpy():
     key_g = np.sort(gu * (moff[-1] + 1) + gv)
     key_w = np.sort(wu * (moff[-1] + 1) + wv)
     assert np.array_equal(key_g, key_w)
+
+
+def test_strict_interval_hashes_native_matches_numpy():
+    """The native dual-hash pass must match the numpy fallback bit
+    for bit, including reverse-strand complement-and-reverse reads and
+    the overlapping-marker sentinel."""
+    from shasta_tpu import native as N
+
+    if not N.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    n_reads, L = 40, 500
+    rle = rng.integers(0, 4, n_reads * L).astype(np.uint8)
+    offsets = np.arange(n_reads + 1, dtype=np.int64) * L
+    k = 10
+    n_int = 3000
+    orid = rng.integers(0, 2 * n_reads, n_int).astype(np.int64)
+    pos0 = rng.integers(0, L - 3 * k, n_int).astype(np.int64)
+    gap = rng.integers(-3, 40, n_int).astype(np.int64)  # negatives overlap
+    pos1 = pos0 + k + gap
+
+    got = N.strict_interval_hashes_native(rle, offsets, orid, pos0, pos1, k)
+    assert got is not None
+    h1, h2 = got
+
+    # numpy oracle (the fallback formulation).
+    P1 = np.uint64(0x100000001B3)
+    P2 = np.uint64(0x9E3779B97F4A7C15)
+    e1 = np.zeros(n_int, np.uint64)
+    e2 = np.zeros(n_int, np.uint64)
+    with np.errstate(over="ignore"):
+        for t in range(n_int):
+            r = int(orid[t]) >> 1
+            comp = int(orid[t]) & 1
+            s, e = int(pos0[t]) + k, int(pos1[t])
+            if e < s:
+                sent = np.uint64(0xFFFF000000000000) + np.uint64(s - e)
+                e1[t] = sent
+                e2[t] = sent
+                continue
+            a = np.uint64(0)
+            b = np.uint64(0)
+            pw1 = np.uint64(1)
+            pw2 = np.uint64(1)
+            for p in range(s, e):
+                if comp:
+                    base = np.uint64(3 - rle[offsets[r + 1] - 1 - p])
+                else:
+                    base = np.uint64(rle[offsets[r] + p])
+                a += (base + np.uint64(1)) * pw1
+                b += (base + np.uint64(1)) * pw2
+                pw1 *= P1
+                pw2 *= P2
+            e1[t] = a
+            e2[t] = b
+    assert np.array_equal(h1, e1)
+    assert np.array_equal(h2, e2)
