@@ -1216,7 +1216,23 @@ def run_assembly_graph2(
     """The full reference constructor sequence
     (reference: src/AssemblyGraph2.cpp:44-233). The graph must have an
     assembler installed (set_assembler) before calling."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _prof_on = bool(_os.environ.get("SHASTA_TPU_PROF"))
+    _t0 = _time.perf_counter() if _prof_on else 0.0
+
+    def _mark(name):
+        nonlocal _t0
+        if _prof_on:
+            now = _time.perf_counter()
+            print(f"[ag2 prof] {name}={now - _t0:.2f}s", file=_sys.stderr,
+                  flush=True)
+            _t0 = now
+
     g.create()
+    _mark("create")
     g.prune(p.prune_length)
     g.remove_short_loopback_edges(p.superbubble_edge_length_threshold)
     g.gather_bubbles()
@@ -1238,20 +1254,25 @@ def run_assembly_graph2(
     )
     g.merge(False, False)
     g.store_read_information()
+    _mark("store_read_information")
     g.remove_weak_branches(p.strong_branch_threshold)
     g.merge(True, False)
     g.gather_bubbles()
     g.force_maximum_ploidy(2)
     g.assemble_all()
+    _mark("assemble_all")
     g.remove_degenerate_branches()
     g.merge(True, True)
     g.prune(p.prune_length)
     n_bad = remove_bad_bubbles_iterative(g, p)
+    _mark("removeBadBubblesIterative")
     hierarchical_phase(g, p)
+    _mark("hierarchicalPhase")
     g.prune(p.prune_length)
     g.find_bubble_chains()
     g.find_phasing_regions()
     g.store_gfa_sequence()
+    _mark("chains_gfa")
     transitions, transversions, non_snp = g.het_snp_statistics()
     diploid = sum(1 for e in g.edges.values() if e.ploidy == 2)
     phased = sum(
