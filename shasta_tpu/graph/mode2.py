@@ -264,39 +264,41 @@ def create_marker_graph_edges_strict(
     # of e contains precisely the rc'd intervals of e.
     multi = np.flatnonzero(hi_all - lo_all > 1)
     if multi.shape[0]:
-        orid2 = orid[order2]
-        o02 = ord0[order2]
-        o12 = ord1[order2]
+        # Order-independent per-edge interval-set fingerprints: XOR of
+        # a mixed hash of each interval's (orid, ord0, ord1), and the
+        # rc fingerprint over the rc'd tuples — one vectorized pass
+        # over all intervals replaces per-edge frozenset construction.
+        orid2 = orid[order2].astype(np.uint64)
+        o02 = ord0[order2].astype(np.int64)
+        o12 = ord1[order2].astype(np.int64)
         n_mark = np.diff(moff)
+        n2 = n_mark[orid2.astype(np.int64)].astype(np.int64)
 
-        def _ivset(e: int) -> frozenset:
-            lo, hi = interval_offsets[e], interval_offsets[e + 1]
-            return frozenset(
-                zip(
-                    orid2[lo:hi].tolist(),
-                    o02[lo:hi].tolist(),
-                    o12[lo:hi].tolist(),
+        def _mix3(a, b, c):
+            with np.errstate(over="ignore"):
+                x = (
+                    a * np.uint64(0x9E3779B97F4A7C15)
+                    + b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+                    + c.astype(np.uint64) * np.uint64(0x165667B19E3779F9)
                 )
-            )
+                x ^= x >> np.uint64(33)
+                x *= np.uint64(0xFF51AFD7ED558CCD)
+                x ^= x >> np.uint64(29)
+            return x
 
-        def _rc_ivset(e: int) -> frozenset:
-            lo, hi = interval_offsets[e], interval_offsets[e + 1]
-            os_ = orid2[lo:hi]
-            n = n_mark[os_]
-            return frozenset(
-                zip(
-                    (os_ ^ 1).tolist(),
-                    (n - 1 - o12[lo:hi]).tolist(),
-                    (n - 1 - o02[lo:hi]).tolist(),
-                )
-            )
-
+        fwd_h = _mix3(orid2, o02, o12)
+        rc_h = _mix3(orid2 ^ np.uint64(1), n2 - 1 - o12, n2 - 1 - o02)
+        if interval_offsets[-1]:
+            fwd_key = np.bitwise_xor.reduceat(fwd_h, interval_offsets[:-1])
+            rc_key = np.bitwise_xor.reduceat(rc_h, interval_offsets[:-1])
+        else:  # pragma: no cover
+            fwd_key = np.zeros(n_edges, np.uint64)
+            rc_key = np.zeros(n_edges, np.uint64)
         for e in multi:
             e = int(e)
             cands = order_k[lo_all[e] : hi_all[e]]
-            want = _rc_ivset(e)
-            match = [int(f) for f in cands if _ivset(int(f)) == want]
-            rc_edge[e] = match[0] if match else int(cands[0])
+            match = cands[fwd_key[cands] == rc_key[e]]
+            rc_edge[e] = int(match[0]) if match.shape[0] else int(cands[0])
 
     _mark("rc_match")
     if _prof_on:
