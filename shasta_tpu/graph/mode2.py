@@ -56,19 +56,10 @@ def create_marker_graph_edges_strict(
     markers per oriented read generate marker intervals; intervals with
     the same (source, target) split into one edge per distinct
     intervening RLE sequence; coverage thresholds apply per edge."""
-    import os as _os
-    import time as _time
+    from shasta_tpu.utils.perf import StageProf
 
-    _prof_on = bool(_os.environ.get("SHASTA_TPU_PROF"))
-    _t0 = _time.perf_counter() if _prof_on else 0.0
-    _marks = []
-
-    def _mark(name):
-        nonlocal _t0
-        if _prof_on:
-            now = _time.perf_counter()
-            _marks.append((name, now - _t0))
-            _t0 = now
+    _prof = StageProf("strict")
+    _mark = _prof.mark
 
     moff = markers.offsets
     vt = mg.vertex_table
@@ -289,25 +280,19 @@ def create_marker_graph_edges_strict(
         fwd_h = _mix3(orid2, o02, o12)
         rc_h = _mix3(orid2 ^ np.uint64(1), n2 - 1 - o12, n2 - 1 - o02)
         if interval_offsets[-1]:
-            fwd_key = np.bitwise_xor.reduceat(fwd_h, interval_offsets[:-1])
-            rc_key = np.bitwise_xor.reduceat(rc_h, interval_offsets[:-1])
+            fwd_fp = np.bitwise_xor.reduceat(fwd_h, interval_offsets[:-1])
+            rc_fp = np.bitwise_xor.reduceat(rc_h, interval_offsets[:-1])
         else:  # pragma: no cover
-            fwd_key = np.zeros(n_edges, np.uint64)
-            rc_key = np.zeros(n_edges, np.uint64)
+            fwd_fp = np.zeros(n_edges, np.uint64)
+            rc_fp = np.zeros(n_edges, np.uint64)
         for e in multi:
             e = int(e)
             cands = order_k[lo_all[e] : hi_all[e]]
-            match = cands[fwd_key[cands] == rc_key[e]]
+            match = cands[fwd_fp[cands] == rc_fp[e]]
             rc_edge[e] = int(match[0]) if match.shape[0] else int(cands[0])
 
     _mark("rc_match")
-    if _prof_on:
-        import sys as _sys
-
-        total_s = sum(d for _n, d in _marks)
-        parts = " ".join(f"{n}={d:.2f}s" for n, d in _marks)
-        print(f"[strict prof] n_int={n_int} total={total_s:.2f}s {parts}",
-              file=_sys.stderr, flush=True)
+    _prof.report(extra=f"n_int={n_int}")
     mg.source = e_src
     mg.target = e_tgt
     mg.coverage = e_cov

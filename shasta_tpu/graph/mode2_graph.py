@@ -1216,20 +1216,10 @@ def run_assembly_graph2(
     """The full reference constructor sequence
     (reference: src/AssemblyGraph2.cpp:44-233). The graph must have an
     assembler installed (set_assembler) before calling."""
-    import os as _os
-    import sys as _sys
-    import time as _time
+    from shasta_tpu.utils.perf import StageProf
 
-    _prof_on = bool(_os.environ.get("SHASTA_TPU_PROF"))
-    _t0 = _time.perf_counter() if _prof_on else 0.0
-
-    def _mark(name):
-        nonlocal _t0
-        if _prof_on:
-            now = _time.perf_counter()
-            print(f"[ag2 prof] {name}={now - _t0:.2f}s", file=_sys.stderr,
-                  flush=True)
-            _t0 = now
+    _prof = StageProf("ag2")
+    _mark = _prof.mark
 
     g.create()
     _mark("create")
@@ -1273,6 +1263,7 @@ def run_assembly_graph2(
     g.find_phasing_regions()
     g.store_gfa_sequence()
     _mark("chains_gfa")
+    _prof.report()
     transitions, transversions, non_snp = g.het_snp_statistics()
     diploid = sum(1 for e in g.edges.values() if e.ploidy == 2)
     phased = sum(

@@ -872,9 +872,12 @@ class _Mode3Views:
 
         segs = sorted({v for level in levels for v in level})
         # Per-segment color metric vs the start segment (reference:
-        # SvgOptions segmentColoring).
+        # SvgOptions segmentColoring). ``metric`` holds the RAW value
+        # for the tooltip; ``norm`` its [0, 1] normalization for color.
         metric = {}
+        norm = {}
         label = "rawJaccard"
+        fmt = "{:.2f}"
         try:
             from shasta_tpu.graph.mode3_path import Mode3Connectivity
 
@@ -883,35 +886,40 @@ class _Mode3Views:
                 conn = Mode3Connectivity(m3, self.marker_graph, self.markers)
                 self._mode3_conn_cache = conn
             if color_by == "coverage":
-                label = "avg coverage"
+                label = "oriented reads"
+                fmt = "{:.0f}"
                 for s in segs:
-                    metric[s] = min(
-                        1.0, conn.segment_orids(s).shape[0] / 60.0
-                    )
+                    metric[s] = float(conn.segment_orids(s).shape[0])
+                    norm[s] = min(1.0, metric[s] / 60.0)
             elif color_by == "commonCount":
                 label = "common reads"
+                fmt = "{:.0f}"
                 n0 = max(1, conn.segment_orids(start).shape[0])
                 for s in segs:
                     if s != start:
                         info = conn.analyze_segment_pair(start, s)
-                        metric[s] = min(1.0, info.common_count / n0)
+                        metric[s] = float(info.common_count)
+                        norm[s] = min(1.0, metric[s] / n0)
             else:
                 for s in segs:
                     if s != start:
                         info = conn.analyze_segment_pair(start, s)
                         metric[s] = conn.raw_jaccard(info)
+                        norm[s] = metric[s]
         except Exception:
             pass
 
         def seg_color(s):
-            j = metric.get(s)
+            j = norm.get(s)
             if j is None:
                 return "#999"
             g = int(100 + 155 * min(1.0, max(0.0, j)))
             return f"rgb(60,{g},80)"
 
         def seg_title(s):
-            return f", {label} {metric[s]:.2f}" if s in metric else ""
+            if s not in metric:
+                return ""
+            return f", {label} {fmt.format(metric[s])}"
 
         covs = [
             int(m3.transition_offsets[li + 1] - m3.transition_offsets[li])

@@ -530,47 +530,18 @@ def _dot_diag_band(ids_a, ids_b, flat, off, lens):
     return dmin, dmax, has
 
 
-class _ProfTimer:
-    """Env-gated stage timer for align_candidates: set SHASTA_TPU_PROF=1
-    to print per-stage wall times to stderr. No-op (and near-zero cost)
-    otherwise."""
+from shasta_tpu.utils.perf import StageProf
+
+
+class _ProfTimer(StageProf):
+    """align_candidates' stage timer (shared StageProf with the
+    pairs-count report format)."""
 
     def __init__(self):
-        self.enabled = bool(os.environ.get("SHASTA_TPU_PROF"))
-        if self.enabled:
-            import time as _time
+        super().__init__("align")
 
-            self._time = _time.perf_counter
-            self._t0 = self._time()
-            self._acc: Dict[str, float] = {}
-            self._order: List[str] = []
-
-    def mark(self, name: str, accumulate: bool = False) -> None:
-        if not self.enabled:
-            return
-        now = self._time()
-        dt = now - self._t0
-        self._t0 = now
-        if name in self._acc:
-            if accumulate:
-                self._acc[name] += dt
-            else:
-                self._acc[name] = dt
-        else:
-            self._acc[name] = dt
-            self._order.append(name)
-
-    def report(self, n_pairs: int) -> None:
-        if not self.enabled:
-            return
-        import sys
-
-        total = sum(self._acc.values())
-        parts = " ".join(f"{k}={self._acc[k]:.3f}s" for k in self._order)
-        print(
-            f"[align prof] pairs={n_pairs} total={total:.3f}s {parts}",
-            file=sys.stderr,
-        )
+    def report(self, n_pairs: int) -> None:  # type: ignore[override]
+        super().report(extra=f"pairs={n_pairs}")
 
 
 def _dispatch_bucket(

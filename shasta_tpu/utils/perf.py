@@ -76,3 +76,52 @@ class Tee:
         self._saved.flush()
         if self._f:
             self._f.flush()
+
+
+class StageProf:
+    """Env-gated stage timer (SHASTA_TPU_PROF=1 prints per-stage wall
+    times to stderr; no-op otherwise). One shared implementation for
+    align_candidates, strict edge creation and the AssemblyGraph2
+    ladder."""
+
+    def __init__(self, tag: str):
+        import os
+
+        self.tag = tag
+        self.enabled = bool(os.environ.get("SHASTA_TPU_PROF"))
+        if self.enabled:
+            import time as _time
+
+            self._time = _time.perf_counter
+            self._t0 = self._time()
+            self._acc = {}
+            self._order = []
+
+    def mark(self, name: str, accumulate: bool = False) -> None:
+        if not self.enabled:
+            return
+        now = self._time()
+        dt = now - self._t0
+        self._t0 = now
+        if name in self._acc:
+            if accumulate:
+                self._acc[name] += dt
+            else:
+                self._acc[name] = dt
+        else:
+            self._acc[name] = dt
+            self._order.append(name)
+
+    def report(self, extra: str = "") -> None:
+        if not self.enabled:
+            return
+        import sys
+
+        total = sum(self._acc.values())
+        parts = " ".join(f"{k}={self._acc[k]:.3f}s" for k in self._order)
+        print(
+            f"[{self.tag} prof]{' ' + extra if extra else ''} "
+            f"total={total:.3f}s {parts}",
+            file=sys.stderr,
+            flush=True,
+        )

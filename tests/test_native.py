@@ -340,7 +340,9 @@ def test_strict_interval_hashes_native_matches_numpy():
     orid = rng.integers(0, 2 * n_reads, n_int).astype(np.int64)
     pos0 = rng.integers(0, L - 3 * k, n_int).astype(np.int64)
     gap = rng.integers(-3, 40, n_int).astype(np.int64)  # negatives overlap
-    pos1 = pos0 + k + gap
+    # Clamp inside the read: positions past the read end would index
+    # neighboring reads' bytes (or run out of the flat array).
+    pos1 = np.minimum(pos0 + k + gap, L - 1)
 
     got = N.strict_interval_hashes_native(rle, offsets, orid, pos0, pos1, k)
     assert got is not None
