@@ -849,4 +849,23 @@ void strict_interval_hashes(
     for (auto& th : threads) th.join();
 }
 
+
+// Stable counting sort by a dense int64 key: order[k] enumerates the
+// input indices grouped by key, keys in ascending order, original
+// order preserved within a key (the grouping pass behind marker-graph
+// vertex creation; np.argsort over 10^8+ elements is the stage's top
+// cost on the 4-core host, while this is one linear pass).
+// next_pos must hold the exclusive prefix sums of the key counts and
+// is consumed (mutated) by the call.
+void counting_sort_by_key(
+    const int64_t* key,
+    int64_t n,
+    int64_t* next_pos,
+    int64_t* order)
+{
+    for (int64_t i = 0; i < n; i++) {
+        order[next_pos[key[i]]++] = i;
+    }
+}
+
 }  // extern "C"

@@ -339,8 +339,20 @@ def create_marker_graph_vertices(
     # Bad-set detection, vectorized over all markers grouped by set:
     # sort markers by (set, marker id) — marker id order groups same
     # reads adjacently the same way the reference relies on sorted
-    # marker ids (src/AssemblerMarkerGraph.cpp:723-733).
-    order = np.argsort(inverse, kind="stable")  # stable keeps marker id order
+    # marker ids (src/AssemblerMarkerGraph.cpp:723-733). The grouping
+    # key is dense, so one native counting-sort pass replaces the full
+    # argsort (the stage's top host cost at 10^8+ markers).
+    from shasta_tpu import native as _native
+
+    set_starts = np.zeros(reps.shape[0], np.int64)
+    np.cumsum(cov[:-1], out=set_starts[1:])
+    order = (
+        _native.counting_sort_by_key_native(inverse, set_starts)
+        if total >= 1 << 20
+        else None
+    )
+    if order is None:
+        order = np.argsort(inverse, kind="stable")
     g = inverse[order]
     m_sorted = np.arange(total, dtype=np.int64)[order]
     r_sorted = read_of_marker[m_sorted]

@@ -508,3 +508,23 @@ def strict_interval_hashes_native(rle_bases, read_offsets, orid, pos0, pos1, k: 
         h2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return h1, h2
+
+
+def counting_sort_by_key_native(key, starts):
+    """Stable grouping order for a dense int64 key (one linear native
+    pass; the numpy equivalent is a full argsort). ``starts`` are the
+    exclusive prefix sums of the per-key counts. Returns order int64
+    or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    key = np.ascontiguousarray(key, np.int64)
+    next_pos = np.ascontiguousarray(starts, np.int64).copy()
+    order = np.empty(key.shape[0], np.int64)
+    lib.counting_sort_by_key(
+        _i64p(key), ctypes.c_int64(key.shape[0]), _i64p(next_pos),
+        _i64p(order),
+    )
+    return order

@@ -380,3 +380,23 @@ def test_strict_interval_hashes_native_matches_numpy():
             e2[t] = b
     assert np.array_equal(h1, e1)
     assert np.array_equal(h2, e2)
+
+
+def test_counting_sort_by_key_native_matches_argsort():
+    """The native stable counting sort must equal np.argsort(stable)
+    on a dense grouping key."""
+    from shasta_tpu import native as N
+
+    if not N.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    key = rng.integers(0, 500, 20000).astype(np.int64)
+    counts = np.bincount(key, minlength=500)
+    starts = np.zeros(500, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    got = N.counting_sort_by_key_native(key, starts)
+    assert got is not None
+    want = np.argsort(key, kind="stable")
+    assert np.array_equal(got, want)
