@@ -1,14 +1,14 @@
-"""Medium-scale pipeline benchmark: 1 Mb genome, ~25x coverage, 1%
+"""Scalable pipeline benchmark: SCALE Mb genome, ~25x coverage, 1%
 errors, full pipeline wall-clock on one chip.
 
-Reference measurements (2026-08, v5e single chip via tunnel, warm
-compile cache, healthy relay): ~41 s end to end after the take-feed
-batch construction, chunked wide-band kernel, and CSR-runner
-palindrome landed (hot stages: alignments ~9 s, edge consensus ~9 s,
-addReads ~4-8 s; round-1 numbers were ~104 s with alignments ~37 s
-and palindrome ~18 s). Output: 22 segments, N50 66 kb over the 1 Mb
-genome. Scaled 5x (SCALE=5: 5 Mb genome, 12.5k reads), ~174 s
-end-to-end with N50 105 kb (round 1: ~640 s).
+Reference measurements (v5e single chip via tunnel, warm compile
+cache, healthy relay; committed per round in SCALE_r*.json):
+- SCALE=1: ~41-52 s end to end (22 segments, N50 66 kb);
+- SCALE=25 (25 Mb, 62.5k reads): 568 s, peak RSS 25 GB (round 3;
+  1096 s before the round-3 host-pass fixes);
+- SCALE=50 (50 Mb, 125k reads, 1.25 Gb bases): 1200 s, 50 GB
+  (round 3; 2045 s before). computeAlignments is relay-bandwidth-
+  bound at scale — see CLAUDE.md.
 """
 import sys, time, json, tempfile, os
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
