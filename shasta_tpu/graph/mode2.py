@@ -257,13 +257,34 @@ def create_marker_graph_edges_strict(
     if multi.shape[0]:
         # Order-independent per-edge interval-set fingerprints: XOR of
         # a mixed hash of each interval's (orid, ord0, ord1), and the
-        # rc fingerprint over the rc'd tuples — one vectorized pass
-        # over all intervals replaces per-edge frozenset construction.
-        orid2 = orid[order2].astype(np.uint64)
-        o02 = ord0[order2].astype(np.int64)
-        o12 = ord1[order2].astype(np.int64)
+        # rc fingerprint over the rc'd tuples. Only edges inside a
+        # parallel group can need a fingerprint, so the pass runs over
+        # just those edges' intervals (bubble branches — thousands)
+        # rather than all n_int (tens of millions at genome scale;
+        # this was 34 s of the 25 Mb diploid run when computed fully).
+        cnt = (hi_all - lo_all)[multi]
+        cum = np.cumsum(cnt)
+        seg_start = cum - cnt
+        flat = order_k[
+            np.repeat(lo_all[multi], cnt)
+            + np.arange(int(cum[-1]), dtype=np.int64)
+            - np.repeat(seg_start, cnt)
+        ]
+        needed = np.unique(np.concatenate((multi, flat)))
+        pos = np.full(n_edges, -1, np.int64)
+        pos[needed] = np.arange(needed.shape[0])
+        icnt = e_cov[needed].astype(np.int64)
+        icum = np.cumsum(icnt)
+        sub = (
+            np.repeat(interval_offsets[needed], icnt)
+            + np.arange(int(icum[-1]), dtype=np.int64)
+            - np.repeat(icum - icnt, icnt)
+        )
+        orid_s = orid[sub].astype(np.uint64)
+        o0_s = ord0[sub].astype(np.int64)
+        o1_s = ord1[sub].astype(np.int64)
         n_mark = np.diff(moff)
-        n2 = n_mark[orid2.astype(np.int64)].astype(np.int64)
+        n2 = n_mark[orid[sub].astype(np.int64)].astype(np.int64)
 
         def _mix3(a, b, c):
             with np.errstate(over="ignore"):
@@ -277,19 +298,20 @@ def create_marker_graph_edges_strict(
                 x ^= x >> np.uint64(29)
             return x
 
-        fwd_h = _mix3(orid2, o02, o12)
-        rc_h = _mix3(orid2 ^ np.uint64(1), n2 - 1 - o12, n2 - 1 - o02)
-        if interval_offsets[-1]:
-            fwd_fp = np.bitwise_xor.reduceat(fwd_h, interval_offsets[:-1])
-            rc_fp = np.bitwise_xor.reduceat(rc_h, interval_offsets[:-1])
-        else:  # pragma: no cover
-            fwd_fp = np.zeros(n_edges, np.uint64)
-            rc_fp = np.zeros(n_edges, np.uint64)
-        for e in multi:
-            e = int(e)
-            cands = order_k[lo_all[e] : hi_all[e]]
-            match = cands[fwd_fp[cands] == rc_fp[e]]
-            rc_edge[e] = int(match[0]) if match.shape[0] else int(cands[0])
+        fwd_h = _mix3(orid_s, o0_s, o1_s)
+        rc_h = _mix3(orid_s ^ np.uint64(1), n2 - 1 - o1_s, n2 - 1 - o0_s)
+        fwd_fp = np.bitwise_xor.reduceat(fwd_h, icum - icnt)
+        rc_fp = np.bitwise_xor.reduceat(rc_h, icum - icnt)
+        # First fingerprint match per parallel group (falling back to
+        # the first candidate), without a per-edge Python loop.
+        ok = fwd_fp[pos[flat]] == np.repeat(rc_fp[pos[multi]], cnt)
+        wpos = (
+            np.arange(flat.shape[0], dtype=np.int64)
+            - np.repeat(seg_start, cnt)
+        )
+        big = np.int64(1) << np.int64(60)
+        first = np.minimum.reduceat(np.where(ok, wpos, big), seg_start)
+        rc_edge[multi] = flat[seg_start + np.where(first < big, first, 0)]
 
     _mark("rc_match")
     _prof.report(extra=f"n_int={n_int}")
