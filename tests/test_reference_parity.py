@@ -161,6 +161,82 @@ def test_per_stage_golden_hashes(tmp_path):
     assert not bad, f"stage output changed in: {bad}"
 
 
+STAGE_GOLDEN_MODE2 = os.path.join(
+    os.path.dirname(__file__), "golden", "mode2_stage_hashes.json"
+)
+
+# Mode-2 output files that are deterministic byte-for-byte (the
+# summaries/logs embed wall-clock and are excluded).
+MODE2_PINNED_FILES = [
+    "Assembly-Detailed.gfa",
+    "Assembly-Detailed-NoSequence.gfa",
+    "Assembly-Phased.fasta",
+    "Assembly-Phased.gfa",
+    "Assembly-Haploid.fasta",
+    "Assembly-Haploid-NoSequence.gfa",
+    "Assembly-Phased-Details.csv",
+    "BubbleChains.csv",
+    "PhasingRegions.csv",
+]
+
+
+def _golden_run_mode2(tmp_path):
+    """Fixed-seed diploid run (SNP every ~700 bases) exercising strict
+    edges, bubbles, phasing and the 13-file mode-2 output family."""
+    rng = np.random.default_rng(4343)
+    hapA = synth.random_genome(15000, seed=4444)
+    hapB = hapA.copy()
+    for p in np.arange(350, 15000, 700):
+        hapB[p] = (hapB[p] + 1 + rng.integers(0, 3)) % 4
+    reads = synth.sample_reads(hapA, 90, 2500, seed=4445, both_strands=True)
+    reads += synth.sample_reads(hapB, 90, 2500, seed=4446, both_strands=True)
+    fa = os.path.join(tmp_path, "reads.fasta")
+    synth.write_fasta(fa, reads)
+
+    cfg = small_config()
+    cfg.assembly.mode = 2
+    cfg.marker_graph.min_edge_coverage = 3
+    cfg.marker_graph.min_edge_coverage_per_strand = 0
+    cfg.assembly.mode2_bubble_removal_component_size_threshold = 3
+    run_dir = os.path.join(tmp_path, "run")
+    summary = run_assembly([fa], run_dir, cfg)
+    return run_dir, summary
+
+
+@pytest.mark.slow
+def test_per_stage_golden_hashes_mode2(tmp_path):
+    """Mode-2 counterpart of test_per_stage_golden_hashes: pins every
+    stage manifest of a fixed-seed diploid run PLUS the deterministic
+    mode-2 output files byte-for-byte, so a phasing/strict-edge
+    regression names the stage or file it landed in. Regenerate
+    deliberately with SHASTA_TPU_REGEN_GOLDEN=1."""
+    import hashlib
+
+    run_dir, summary = _golden_run_mode2(tmp_path)
+    assert summary["phasedBubbleCount"] >= 3
+    got = _stage_hashes(run_dir)
+    for f in MODE2_PINNED_FILES:
+        with open(os.path.join(run_dir, f), "rb") as fh:
+            got[f"file:{f}"] = hashlib.sha256(fh.read()).hexdigest()
+
+    if os.environ.get("SHASTA_TPU_REGEN_GOLDEN"):
+        os.makedirs(os.path.dirname(STAGE_GOLDEN_MODE2), exist_ok=True)
+        with open(STAGE_GOLDEN_MODE2, "w") as f:
+            json.dump(got, f, indent=2, sort_keys=True)
+        pytest.skip("mode-2 stage golden regenerated")
+    assert os.path.exists(STAGE_GOLDEN_MODE2), (
+        "mode-2 stage golden missing; run with SHASTA_TPU_REGEN_GOLDEN=1"
+    )
+    with open(STAGE_GOLDEN_MODE2) as f:
+        want = json.load(f)
+    assert sorted(got) == sorted(want), (
+        "stage/file set changed — regenerate deliberately",
+        sorted(set(got) ^ set(want)),
+    )
+    bad = [s for s in sorted(want) if got[s] != want[s]]
+    assert not bad, f"mode-2 output changed in: {bad}"
+
+
 @pytest.mark.slow
 def test_reference_tinytest_asset(tmp_path):
     """Run on the reference's own CI smoke input
