@@ -223,6 +223,39 @@ int rle_fill(
     return 0;
 }
 
+// Variant for the read store: repeat counts are stored as uint8 (the
+// reference discards reads containing a run > 255, so wide counts are
+// only ever needed to DETECT long runs). Emits clipped uint8 counts
+// plus a per-sequence has-long-run flag, avoiding two full-size
+// count-array conversions (int64 -> int32 -> uint8) on the hot
+// addReads path.
+int rle_fill_u8(
+    const uint8_t* codes, const int64_t* offsets, int64_t n_seqs,
+    uint8_t* rle, uint8_t* counts, const int64_t* rle_offsets,
+    uint8_t* seq_has_long_run)
+{
+    rle_threads(n_seqs, 64, [&](int64_t s0, int64_t s1) {
+        for (int64_t s = s0; s < s1; ++s) {
+            int64_t lo = offsets[s], hi = offsets[s + 1];
+            int64_t w = rle_offsets[s];
+            int64_t i = lo;
+            uint8_t has_long = 0;
+            while (i < hi) {
+                const uint8_t c = codes[i];
+                int64_t run = 1;
+                while (i + run < hi && codes[i + run] == c) ++run;
+                rle[w] = c;
+                counts[w] = run > 255 ? 255 : (uint8_t)run;
+                has_long |= run > 255;
+                ++w;
+                i += run;
+            }
+            seq_has_long_run[s] = has_long;
+        }
+    });
+    return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Transitive reduction phase 3: per-edge BFS in increasing coverage
 // order (reference: src/AssemblerMarkerGraph.cpp:2400-2470). The

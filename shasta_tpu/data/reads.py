@@ -216,15 +216,14 @@ def build_read_store(
             representation=0,
         )
 
-    rle_bases, counts, rle_offsets = R.rle_encode_flat(kept_codes, kept_offsets)
+    rle_bases, counts, rle_offsets, bad_seq = R.rle_encode_store(
+        kept_codes, kept_offsets
+    )
 
     # Discard reads with any run longer than 255.
-    long_run = counts > R.MAX_RUN_LENGTH
-    if long_run.any():
-        run_seq = np.searchsorted(rle_offsets, np.flatnonzero(long_run), side="right") - 1
-        bad_run_reads = np.unique(run_seq)
-        keep2 = np.ones(keep_ids.shape[0], dtype=bool)
-        keep2[bad_run_reads] = False
+    if bad_seq.any():
+        bad_run_reads = np.flatnonzero(bad_seq)
+        keep2 = ~bad_seq
         discards.long_run_read_count = int(bad_run_reads.shape[0])
         discards.long_run_read_base_count = int(kept_lengths[bad_run_reads].sum())
 
@@ -243,7 +242,7 @@ def build_read_store(
 
     return ReadStore(
         rle_bases=rle_bases,
-        repeat_counts=counts.astype(np.uint8),
+        repeat_counts=counts,
         offsets=rle_offsets,
         raw_lengths=kept_lengths.astype(np.int64),
         names=names,

@@ -77,6 +77,42 @@ def rle_encode_flat(
     return codes[starts].astype(np.uint8), counts, rle_offsets
 
 
+def rle_encode_store(
+    codes: np.ndarray, offsets: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """RLE encode for the read store: returns (rle_bases uint8,
+    repeat_counts uint8 clipped to 255, rle_offsets, bad_seq bool).
+
+    ``bad_seq[s]`` is True when sequence s contains a run longer than
+    MAX_RUN_LENGTH (the loader discards those reads, so their clipped
+    counts are never consumed). The native path emits uint8 counts
+    directly, skipping the int64 -> int32 -> uint8 conversion chain
+    that dominated addReads at genome scale."""
+    n = codes.shape[0]
+    n_seq = offsets.shape[0] - 1
+    if n >= 1 << 20:
+        from shasta_tpu import native
+
+        out = native.rle_encode_store_native(codes, offsets)
+        if out is not None:
+            return out
+    rle_bases, counts, rle_offsets = rle_encode_flat(codes, offsets)
+    long_run = counts > MAX_RUN_LENGTH
+    bad_seq = np.zeros(n_seq, dtype=bool)
+    if long_run.any():
+        run_seq = (
+            np.searchsorted(rle_offsets, np.flatnonzero(long_run), side="right")
+            - 1
+        )
+        bad_seq[np.unique(run_seq)] = True
+    return (
+        rle_bases,
+        np.minimum(counts, MAX_RUN_LENGTH).astype(np.uint8),
+        rle_offsets,
+        bad_seq,
+    )
+
+
 def rle_decode(rle_bases: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Expand run-length representation back to raw base codes."""
     return np.repeat(rle_bases, counts.astype(np.int64))

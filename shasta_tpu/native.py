@@ -282,6 +282,32 @@ def rle_encode_native(codes: np.ndarray, offsets: np.ndarray):
     return rle, counts, rle_offsets
 
 
+def rle_encode_store_native(codes: np.ndarray, offsets: np.ndarray):
+    """Read-store RLE encode: uint8 clipped counts + per-sequence
+    long-run flags in one native pass (no wide count arrays)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    ns = offsets.shape[0] - 1
+    per_seq = np.empty(ns, np.int64)
+    lib.rle_measure(
+        _u8p(codes), _i64p(offsets), ctypes.c_int64(ns), _i64p(per_seq)
+    )
+    rle_offsets = np.zeros(ns + 1, np.int64)
+    np.cumsum(per_seq, out=rle_offsets[1:])
+    total = int(rle_offsets[-1])
+    rle = np.empty(total, np.uint8)
+    counts = np.empty(total, np.uint8)
+    has_long = np.empty(max(ns, 1), np.uint8)
+    lib.rle_fill_u8(
+        _u8p(codes), _i64p(offsets), ctypes.c_int64(ns),
+        _u8p(rle), _u8p(counts), _i64p(rle_offsets), _u8p(has_long),
+    )
+    return rle, counts, rle_offsets, has_long[:ns].astype(bool)
+
+
 # ---------------------------------------------------------------------------
 # Transitive reduction BFS phase
 # ---------------------------------------------------------------------------

@@ -52,6 +52,28 @@ def test_rle_matches_python():
     assert np.array_equal(rle_offsets, ref_off)
 
 
+def test_rle_store_matches_python():
+    """Native uint8-count store encoder == numpy fallback, including
+    long-run (>255) detection and count clipping."""
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 4, 6000).astype(np.uint8)
+    codes[300:900] = 3  # 600-long run -> long-run read
+    codes[4000:4100] = 1  # 100-long run, below the limit
+    offsets = np.array([0, 2000, 2000, 3500, 6000], np.int64)
+    got = native.rle_encode_store_native(codes, offsets)
+    assert got is not None
+    rle, counts, rle_offsets, bad = got
+    # Reference: the numpy path (n < 1<<20 stays in numpy).
+    ref_rle, ref_counts, ref_off = R.rle_encode_flat(codes, offsets)
+    assert np.array_equal(rle, ref_rle)
+    assert np.array_equal(
+        counts, np.minimum(ref_counts, R.MAX_RUN_LENGTH).astype(np.uint8)
+    )
+    assert np.array_equal(rle_offsets, ref_off)
+    assert counts.dtype == np.uint8
+    assert np.array_equal(bad, [True, False, False, False])
+
+
 def test_chimera_native_matches_python(monkeypatch):
     from tests.test_read_graph import make_alignments
     from shasta_tpu.graph import read_graph as RG
