@@ -542,6 +542,12 @@ class _LocalViews:
     """Local subgraph pages mixed into the Explorer."""
 
     def page_local_read_graph(self, q) -> str:
+        """Local read graph with reference-grade rendering (reference:
+        exploreReadGraph, src/AssemblerHttpServer-ReadGraph.cpp +
+        LocalReadGraph.cpp): chimeric reads red, palindromic orange,
+        cross-strand edges dashed, inconsistent-alignment edges purple,
+        edge width tracks aligned marker count, click-through to the
+        read and alignment pages."""
         if self.read_graph is None:
             return "<p>Read graph not available.</p>"
         rid = int(q.get("readId", ["0"])[0])
@@ -554,22 +560,125 @@ class _LocalViews:
             _, other = g.neighbors(v)
             return [int(x) for x in other]
 
-        levels, edges = _local_bfs(start, neighbors, dist)
-        svg = _svg_layered_graph(
-            levels, edges, label_of=lambda v: f"{v >> 1}-{v & 1}",
-            highlight=start,
+        levels, _tree = _local_bfs(start, neighbors, dist)
+        dist_of = {}
+        for d, level in enumerate(levels):
+            for v in level:
+                dist_of[v] = d
+        node_arr = np.array(sorted(dist_of), dtype=np.int64)
+        eids = np.flatnonzero(
+            np.isin(g.orid0, node_arr) & np.isin(g.orid1, node_arr)
+        )
+        # Each undirected adjacency is stored as an RC edge pair; draw
+        # each once.
+        seen = set()
+        pos = {}
+        for col, level in enumerate(levels):
+            for row, v in enumerate(sorted(level)):
+                pos[v] = (90 + col * 170, 50 + row * 52)
+        width = 170 * len(levels) + 110
+        height = 52 * max((len(l) for l in levels), default=1) + 70
+        parts = [
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+            f'height="{height}">'
+        ]
+        al = self.alignments
+        for e in eids:
+            u, v = int(g.orid0[e]), int(g.orid1[e])
+            if (u, v) in seen:
+                continue
+            seen.add((u, v))
+            (x1, y1), (x2, y2) = pos[u], pos[v]
+            aid = int(g.alignment_id[e])
+            nm = (
+                int(al.marker_count[aid])
+                if al is not None and aid < al.count
+                else 0
+            )
+            w = 1.0 + min(4.0, np.log2(max(nm, 1)) / 2)
+            stroke = "#909" if bool(g.inconsistent[e]) else "#777"
+            dash = ' stroke-dasharray="6,3"' if bool(
+                g.crosses_strands[e]
+            ) else ""
+            href = (
+                f"alignment?readId0={u >> 1}&strand0={u & 1}"
+                f"&readId1={v >> 1}&strand1={v & 1}"
+            )
+            parts.append(
+                f'<a href="{href}"><line x1="{x1}" y1="{y1}" x2="{x2}" '
+                f'y2="{y2}" stroke="{stroke}" stroke-width="{w:.1f}"{dash}>'
+                f"<title>alignment {aid}: {u >> 1}-{u & 1} &#8596; "
+                f"{v >> 1}-{v & 1}, {nm} aligned markers"
+                f"{', crosses strands' if g.crosses_strands[e] else ''}"
+                f"{', inconsistent' if g.inconsistent[e] else ''}"
+                "</title></line></a>"
+            )
+        reads = self.reads
+        for v, (x, y) in pos.items():
+            r = v >> 1
+            chim = reads is not None and bool(reads.is_chimeric[r])
+            palin = reads is not None and bool(reads.is_palindromic[r])
+            fill = "#d33" if chim else ("#e90" if palin else "#2a6")
+            stroke = "#000" if v == start else (
+                "#33e" if dist_of[v] == dist else "none"
+            )
+            flag = (
+                ", chimeric" if chim else (", palindromic" if palin else "")
+            )
+            parts.append(
+                f'<a href="read?readId={r}&strand={v & 1}">'
+                f'<circle cx="{x}" cy="{y}" r="15" fill="{fill}" '
+                f'stroke="{stroke}" stroke-width="2">'
+                f"<title>read {r} strand {v & 1}, distance {dist_of[v]}"
+                f"{flag}</title></circle>"
+                f'<text x="{x}" y="{y + 4}" font-size="9" '
+                f'text-anchor="middle" fill="white">{r}-{v & 1}</text></a>'
+            )
+        parts.append("</svg>")
+        form = (
+            "<form>Read <input name=readId value=%d size=8> "
+            "Strand <input name=strand value=%d size=2> "
+            "Max distance <input name=maxDistance value=%d size=3> "
+            "<input type=submit value=Update></form>" % (rid, strand, dist)
         )
         return (
             f"<h1>Local read graph around {rid}-{strand} "
-            f"(distance {dist})</h1>" + svg
+            f"(distance {dist})</h1>" + form
+            + f"<p>{len(pos)} oriented reads, {len(seen)} edges; red = "
+            "chimeric, orange = palindromic, dashed = crosses strands, "
+            "purple = inconsistent alignment, width &#8776; aligned "
+            "marker count; click a read or an edge.</p>" + "".join(parts)
         )
 
+    def _vertex_kmer_str(self, vid: int) -> str:
+        """RLE k-mer of a marker-graph vertex (all its markers share
+        it), decoded from the first marker's packed id."""
+        mg = self.marker_graph
+        if self.markers is None:
+            return ""
+        mids = mg.vertex_marker_ids(vid)
+        if mids.shape[0] == 0:
+            return ""
+        kid = int(self.markers.kmer_ids[int(mids[0])])
+        k = self.markers.k
+        return "".join("ACGT"[(kid >> (2 * (k - 1 - i))) & 3] for i in range(k))
+
     def page_local_marker_graph(self, q) -> str:
+        """Local marker graph with reference-grade rendering
+        (reference: exploreMarkerGraph + LocalMarkerGraph-Write.cpp):
+        directed edges with arrowheads and coverage-scaled widths,
+        vertices colored by coverage or BFS distance, optional marker
+        k-mer labels, tooltips, and click-through to the vertex/edge
+        detail pages."""
         if self.marker_graph is None or self.marker_graph.source is None:
             return "<p>Marker graph not available.</p>"
         vid = int(q.get("vertexId", ["0"])[0])
         dist = int(q.get("maxDistance", ["3"])[0])
+        color_by = q.get("color", ["coverage"])[0]
+        labels = q.get("label", ["id"])[0]
         mg = self.marker_graph
+        if not (0 <= vid < mg.vertex_count):
+            return f"<p>Invalid vertex id {vid}.</p>"
         alive = mg.alive()
         out_lists = {}
 
@@ -582,11 +691,103 @@ class _LocalViews:
                 ]
             return out_lists[v]
 
-        levels, edges = _local_bfs(vid, neighbors, dist)
-        svg = _svg_layered_graph(levels, edges, highlight=vid)
+        levels, _tree_edges = _local_bfs(vid, neighbors, dist)
+        dist_of = {}
+        for d, level in enumerate(levels):
+            for v in level:
+                dist_of[v] = d
+
+        # All alive edges with both endpoints in the neighborhood (the
+        # BFS tree alone would hide cycles/bubbles the reference shows).
+        node_arr = np.array(sorted(dist_of), dtype=np.int64)
+        in_set_s = np.isin(mg.source, node_arr) & alive
+        in_set = np.flatnonzero(in_set_s & np.isin(mg.target, node_arr))
+
+        # Layered positions: BFS distance = column.
+        pos = {}
+        for col, level in enumerate(levels):
+            for row, v in enumerate(sorted(level)):
+                pos[v] = (90 + col * 190, 50 + row * 52)
+        width = 190 * len(levels) + 120
+        height = 52 * max((len(l) for l in levels), default=1) + 70
+
+        def vcolor(v):
+            if color_by == "distance":
+                d = dist_of[v]
+                shade = int(230 - 170 * (d / max(dist, 1)))
+                return f"rgb({shade},{shade},255)" if v != vid else "#e33"
+            cov = int(mg.vertex_marker_ids(v).shape[0])
+            shade = int(max(40, 210 - 12 * cov))
+            return f"rgb({shade},{min(255, shade + 55)},{shade})"
+
+        parts = [
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+            f'height="{height}">',
+            '<defs><marker id="arrow" viewBox="0 0 10 10" refX="9" '
+            'refY="5" markerWidth="7" markerHeight="7" orient="auto">'
+            '<path d="M0,0 L10,5 L0,10 z" fill="#666"/></marker></defs>',
+        ]
+        for e in in_set:
+            u, v = int(mg.source[e]), int(mg.target[e])
+            (x1, y1), (x2, y2) = pos[u], pos[v]
+            cov = int(mg.coverage[e])
+            w = 1.0 + min(4.0, np.log2(max(cov, 1)))
+            mx, my = (x1 + x2) / 2, (y1 + y2) / 2 - (14 if u != v else 30)
+            parts.append(
+                f'<a href="exploreMarkerGraphEdge?edgeId={e}">'
+                f'<path d="M{x1},{y1} Q{mx},{my} {x2},{y2}" fill="none" '
+                f'stroke="#666" stroke-width="{w:.1f}" '
+                'marker-end="url(#arrow)">'
+                f"<title>edge {e}: {u} &#8594; {v}, coverage {cov}"
+                "</title></path></a>"
+            )
+        show_seq = labels == "sequence" and self.markers is not None
+        k = self.markers.k if self.markers is not None else 0
+        half_w = (7 * k + 14) // 2 if show_seq else 16
+        for v, (x, y) in pos.items():
+            cov = int(mg.vertex_marker_ids(v).shape[0])
+            stroke = (
+                "#e33" if v == vid
+                else ("#33e" if dist_of[v] == dist else "#333")
+            )
+            seq = self._vertex_kmer_str(v) if show_seq else ""
+            label = seq if show_seq else str(v)
+            parts.append(
+                f'<a href="exploreMarkerGraphVertex?vertexId={v}">'
+                f'<rect x="{x - half_w}" y="{y - 13}" width="{2 * half_w}" '
+                f'height="26" rx="8" fill="{vcolor(v)}" stroke="{stroke}" '
+                'stroke-width="2">'
+                f"<title>vertex {v}, coverage {cov}, distance "
+                f"{dist_of[v]}{', ' + seq if seq else ''}</title></rect>"
+                f'<text x="{x}" y="{y + 4}" font-size="10" '
+                'font-family="monospace" text-anchor="middle" '
+                f'fill="black">{label}</text></a>'
+            )
+        parts.append("</svg>")
+        form = (
+            "<form>Start vertex <input name=vertexId value=%d size=8> "
+            "Max distance <input name=maxDistance value=%d size=3> "
+            "Label <select name=label>"
+            "<option value=id%s>vertex id</option>"
+            "<option value=sequence%s>marker sequence</option></select> "
+            "Color <select name=color>"
+            "<option value=coverage%s>coverage</option>"
+            "<option value=distance%s>distance</option></select> "
+            "<input type=submit value=Update></form>"
+        ) % (
+            vid, dist,
+            " selected" if labels == "id" else "",
+            " selected" if labels == "sequence" else "",
+            " selected" if color_by == "coverage" else "",
+            " selected" if color_by == "distance" else "",
+        )
         return (
             f"<h1>Local marker graph around vertex {vid} "
-            f"(distance {dist})</h1>" + svg
+            f"(distance {dist})</h1>" + form
+            + f"<p>{len(pos)} vertices, {in_set.shape[0]} edges; "
+            "arrow = edge direction, width &#8776; log coverage; "
+            "red outline = start, blue outline = distance boundary; "
+            "click a vertex or edge for its detail page.</p>" + "".join(parts)
         )
 
 
@@ -638,6 +839,7 @@ class _LocalViews:
 
 Explorer.page_local_read_graph = _LocalViews.page_local_read_graph
 Explorer.page_local_marker_graph = _LocalViews.page_local_marker_graph
+Explorer._vertex_kmer_str = _LocalViews._vertex_kmer_str
 Explorer.page_alignment_matrix = _LocalViews.page_alignment_matrix
 
 # Extended page families (alignment assessment, marker/assembly graph

@@ -98,6 +98,8 @@ def test_assemble_cli_end_to_end(tmp_path, capsys):
                      "/readGraph?readId=0", "/markerGraph?vertexId=0",
                      "/localReadGraph?readId=0&strand=0",
                      "/localMarkerGraph?vertexId=0&maxDistance=2",
+                     "/localMarkerGraph?vertexId=0&maxDistance=2"
+                     "&label=sequence&color=distance",
                      "/alignmentMatrix?readId0=0&readId1=1",
                      "/assemblyGraph?segment=0&maxDistance=2",
                      "/alignment?readId0=0&strand0=0&readId1=1&strand1=0",
@@ -123,6 +125,27 @@ def test_assemble_cli_end_to_end(tmp_path, capsys):
                 assert r.status == 200
                 body = r.read()
                 assert len(body) > 0
+        # The local read graph view is styled and clickable
+        # (reference: LocalReadGraph.cpp).
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/localReadGraph?readId=0&strand=0"
+            "&maxDistance=2"
+        ) as r:
+            body = r.read()
+            assert b"aligned markers" in body
+            assert b'href="read?readId=' in body
+            assert b'href="alignment?readId0=' in body
+        # The local marker graph view renders directed, clickable,
+        # coverage-styled SVG (reference: LocalMarkerGraph-Write.cpp).
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/localMarkerGraph?vertexId=0"
+            "&maxDistance=2&label=sequence"
+        ) as r:
+            body = r.read()
+            assert b'marker-end="url(#arrow)"' in body
+            assert b"exploreMarkerGraphVertex?vertexId=" in body
+            assert b"exploreMarkerGraphEdge?edgeId=" in body
+            assert b"coverage" in body
         # Name lookup resolves to the right read.
         with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/read?readId=read-1&strand=0"
