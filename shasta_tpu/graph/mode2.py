@@ -490,8 +490,27 @@ def cluster_edge_oriented_reads(
             x = parent[x]
         return x
 
-    for i in range(n):
-        for j in range(i + 1, n):
+    def unite(i, j):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+
+    # Identical fill sequences always cluster (err 0), and the
+    # single-linkage outcome depends only on sequence content — so
+    # align one representative per distinct sequence instead of all
+    # O(n^2) member pairs (at typical coverage most reads carry the
+    # same fill sequence, so this removes nearly every NW call).
+    reps: Dict[bytes, int] = {}
+    for i, s in enumerate(seqs):
+        key = s.tobytes()
+        r = reps.setdefault(key, i)
+        if r != i:
+            unite(r, i)
+    rep_ids = sorted(reps.values())
+
+    for a in range(len(rep_ids)):
+        for b in range(a + 1, len(rep_ids)):
+            i, j = rep_ids[a], rep_ids[b]
             si, sj = seqs[i], seqs[j]
             longer = max(si.shape[0], sj.shape[0])
             if longer == 0:
@@ -506,9 +525,7 @@ def cluster_edge_oriented_reads(
                 )
                 err = mism / longer
             if err <= error_rate_threshold:
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[max(ri, rj)] = min(ri, rj)
+                unite(i, j)
 
     groups: Dict[int, List[int]] = {}
     for i in range(n):
