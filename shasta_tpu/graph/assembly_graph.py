@@ -1089,10 +1089,13 @@ def assembly_statistics(ag: AssemblyGraph) -> Dict[str, int]:
 
 
 _BASES = np.array(["A", "C", "G", "T"])
+_BASES_ASCII = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
 def _seq_str(codes: np.ndarray) -> str:
-    return "".join(_BASES[codes])
+    # Byte-LUT + tobytes: ~100x the per-character str join at the
+    # tens-of-MB sizes the GFA/FASTA writers push through here.
+    return _BASES_ASCII[codes].tobytes().decode("ascii")
 
 
 def write_gfa1(
