@@ -1288,11 +1288,7 @@ def run_assembly_graph2(
 # Output writers (the Detailed/Haploid/Phased file family)
 # ---------------------------------------------------------------------------
 
-_BASES = np.array(["A", "C", "G", "T"])
-
-
-def _seq_str(codes: np.ndarray) -> str:
-    return "".join(_BASES[codes])
+from shasta_tpu.graph.assembly_graph import _seq_str  # byte-LUT writer
 
 
 def _write_gfa(path: str, segments, links, with_sequence: bool) -> None:

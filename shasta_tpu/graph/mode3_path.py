@@ -755,13 +755,12 @@ class PathAssembler:
 # Output writers
 # ---------------------------------------------------------------------------
 
-_BASES = np.array(["A", "C", "G", "T"])
-
-
 def write_paths_fasta(path: str, paths: List[AssemblyPath]) -> None:
+    from shasta_tpu.graph.assembly_graph import _seq_str
+
     with open(path, "w") as f:
         for i, p in enumerate(paths):
-            seq = "".join(_BASES[p.raw]) if p.raw is not None else ""
+            seq = _seq_str(p.raw) if p.raw is not None else ""
             segs = "-".join(str(s.id) for s in p.segments)
             f.write(f">P{i} length={len(seq)} segments={segs}\n{seq}\n")
 
