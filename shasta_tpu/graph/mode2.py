@@ -173,7 +173,7 @@ def create_marker_graph_edges_strict(
 
     def _stable_counting_pass(key, n_bins, perm):
         k = key[perm]
-        if n_bins <= k.shape[0] * 4:
+        if _native.available() and n_bins <= k.shape[0] * 4:
             counts = np.bincount(k, minlength=n_bins)
             starts = np.zeros(n_bins, np.int64)
             np.cumsum(counts[:-1], out=starts[1:])

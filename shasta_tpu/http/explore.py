@@ -555,6 +555,8 @@ class _LocalViews:
         dist = int(q.get("maxDistance", ["2"])[0])
         start = 2 * rid + strand
         g = self.read_graph
+        if not (0 <= start < g.n_oriented_reads):
+            return f"<p>Invalid read id {rid}-{strand}.</p>"
 
         def neighbors(v):
             _, other = g.neighbors(v)
@@ -585,9 +587,11 @@ class _LocalViews:
         al = self.alignments
         for e in eids:
             u, v = int(g.orid0[e]), int(g.orid1[e])
-            if (u, v) in seen:
+            # Key on the normalized pair: a self-RC adjacency stores
+            # its RC twin as (v, u) and would otherwise draw twice.
+            if (min(u, v), max(u, v)) in seen:
                 continue
-            seen.add((u, v))
+            seen.add((min(u, v), max(u, v)))
             (x1, y1), (x2, y2) = pos[u], pos[v]
             aid = int(g.alignment_id[e])
             nm = (
