@@ -621,9 +621,9 @@ def _batch_plan(n: int, LA: int, LB: int, W: int, use_pallas: bool, mesh_d: int)
         from shasta_tpu.ops import align_pallas
 
         if align_pallas._block_pairs(LA, W, LB) == 0:
-            # Chunked launch: dirs stream through a B*LA*W-byte HBM
-            # intermediate; cap it at ~2 GiB.
-            max_b = max(64, min(max_b, (1 << 31) // max(1, LA * W)))
+            # Chunked launch: dirs stream through a B*LA*W/4-byte HBM
+            # intermediate (2-bit packed); cap it at ~2 GiB.
+            max_b = max(64, min(max_b, (1 << 33) // max(1, LA * W)))
     else:
         max_b = max(8, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
     max_b -= max_b % 8

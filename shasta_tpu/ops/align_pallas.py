@@ -22,6 +22,12 @@ loops over rows *inside* one kernel launch. Design notes (measured at
   2*row + col/row priority), folded once after the forward loop; the
   fold reproduces the reference tie-breaking exactly (max score, then
   earliest row, then last-column before last-row, then lowest lane).
+- Traceback state is 2 bits/cell — exactly four states are needed
+  (DIAG-match, DIAG-mismatch, UP, LEFT) — packed 16 rows per int32
+  word in the dirs scratch. That cuts dirs VMEM traffic 4x vs the
+  round-3 int8 layout AND replaces every int8 store/load (which costs
+  a (32, 128)->(8, 128) relayout on TPU) with one native int32 access
+  per 16 rows.
 - The traceback walks a per-pair entry-lane COLUMN and resolves each
   row with ONE packed max-reduce (lane*8 + dircode) over the eligible
   lanes below the entry; LEFT runs consist of valid cells bounded by
@@ -56,13 +62,14 @@ STOP, DIAG, UP, LEFT = 0, 1, 2, 3
 # VPU work per DP band cell, for the roofline comparison (bench.py
 # reports kernel_pct_peak = cells/s * this / measured VPU ops/s).
 # Counted from _kernel's per-(BB, W)-slab ops at W=128:
-# forward_row ~52 elementwise int32 ops/cell — window advance 2,
+# forward_row ~50 elementwise int32 ops/cell — window advance 2,
 # match+sub 2, j 1, valid mask 5, at_j0 1, shift 1, diag/up/base 3,
 # j0 clamp 2, run 1, prefix-max 2*log2(W)=14 (the dominant term),
-# V+mask 2, direction select 6, dir pack+store 3, end-cell
-# accumulation 9 — plus the traceback pass (~12 ops/cell: row fetch,
-# j mask, eligibility, packed reduce, exit decode). The count scales
-# with log2(W); treat it as W=128-accurate.
+# V+mask 2, direction select 5, 2-bit pack shift+or 2 (store
+# amortized 1/16), end-cell accumulation 9 — plus the traceback pass
+# (~14 ops/cell: code unpack shift+mask 2, j mask 3, eligibility 3,
+# packed key+reduce 3, exit decode ~3; loads amortized 1/16). The
+# count scales with log2(W); treat it as W=128-accurate.
 KERNEL_OPS_PER_CELL = 64
 
 _VMEM_BUDGET = int(os.environ.get("SHASTA_TPU_VMEM", 12 * 1024 * 1024 + 512 * 1024))
@@ -85,13 +92,13 @@ def _geometry(LA: int, LB: int, W: int):
 
 
 def _block_bytes(LA: int, LB: int, W: int, BB: int) -> int:
-    """VMEM bytes for one BB-pair block. The int8 dirs scratch
-    (LA, BB, W) is tiled (32, 128) on its last two dims, so BB < 32
-    still allocates 32 sublanes — small blocks do NOT shrink it
+    """VMEM bytes for one BB-pair block. The 2-bit-packed dirs scratch
+    (LA/16, BB, W) int32 is tiled (8, 128) on its last two dims, so
+    BB < 8 still allocates 8 sublanes — small blocks do NOT shrink it
     (observed: scoped-vmem OOM at LA=8192, BB=8 with naive per-pair
     accounting)."""
     LEFTPAD, R, LBP, LAP = _geometry(LA, LB, W)
-    dirs = LA * max(BB, 32) * ((W + 127) // 128) * 128
+    dirs = (LA // 16) * max(BB, 8) * ((W + 127) // 128) * 128 * 4
     return dirs + BB * (
         8 * LBP + 8 * LAP + 8 * LA + 4 * (2 * W + 2 * R + 2 * W)
     )
@@ -121,7 +128,7 @@ def _kernel(
     band_min_ref,  # (1, BB, 1) int32 (pre-clamped by the host)
     mj_ref,  # (1, LA, BB) int32 out: per-row matched ordinal1 or -1
     best_ref,  # (1, BB, 1) int32 out
-    dirs_ref,  # (LA, BB, W) int8 scratch: dir code | match bit
+    dirs_ref,  # (LA//16, BB, W) int32 scratch: 16 rows x 2-bit codes
     w_ref,  # (BB, 2W) int32 scratch: shared-slide b window
     aw_ref,  # (BB, 2R) int32 scratch: sliding a window
     bv_ref,  # (BB, W) int32 scratch: per-lane best end value
@@ -187,18 +194,23 @@ def _kernel(
         V = run + dgap
         V = jnp.where(valid, V, NEG_INF)
 
+        # 2-bit direction code. Exactly four states are ever consulted
+        # by the traceback: DIAG with a k-mer match (0), DIAG without
+        # (1), UP (2), LEFT (3) — the j==0 terminal is recomputed from
+        # jb at traceback time, so it needs no stored state. Invalid
+        # lanes can carry garbage codes: the traceback only inspects
+        # lanes between the path and the j==0 terminal, which are
+        # always valid cells, so no masking is needed here.
         came_left = V > base
-        dirs = jnp.where(
+        d2 = jnp.where(
             came_left,
             jnp.int32(LEFT),
-            jnp.where(base == diag_cand, jnp.int32(DIAG), jnp.int32(UP)),
+            jnp.where(
+                base == diag_cand,
+                jnp.where(m, jnp.int32(0), jnp.int32(1)),
+                jnp.int32(UP),
+            ),
         )
-        # Invalid lanes can carry garbage codes: the traceback only
-        # inspects lanes between the path and the j==0 terminal, which
-        # are always valid cells, so no masking is needed here. Pack
-        # the match flag into bit 2.
-        dirs = dirs | jnp.where(m, jnp.int32(4), jnp.int32(0))
-        dirs_ref[i - 1] = dirs.astype(jnp.int8)
 
         # Best-end accumulator: end cells are the last column
         # (j == b_len) and the last row (i == a_len). bim packs
@@ -211,10 +223,11 @@ def _kernel(
         bv_ref[...] = jnp.where(bt, mv, bv)
         bim_new = jnp.where(iscol, 2 * i, 2 * i + 1)
         bim_ref[...] = jnp.where(bt, bim_new, bim_ref[...])
-        return V
+        return V, d2
 
     # Group structure: refill both windows every R rows from aligned
-    # slices shared by all pairs; rows run with a manual 8x unroll.
+    # slices shared by all pairs; rows run with a manual 16x unroll so
+    # each 16-row group's 2-bit codes pack into ONE int32 store.
     assert LA % R == 0 and R % 128 == 0
 
     def group(g, prev):
@@ -222,13 +235,16 @@ def _kernel(
         aw_ref[...] = a_ref[:, pl.ds(pl.multiple_of(g * R, 128), 2 * R)]
         i0 = g * R + 1
 
-        def rows8(t8, prev):
-            base_i = i0 + t8 * 8
-            for t in range(8):
-                prev = forward_row(base_i + t, prev)
+        def rows16(t16, prev):
+            base_i = i0 + t16 * 16
+            prev, packed = forward_row(base_i, prev)
+            for t in range(1, 16):
+                prev, d2 = forward_row(base_i + t, prev)
+                packed = packed | (d2 << (2 * t))
+            dirs_ref[(base_i - 1) // 16] = packed
             return prev
 
-        return jax.lax.fori_loop(0, R // 8, rows8, prev)
+        return jax.lax.fori_loop(0, R // 16, rows16, prev)
 
     jax.lax.fori_loop(0, LA // R, group, prev0)
 
@@ -248,26 +264,25 @@ def _kernel(
     # resolved with ONE packed reduce: among lanes d <= entry_d that
     # are not LEFT, the maximum d is the exit cell (LEFT runs always
     # consist of valid cells, and the j==0 terminal bounds them).
-    def tb_row(i, carry):
+    # Codes: 0 = DIAG match, 1 = DIAG mismatch, 2 = UP, 3 = LEFT;
+    # j == 0 cells are remapped to terminal code 4 before the reduce.
+    def tb_row(i, carry, code2):
         entry_d, jb = carry  # (BB, 1) each; jb = band_min + i
         entry_d = jnp.where(i == bi, bd, entry_d)
-        row = dirs_ref[i - 1].astype(jnp.int32)  # (BB, W)
         j_row = jb + d_idx
-        row = jnp.where(j_row == 0, 0, row)  # j == 0 cells are terminal
-        is_left = (row & 3) == LEFT
-        elig = (d_idx <= entry_d) & ~is_left
-        key = jnp.where(elig, d8 + row, -1)
+        adj = jnp.where(j_row == 0, jnp.int32(4), code2)
+        elig = (d_idx <= entry_d) & (adj != jnp.int32(LEFT))
+        key = jnp.where(elig, d8 + adj, -1)
         kmax = jnp.max(key, axis=1, keepdims=True)  # (BB, 1)
         exit_d = kmax >> 3
-        code = kmax & 7
-        dc = code & 3
+        acode = kmax & 7
         j_exit = jb + exit_d
-        is_match = (dc == DIAG) & ((code & 4) != 0) & (j_exit > 0)
+        is_match = (acode == 0) & (j_exit > 0)
         mj_ref[0, pl.ds(i - 1, 1), :] = jnp.where(
             is_match, j_exit - 1, -1
         ).reshape(1, BB)
         entry_d = jnp.where(
-            dc == DIAG, exit_d, jnp.where(dc == UP, exit_d + 1, -1)
+            acode <= 1, exit_d, jnp.where(acode == 2, exit_d + 1, -1)
         )
         entry_d = jnp.where(entry_d >= W, -1, entry_d)
         return entry_d, jb - 1
@@ -277,22 +292,25 @@ def _kernel(
         band_min + LA,
     )
 
-    def tb_rows8(t8, carry):
-        base = t8 * 8
-        for t in range(8):
-            carry = tb_row(LA - (base + t), carry)
+    def tb_rows16(t16, carry):
+        base = t16 * 16
+        packed = dirs_ref[(LA - base) // 16 - 1]
+        for t in range(16):
+            # i - 1 = LA - base - 1 - t, so (i - 1) % 16 == 15 - t.
+            code2 = (packed >> (2 * (15 - t))) & 3
+            carry = tb_row(LA - (base + t), carry, code2)
         return carry
 
-    jax.lax.fori_loop(0, LA // 8, tb_rows8, tb_init)
+    jax.lax.fori_loop(0, LA // 16, tb_rows16, tb_init)
 
 
 _CHUNK_R = 128  # row-chunk of the streamed (chunked) kernel
 
 
 def _chunked_block_pairs(LA: int, LB: int, W: int) -> int:
-    """Pair-block width for the chunked kernel (dirs streamed to HBM
-    per R-row block, so VMEM holds only the full a/bnorm rows and one
-    dirs block). 0 if even that does not fit."""
+    """Pair-block width for the chunked kernel (2-bit-packed dirs
+    streamed to HBM per R-row block, so VMEM holds only the full
+    a/bnorm rows and one dirs block). 0 if even that does not fit."""
     if LA % _CHUNK_R or W > 512:
         return 0
     LEFTPAD, R0, LBP, LAP = _geometry(LA, LB, W)
@@ -300,7 +318,9 @@ def _chunked_block_pairs(LA: int, LB: int, W: int) -> int:
     for BB in (64, 32):
         if cap < BB:
             continue
-        dirs_blk = 2 * _CHUNK_R * max(BB, 32) * ((W + 127) // 128) * 128
+        dirs_blk = (
+            2 * (_CHUNK_R // 16) * max(BB, 8) * ((W + 127) // 128) * 128 * 4
+        )
         rows = BB * (4 * LBP + 4 * LAP)  # un-double-buffered (per i)
         small = BB * (4 * (W + 128) + 4 * (2 * _CHUNK_R) + 12 * W)
         mj_blk = 2 * _CHUNK_R * BB * 4
@@ -315,7 +335,7 @@ def _fwd_chunked_kernel(
     a_len_ref,  # (1, BB, 1)
     b_len_ref,  # (1, BB, 1)
     band_min_ref,  # (1, BB, 1)
-    dirs_ref,  # (1, R, BB, W) int8 OUT block per (i, g)
+    dirs_ref,  # (1, R//16, BB, W) int32 OUT block per (i, g), 2-bit packed
     best_ref,  # (1, BB, 1) int32 OUT
     bi_ref,  # (1, BB, 1) int32 OUT (best end row)
     bd_ref,  # (1, BB, 1) int32 OUT (best end lane)
@@ -397,13 +417,15 @@ def _fwd_chunked_kernel(
         V = jnp.where(valid, V, NEG_INF)
 
         came_left = V > base
-        dirs = jnp.where(
+        d2 = jnp.where(
             came_left,
             jnp.int32(LEFT),
-            jnp.where(base == diag_cand, jnp.int32(DIAG), jnp.int32(UP)),
+            jnp.where(
+                base == diag_cand,
+                jnp.where(m, jnp.int32(0), jnp.int32(1)),
+                jnp.int32(UP),
+            ),
         )
-        dirs = dirs | jnp.where(m, jnp.int32(4), jnp.int32(0))
-        dirs_ref[0, r] = dirs.astype(jnp.int8)
 
         iscol = (j == b_len) & valid
         endm = iscol | ((i == a_len) & valid)
@@ -413,15 +435,18 @@ def _fwd_chunked_kernel(
         bv_ref[...] = jnp.where(bt, mv, bv)
         bim_new = jnp.where(iscol, 2 * i, 2 * i + 1)
         bim_ref[...] = jnp.where(bt, bim_new, bim_ref[...])
-        return V
+        return V, d2
 
-    def rows8(t8, prev):
-        base_r = t8 * 8
-        for t in range(8):
-            prev = forward_row(base_r + t, prev)
+    def rows16(t16, prev):
+        base_r = t16 * 16
+        prev, packed = forward_row(base_r, prev)
+        for t in range(1, 16):
+            prev, d2 = forward_row(base_r + t, prev)
+            packed = packed | (d2 << (2 * t))
+        dirs_ref[0, t16] = packed
         return prev
 
-    prev_ref[...] = jax.lax.fori_loop(0, R // 8, rows8, prev_ref[...])
+    prev_ref[...] = jax.lax.fori_loop(0, R // 16, rows16, prev_ref[...])
 
     # Best-end selection (cheap; rewritten every block, last wins).
     bestv = bv_ref[...]
@@ -441,7 +466,7 @@ def _tb_chunked_kernel(
     bi_ref,  # (1, BB, 1) int32
     bd_ref,  # (1, BB, 1)
     band_min_ref,  # (1, BB, 1)
-    dirs_ref,  # (1, R, BB, W) int8, blocks in REVERSE g order
+    dirs_ref,  # (1, R//16, BB, W) int32, 2-bit packed, REVERSE g order
     mj_ref,  # (1, R, BB) int32 OUT, same reverse order
     entry_ref,  # (BB, 1) int32 scratch (persists across g)
     jb_ref,  # (BB, 1) int32 scratch
@@ -450,7 +475,9 @@ def _tb_chunked_kernel(
     W: int,
 ):
     """Traceback over the streamed dirs blocks, walked in reverse row
-    order (the grid's second axis maps to LA//R - 1 - g)."""
+    order (the grid's second axis maps to LA//R - 1 - g). Codes as in
+    _kernel's traceback: 0 = DIAG match, 1 = DIAG mismatch, 2 = UP,
+    3 = LEFT; j == 0 remaps to terminal 4."""
     BB = bi_ref.shape[1]
     R = _CHUNK_R
     g = pl.program_id(1)
@@ -466,40 +493,39 @@ def _tb_chunked_kernel(
         entry_ref[...] = jnp.full((BB, 1), -1, jnp.int32)
         jb_ref[...] = band_min + LA
 
-    def tb_row(t, carry):
+    def tb_row(r, carry, code2):
         entry_d, jb = carry
-        r = R - 1 - t  # local row, walked backwards
         i = (nG - 1 - g) * R + r + 1  # global row
         entry_d = jnp.where(i == bi, bd, entry_d)
-        row = dirs_ref[0, r].astype(jnp.int32)
         j_row = jb + d_idx
-        row = jnp.where(j_row == 0, 0, row)
-        is_left = (row & 3) == LEFT
-        elig = (d_idx <= entry_d) & ~is_left
-        key = jnp.where(elig, d8 + row, -1)
+        adj = jnp.where(j_row == 0, jnp.int32(4), code2)
+        elig = (d_idx <= entry_d) & (adj != jnp.int32(LEFT))
+        key = jnp.where(elig, d8 + adj, -1)
         kmax = jnp.max(key, axis=1, keepdims=True)
         exit_d = kmax >> 3
-        code = kmax & 7
-        dc = code & 3
+        acode = kmax & 7
         j_exit = jb + exit_d
-        is_match = (dc == DIAG) & ((code & 4) != 0) & (j_exit > 0)
+        is_match = (acode == 0) & (j_exit > 0)
         mj_ref[0, pl.ds(r, 1), :] = jnp.where(
             is_match, j_exit - 1, -1
         ).reshape(1, BB)
         entry_d = jnp.where(
-            dc == DIAG, exit_d, jnp.where(dc == UP, exit_d + 1, -1)
+            acode <= 1, exit_d, jnp.where(acode == 2, exit_d + 1, -1)
         )
         entry_d = jnp.where(entry_d >= W, -1, entry_d)
         return entry_d, jb - 1
 
-    def tb_rows8(t8, carry):
-        base = t8 * 8
-        for t in range(8):
-            carry = tb_row(base + t, carry)
+    def tb_rows16(t16, carry):
+        base = t16 * 16
+        packed = dirs_ref[0, (R - base) // 16 - 1]
+        for t in range(16):
+            r = R - 1 - (base + t)  # r % 16 == 15 - t
+            code2 = (packed >> (2 * (15 - t))) & 3
+            carry = tb_row(r, carry, code2)
         return carry
 
     entry, jb = jax.lax.fori_loop(
-        0, R // 8, tb_rows8, (entry_ref[...], jb_ref[...])
+        0, R // 16, tb_rows16, (entry_ref[...], jb_ref[...])
     )
     entry_ref[...] = entry
     jb_ref[...] = jb
@@ -533,7 +559,7 @@ def _invoke_chunked(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, R, BB, W), lambda i, g: (i * nG + g, 0, 0, 0),
+                (1, R // 16, BB, W), lambda i, g: (i * nG + g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, BB, 1), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -541,7 +567,7 @@ def _invoke_chunked(
             pl.BlockSpec((1, BB, 1), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nB * nG, R, BB, W), jnp.int8),
+            jax.ShapeDtypeStruct((nB * nG, R // 16, BB, W), jnp.int32),
             jax.ShapeDtypeStruct((nB, BB, 1), jnp.int32),
             jax.ShapeDtypeStruct((nB, BB, 1), jnp.int32),
             jax.ShapeDtypeStruct((nB, BB, 1), jnp.int32),
@@ -570,7 +596,7 @@ def _invoke_chunked(
             pl.BlockSpec((1, BB, 1), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BB, 1), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, R, BB, W),
+                (1, R // 16, BB, W),
                 lambda i, g, nG=nG: (i * nG + (nG - 1 - g), 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -886,7 +912,7 @@ def _invoke(
             jax.ShapeDtypeStruct((B // BB, BB, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((LA, BB, W), jnp.int8),
+            pltpu.VMEM((LA // 16, BB, W), jnp.int32),
             pltpu.VMEM((BB, 2 * W), jnp.int32),
             pltpu.VMEM((BB, 2 * R), jnp.int32),
             pltpu.VMEM((BB, W), jnp.int32),

@@ -359,11 +359,14 @@ def test_chunked_kernel_wide_band():
 
 
 def test_chunked_selected_for_oversized_shapes():
-    """LA >= 4096 at W = 128 exceeds the monolithic dirs scratch but
-    must remain kernel-supported via the chunked path."""
-    assert AP._block_pairs(8192, 128) == 0
-    assert AP._chunked_block_pairs(8192, 8192, 128) >= 32
+    """With 2-bit-packed dirs, LA = 8192 at W = 128 fits the monolithic
+    kernel; LA = 32768 still exceeds VMEM and must remain supported via
+    the chunked path."""
+    assert AP._block_pairs(8192, 128) >= 8
+    assert AP._block_pairs(32768, 128) == 0
+    assert AP._chunked_block_pairs(32768, 32768, 128) >= 32
     assert AP.supported(8192, 128)
+    assert AP.supported(32768, 128)
 
 
 def test_mesh_take_feed_matches_single_device():
