@@ -1248,6 +1248,142 @@ class _CsrStreamingRunner:
         for tags, pending in self.batches:
             yield (tags, *_entry_to_flat(pending[0]))
 
+    def collect_filtered(self, keep_fn):
+        """Two-sweep collection with device-side match compaction.
+
+        Sweep 1 fetches only each batch's (tiny) metric block and asks
+        ``keep_fn(tags, met)`` which pairs survive the acceptance
+        filters; sweep 2 fetches the match rows of ONLY those pairs,
+        compacted on device to a position bitmap plus a flat delta
+        stream (:func:`_compact_kept`) — LA/8 + count bytes per kept
+        pair instead of LA bytes per pair, the fix for ph2_collect
+        dominating computeAlignments at scale through a slow
+        device->host link. Yields (tags, met, rows, cols, vals) like
+        collect_flat, with rows/cols/vals restricted to kept pairs
+        (met still covers every pair). Entries that are not packed
+        device outputs (jnp fallback, multiprocess pre-fetched) decode
+        through the flat path unchanged."""
+        import jax.numpy as jnp
+
+        use = os.environ.get("SHASTA_TPU_COMPACT", "1") != "0"
+
+        def compactable(entry):
+            kind, payload, _n = entry
+            return (
+                use and kind == "p2"
+                and not isinstance(payload[1], np.ndarray)
+            )
+
+        for tags, pending in self.batches:
+            entry = pending[0]
+            if compactable(entry):
+                try:
+                    entry[1][0].copy_to_host_async()
+                except AttributeError:
+                    pass
+            else:
+                _prefetch_batches([(tags, pending)])
+        staged = []
+        for tags, pending in self.batches:
+            entry = pending[0]
+            if not compactable(entry):
+                staged.append((tags, entry, None))
+                continue
+            met_dev, delta_dev, bm = entry[1]
+            n_real = entry[2]
+            met = np.asarray(met_dev)[:n_real, :10].astype(np.int64)
+            keep = np.asarray(keep_fn(tags, met), bool)
+            sel = np.flatnonzero(keep)
+            BK = _bucket(max(sel.shape[0], 1), _BATCH_BUCKETS)
+            K = _csr_bucket(max(int(met[sel, 0].sum()), 1))
+            selp = np.full(BK, -1, np.int32)
+            selp[: sel.shape[0]] = sel
+            out = _compact_kept(delta_dev, jnp.asarray(selp), K=K)
+            staged.append((tags, None, (met, sel, bm, out)))
+        for _tags, _ent, c in staged:
+            if c is not None:
+                for x in c[3]:
+                    try:
+                        x.copy_to_host_async()
+                    except AttributeError:
+                        pass
+        for tags, ent, c in staged:
+            if ent is not None:
+                yield (tags, *_entry_to_flat(ent))
+                continue
+            met, sel, bm, (bitmap_dev, vals_dev) = c
+            bitmap = np.asarray(bitmap_dev)[: sel.shape[0]]
+            vals = np.asarray(vals_dev)
+            bits = np.unpackbits(bitmap, axis=1, bitorder="little")
+            rows_k, cols = np.nonzero(bits)
+            rows = sel[rows_k]
+            if __debug__:
+                assert rows_k.shape[0] == int(met[sel, 0].sum())
+            v = vals[: rows.shape[0]].astype(np.int64) + cols + bm[rows]
+            yield (
+                tags, met, rows.astype(np.int64), cols.astype(np.int64), v
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _compact_kept(delta, sel, *, K):
+    """Device-side compaction of the packed match rows of KEPT pairs.
+
+    delta: (B, LA) uint8 band-relative match rows (255 = no match);
+    sel: (BK,) int32 batch-local ids of the pairs that survive the
+    acceptance filters, padded with -1. Returns
+    (bitmap (BK, LA//8) uint8, vals (K,) uint8): bitmap row t holds the
+    matched-position bits of pair sel[t] (little-endian within each
+    byte); vals holds the matched delta bytes of all kept pairs
+    concatenated in (t, position) order. Together they transfer
+    LA/8 + count bytes per KEPT pair — and nothing for dropped pairs —
+    where the round-3 path fetched LA bytes for EVERY pair (the
+    reference byte-compresses stored alignments for the same reason,
+    reference: src/compressAlignment.cpp)."""
+    B, LA = delta.shape
+    rows = jnp.take(delta, jnp.clip(sel, 0, B - 1), axis=0)
+    matched = (rows != jnp.uint8(255)) & (sel >= 0)[:, None]
+    bitmap = jnp.packbits(matched, axis=1, bitorder="little")
+    flat = matched.reshape(-1)
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    idx = jnp.where(flat, pos, K)
+    vals = jnp.zeros(K, jnp.uint8).at[idx].set(rows.reshape(-1), mode="drop")
+    return bitmap, vals
+
+
+def _keep_mask_from_metrics(metrics, n0, n1, params: AlignParams):
+    """The reference's alignment acceptance filters as one vectorized
+    pass over the in-kernel metrics (reference:
+    AssemblerAlign.cpp:437-470). metrics: (n, >=9) int rows
+    [count, first0, last0, first1, last1, min_off, max_off, max_skip,
+    max_drift, ...]; n0/n1 the total marker counts of each pair's
+    oriented reads."""
+    mc = metrics[:, 0]
+    first0, last0 = metrics[:, 1], metrics[:, 2]
+    first1, last1 = metrics[:, 3], metrics[:, 4]
+    mskip, mdrift = metrics[:, 7], metrics[:, 8]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        range0 = np.maximum(last0 + 1 - first0, 1)
+        range1 = np.maximum(last1 + 1 - first1, 1)
+        frac = np.minimum(mc / range0, mc / range1)
+    keep = (
+        (mc >= params.min_aligned_marker_count)
+        & (frac >= params.min_aligned_fraction)
+        & (np.minimum(first0, first1) <= params.max_trim)
+        & (np.minimum(n0 - 1 - last0, n1 - 1 - last1) <= params.max_trim)
+        & (mskip <= params.max_skip)
+        & (mdrift <= params.max_drift)
+    )
+    if params.suppress_containments:
+        contained0 = (first0 <= params.max_trim) & (
+            n0 - 1 - last0 <= params.max_trim
+        )
+        contained1 = (first1 <= params.max_trim) & (
+            n1 - 1 - last1 <= params.max_trim
+        )
+        keep &= ~(contained0 | contained1)
+    return keep
+
 
 def _prefetch_batches(batches) -> None:
     """Issue copy_to_host_async for every pending device payload so the
@@ -1491,12 +1627,19 @@ def align_candidates(
     runner.flush_all()
     _prof.mark("ph2_flush")
 
-    # Flat phase-2 collection: per-pair metrics scatter + per-batch
-    # match chunks (no per-pair array materialization anywhere).
+    # Filtered phase-2 collection: per-pair metrics scatter + per-batch
+    # match chunks restricted on device to pairs that pass the
+    # acceptance filters (no per-pair array materialization anywhere).
     met_of = np.zeros((n_pairs, 10), np.int64)
     seen = np.zeros(n_pairs, bool)
+
+    def _keep_fn(tags, met):
+        return _keep_mask_from_metrics(
+            met, klen[or0[tags]], klen[or1[tags]], params
+        )
+
     chunks: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
-    for tags, met, rows, cols, vals in runner.collect_flat():
+    for tags, met, rows, cols, vals in runner.collect_filtered(_keep_fn):
         met_of[tags] = met
         seen[tags] = True
         chunks.append((tags, rows, cols, vals))
@@ -1506,7 +1649,8 @@ def align_candidates(
     full_idx = np.flatnonzero(seen)
     metrics = met_of[full_idx] if full_idx.shape[0] else np.zeros((0, 10), np.int64)
 
-    # ---- Filters, vectorized over the in-kernel metrics ----
+    # ---- Filters, vectorized over the in-kernel metrics (the same
+    # mask collect_filtered used to restrict the match fetch) ----
     mc = metrics[:, 0]
     first0, last0 = metrics[:, 1], metrics[:, 2]
     first1, last1 = metrics[:, 3], metrics[:, 4]
@@ -1515,26 +1659,7 @@ def align_candidates(
     n0 = klen[or0[full_idx]] if full_idx.shape[0] else np.zeros(0, np.int64)
     n1 = klen[or1[full_idx]] if full_idx.shape[0] else np.zeros(0, np.int64)
 
-    with np.errstate(divide="ignore", invalid="ignore"):
-        range0 = np.maximum(last0 + 1 - first0, 1)
-        range1 = np.maximum(last1 + 1 - first1, 1)
-        frac = np.minimum(mc / range0, mc / range1)
-    keep = (
-        (mc >= params.min_aligned_marker_count)
-        & (frac >= params.min_aligned_fraction)
-        & (np.minimum(first0, first1) <= params.max_trim)
-        & (np.minimum(n0 - 1 - last0, n1 - 1 - last1) <= params.max_trim)
-        & (mskip <= params.max_skip)
-        & (mdrift <= params.max_drift)
-    )
-    if params.suppress_containments:
-        contained0 = (first0 <= params.max_trim) & (
-            n0 - 1 - last0 <= params.max_trim
-        )
-        contained1 = (first1 <= params.max_trim) & (
-            n1 - 1 - last1 <= params.max_trim
-        )
-        keep &= ~(contained0 | contained1)
+    keep = _keep_mask_from_metrics(metrics, n0, n1, params)
     kept_t = np.flatnonzero(keep)
     kept_p = full_idx[kept_t]
 

@@ -1,0 +1,195 @@
+"""Assembly accuracy metrics against a known truth genome.
+
+The reference ships no built-in accuracy tooling — published accuracy
+numbers come from external comparison (Shafin et al. error analysis,
+cited at reference OLD-README.md:7-13; post-run QC hooks live in
+reference scripts/GenerateFeedback.py). For synthetic runs the truth
+genome is in memory, so the assembler can grade itself: this module
+implements Merqury-style k-mer QV and completeness plus an
+anchor-chaining misassembly count — all single-pass vectorized numpy,
+sized for a 4-core host at 100+ Mb.
+
+Metrics:
+- **QV** (base-call quality): every contig k-mer absent from the truth
+  genome implies >= 1 base error within k bases. Merqury's estimator:
+  per-base error p = 1 - (found / total)^(1/k), QV = -10 log10(p).
+- **completeness**: fraction of distinct truth k-mers present in the
+  assembly (genome fraction recovered).
+- **misassemblies**: walk each contig's unique-anchor chain (k-mers
+  that occur exactly once in the truth); a breakpoint is a consecutive
+  anchor pair whose truth distance disagrees with the contig distance
+  by more than ``max_indel`` or that flips strand/ordering.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+def kmer_codes(seq: np.ndarray, k: int) -> np.ndarray:
+    """Forward k-mer codes (2 bits/base, uint64) at every position of a
+    base-code array. k <= 31."""
+    n = seq.shape[0] - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64)
+    v = np.zeros(n, np.uint64)
+    s = seq.astype(np.uint64)
+    for j in range(k):
+        v = (v << np.uint64(2)) | s[j : n + j]
+    return v
+
+
+def canonical_kmer_codes(seq: np.ndarray, k: int) -> np.ndarray:
+    """Canonical (min of forward / reverse-complement) k-mer codes."""
+    fwd = kmer_codes(seq, k)
+    rc_seq = (3 - seq[::-1]).astype(np.uint8)
+    rev = kmer_codes(rc_seq, k)[::-1]
+    return np.minimum(fwd, rev)
+
+
+def _found_mask(codes: np.ndarray, truth_sorted: np.ndarray) -> np.ndarray:
+    if truth_sorted.shape[0] == 0:
+        return np.zeros(codes.shape[0], bool)
+    idx = np.searchsorted(truth_sorted, codes)
+    idx = np.minimum(idx, truth_sorted.shape[0] - 1)
+    return truth_sorted[idx] == codes
+
+
+def assembly_metrics(
+    contigs: Sequence[np.ndarray],
+    truth: np.ndarray,
+    k: int = 21,
+    anchor_stride: int = 1000,
+    max_indel: int = 5000,
+    qv_cap: float = 90.0,
+) -> Dict:
+    """Grade ``contigs`` (base-code arrays) against ``truth``.
+
+    Returns {qv, completeness, misassemblies, contigKmers, missingKmers,
+    truthKmers, foundTruthKmers, anchorsMapped}.
+    """
+    truth_can = canonical_kmer_codes(truth, k)
+    truth_sorted = np.unique(truth_can)
+
+    total = 0
+    missing = 0
+    found_truth = np.zeros(truth_sorted.shape[0], bool)
+    per_contig_found: List[np.ndarray] = []
+    for c in contigs:
+        codes = canonical_kmer_codes(np.asarray(c, np.uint8), k)
+        ok = _found_mask(codes, truth_sorted)
+        per_contig_found.append(ok)
+        total += codes.shape[0]
+        missing += int((~ok).sum())
+        if codes.shape[0]:
+            idx = np.searchsorted(truth_sorted, codes[ok])
+            found_truth[idx] = True
+
+    if total == 0:
+        qv = 0.0
+    elif missing == 0:
+        qv = qv_cap
+    else:
+        p = 1.0 - (1.0 - missing / total) ** (1.0 / k)
+        qv = min(-10.0 * np.log10(max(p, 1e-12)), qv_cap)
+    completeness = (
+        float(found_truth.sum()) / truth_sorted.shape[0]
+        if truth_sorted.shape[0]
+        else 0.0
+    )
+
+    mis, anchors_mapped = _misassemblies(
+        contigs, truth, k, anchor_stride, max_indel
+    )
+    return {
+        "qv": round(float(qv), 2),
+        "completeness": round(completeness, 6),
+        "misassemblies": int(mis),
+        "contigKmers": int(total),
+        "missingKmers": int(missing),
+        "truthKmers": int(truth_sorted.shape[0]),
+        "anchorsMapped": int(anchors_mapped),
+    }
+
+
+def _misassemblies(contigs, truth, k, stride, max_indel):
+    """Breakpoints in the unique-anchor chains of all contigs.
+
+    Anchors are truth k-mers occurring exactly once among canonical
+    truth k-mers; a contig anchor maps to a signed truth position
+    (negative = reverse strand). Consecutive anchors must advance
+    colinearly on one strand within ``max_indel`` slack.
+    """
+    truth_can = canonical_kmer_codes(truth, k)
+    order = np.argsort(truth_can, kind="stable")
+    sc = truth_can[order]
+    first = np.ones(sc.shape[0], bool)
+    first[1:] = sc[1:] != sc[:-1]
+    cnt = np.diff(np.append(np.flatnonzero(first), sc.shape[0]))
+    uniq_mask = cnt == 1
+    uniq_codes = sc[first][uniq_mask]
+    uniq_pos = order[first][uniq_mask]  # truth position of the one copy
+    # Strand of the stored copy: canonical == forward there?
+    fwd_codes = kmer_codes(truth, k)
+    uniq_fwd = fwd_codes[uniq_pos] == uniq_codes
+
+    breaks = 0
+    mapped = 0
+    for c in contigs:
+        c = np.asarray(c, np.uint8)
+        codes = canonical_kmer_codes(c, k)
+        if codes.shape[0] == 0:
+            continue
+        pos_c = np.arange(0, codes.shape[0], max(stride, 1))
+        sel = codes[pos_c]
+        idx = np.searchsorted(uniq_codes, sel)
+        idx = np.minimum(idx, max(uniq_codes.shape[0] - 1, 0))
+        hit = (
+            uniq_codes[idx] == sel
+            if uniq_codes.shape[0]
+            else np.zeros(sel.shape[0], bool)
+        )
+        if not hit.any():
+            continue
+        cpos = pos_c[hit]
+        tpos = uniq_pos[idx[hit]].astype(np.int64)
+        # Contig anchor strand: forward code at the contig position
+        # equals the canonical code?
+        cfwd = kmer_codes(c, k)[cpos] == sel[hit]
+        # Same strand if contig-forwardness matches truth-forwardness.
+        same = cfwd == uniq_fwd[idx[hit]]
+        mapped += cpos.shape[0]
+        if cpos.shape[0] < 2:
+            continue
+        dc = np.diff(cpos)
+        dt = np.diff(tpos)
+        expect = np.where(same[:-1], dt, -dt)
+        ok = (
+            (same[1:] == same[:-1])
+            & (np.abs(expect - dc) <= max_indel)
+        )
+        breaks += int((~ok).sum())
+    return breaks, mapped
+
+
+def parse_fasta_contigs(path: str) -> List[np.ndarray]:
+    """Contig base-code arrays from a FASTA file (A=0 C=1 G=2 T=3)."""
+    lut = np.full(256, 255, np.uint8)
+    for i, ch in enumerate(b"ACGT"):
+        lut[ch] = i
+        lut[ch + 32] = i
+    contigs: List[np.ndarray] = []
+    cur: List[bytes] = []
+    with open(path, "rb") as f:
+        for line in f:
+            if line.startswith(b">"):
+                if cur:
+                    contigs.append(lut[np.frombuffer(b"".join(cur), np.uint8)])
+                cur = []
+            else:
+                cur.append(line.strip())
+    if cur:
+        contigs.append(lut[np.frombuffer(b"".join(cur), np.uint8)])
+    return contigs

@@ -77,6 +77,83 @@ def apply_errors(read: np.ndarray, rng, rate: float) -> np.ndarray:
     return np.array(out, dtype=np.uint8)
 
 
+def apply_errors_vec(
+    read: np.ndarray,
+    rng,
+    rate: float,
+    mix: Tuple[float, float, float] = (1 / 3, 1 / 3, 1 / 3),
+) -> np.ndarray:
+    """Vectorized substitution/insertion/deletion errors with a
+    configurable mix (sub, ins, del). O(n) numpy passes — the loop
+    version (:func:`apply_errors`) costs minutes per Gb and is kept
+    only because existing tests pin its RNG stream."""
+    n = read.shape[0]
+    p_sub = rate * mix[0]
+    p_del = rate * mix[2]
+    u = rng.random(n)
+    is_del = u < p_del
+    is_sub = (u >= p_del) & (u < p_del + p_sub)
+    is_ins = rng.random(n) < rate * mix[1]
+    base = read.copy()
+    ns = int(is_sub.sum())
+    base[is_sub] = (base[is_sub] + rng.integers(1, 4, ns)) % 4
+    counts = (~is_del).astype(np.int64) + is_ins
+    ends = np.cumsum(counts)
+    out = np.empty(int(ends[-1]) if n else 0, np.uint8)
+    # Each position contributes (optional inserted base, then the kept
+    # base): the inserted base lands at ends-counts, the kept base at
+    # ends-1 — disjoint slots by construction.
+    out[ends[~is_del] - 1] = base[~is_del]
+    ins_pos = (ends - counts)[is_ins]
+    out[ins_pos] = rng.integers(0, 4, ins_pos.shape[0]).astype(np.uint8)
+    return out
+
+
+def sample_reads_ont(
+    genome: np.ndarray,
+    coverage: float,
+    *,
+    seed: int = 1,
+    error_rate: float = 0.07,
+    mix: Tuple[float, float, float] = (0.4, 0.3, 0.3),
+    median_length: int = 25000,
+    sigma: float = 0.55,
+    min_length: int = 3000,
+    both_strands: bool = True,
+) -> List[np.ndarray]:
+    """Reads that look like real Oxford Nanopore data: log-normal
+    lengths (median ``median_length``, 5th-95th percentile roughly
+    0.4-2.5x at sigma 0.55), 5-10% errors biased toward indels
+    (mix sub/ins/del, default 40/30/30 — ONT's dominant error mode),
+    both strands. This is the regime the reference's marker/RLE design
+    exists to survive (reference: conf/Nanopore-May2022.conf:9-11,
+    docs/ComputationalMethods.html "Marker alignments")."""
+    rng = np.random.default_rng(seed)
+    g_len = genome.shape[0]
+    target = coverage * g_len
+    reads: List[np.ndarray] = []
+    drawn = 0.0
+    while drawn < target:
+        want = max(int((target - drawn) / median_length) + 1, 1)
+        want = min(want, 4096)
+        lens = np.exp(
+            rng.normal(np.log(median_length), sigma, size=want)
+        ).astype(np.int64)
+        lens = np.clip(lens, min_length, max(g_len - 1, min_length))
+        starts = rng.integers(0, np.maximum(g_len - lens, 1))
+        for s, L in zip(starts, lens):
+            r = genome[int(s) : int(s) + int(L)]
+            if error_rate > 0:
+                r = apply_errors_vec(r, rng, error_rate, mix)
+            if both_strands and rng.random() < 0.5:
+                r = B.reverse_complement(r)
+            reads.append(r)
+            drawn += L
+            if drawn >= target:
+                break
+    return reads
+
+
 def write_fasta(path: str, reads: List[np.ndarray], prefix: str = "read") -> None:
     with open(path, "w") as f:
         for i, r in enumerate(reads):

@@ -459,3 +459,62 @@ def test_mesh_take_feed_matches_single_device():
         M._align_take_fn.cache_clear()
         M._band_take_fn.cache_clear()
         AP._band_take_jit.clear_cache()
+
+
+def test_align_candidates_pallas_matches_jnp(monkeypatch):
+    """align_candidates under the full pallas path — device take-feed,
+    fused band discovery, packed ph2 output, and the device-side
+    filtered match compaction (collect_filtered/_compact_kept) — must
+    produce an AlignmentStore identical to the jnp fallback path."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    import synth
+
+    from shasta_tpu.io.fasta import parse_fasta_bytes
+    from shasta_tpu.data import bases as B
+    from shasta_tpu.data.reads import build_read_store
+    from shasta_tpu.data.kmers import select_kmers_random
+    from shasta_tpu.data.markers import find_markers
+    from shasta_tpu.ops import lowhash as LH
+    from shasta_tpu.ops.align import AlignParams, align_candidates
+
+    genome = synth.random_genome(6000, seed=17)
+    reads = synth.sample_reads(
+        genome, 14, 1700, seed=18, error_rate=0.01, both_strands=True
+    )
+    fasta = b"".join(
+        b">r%d\n%s\n" % (i, B.decode_to_str(r).encode())
+        for i, r in enumerate(reads)
+    )
+    store = build_read_store(parse_fasta_bytes(fasta), min_read_length=500)
+    kt = select_kmers_random(10, 0.1, seed=231)
+    markers = find_markers(store, kt)
+    cand = LH.find_candidates_lowhash(
+        markers,
+        LH.LowHashParams(
+            m=3, hash_fraction=0.05, iteration_count=10, min_frequency=2,
+            max_bucket_size=60,
+        ),
+    )
+    assert cand.count > 3
+    params = AlignParams(
+        min_aligned_marker_count=12, max_skip=60, max_drift=60, max_trim=60
+    )
+    args = (markers, cand.read_id0, cand.read_id1, cand.same_strand, params,
+            kt.downsampling_hash_table())
+    ref = align_candidates(*args)
+
+    monkeypatch.setattr(A, "_PALLAS_ENV", "1")
+    A._pallas_available.cache_clear()
+    try:
+        got = align_candidates(*args)
+    finally:
+        A._pallas_available.cache_clear()
+
+    # Filtering must actually bite for the compaction test to mean
+    # anything: some candidates kept, some dropped.
+    assert 0 < ref.count < cand.count
+    for k, v in ref.arrays().items():
+        assert np.array_equal(v, got.arrays()[k]), k
