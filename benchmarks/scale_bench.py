@@ -1,48 +1,78 @@
-"""Scalable pipeline benchmark: SCALE Mb genome, ~25x coverage, 1%
-errors, full pipeline wall-clock on one chip.
+"""Scalable pipeline benchmark: SCALE Mb genome, ~25x coverage, full
+pipeline wall-clock on one chip, graded against the truth genome
+(k-mer QV / completeness / misassemblies, shasta_tpu/utils/accuracy).
 
-Reference measurements (v5e single chip via tunnel, warm compile
-cache, healthy relay; committed per round in SCALE_r*.json):
-- SCALE=1: ~41-52 s end to end (22 segments, N50 66 kb);
-- SCALE=25 (25 Mb, 62.5k reads): 568 s, peak RSS 25 GB (round 3;
-  1096 s before the round-3 host-pass fixes);
-- SCALE=50 (50 Mb, 125k reads, 1.25 Gb bases): 1200 s, 50 GB
-  (round 3; 2045 s before). computeAlignments is relay-bandwidth-
-  bound at scale — see CLAUDE.md.
+Regimes (REGIME env):
+- uniform1 (default): fixed 10 kb reads, 1% uniform errors — the
+  round-3 comparison regime (committed per round in SCALE_r*.json).
+- ont: the realistic Oxford Nanopore regime the BASELINE configs are
+  tuned for — log-normal lengths (median 25 kb), 7% indel-biased
+  errors (40/30/30 sub/ins/del), run under the Nanopore-May2022
+  built-in configuration (reference: conf/Nanopore-May2022.conf).
+
+Reference wall-clock measurements (v5e single chip via tunnel, warm
+compile cache, healthy relay):
+- SCALE=1 uniform1: ~41-52 s end to end;
+- SCALE=25 uniform1: 366 s (round 3 final), peak RSS 25 GB;
+- SCALE=50 uniform1: 1200 s, 50 GB (round 3). See SCALE_r0*.json.
 """
 import sys, time, json, tempfile, os
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-# Scale factor: SCALE=5 runs the 5 Mb / 12.5k-read variant.
 SCALE = int(os.environ.get("SCALE", "1"))
+REGIME = os.environ.get("REGIME", "uniform1")
 import numpy as np
 from tests import synth
-from shasta_tpu.data import bases as B
 from shasta_tpu.pipeline.assemble import run_assembly
 from shasta_tpu.pipeline.config import AssemblyConfig
+from shasta_tpu.utils import accuracy as AC
 
 t0 = time.monotonic()
 genome = synth.random_genome(1_000_000 * SCALE, seed=500)
-reads = synth.sample_reads(genome, 2500 * SCALE, 10000, seed=501, error_rate=0.01, both_strands=True)
+if REGIME == "ont":
+    reads = synth.sample_reads_ont(
+        genome, 25.0, seed=501, error_rate=0.07, mix=(0.4, 0.3, 0.3),
+        median_length=25000, sigma=0.55, min_length=3000,
+    )
+else:
+    reads = synth.sample_reads(
+        genome, 2500 * SCALE, 10000, seed=501, error_rate=0.01,
+        both_strands=True, vectorized=True,
+    )
 tmp = tempfile.mkdtemp()
 fa = os.path.join(tmp, "r.fasta")
 synth.write_fasta(fa, reads)
-print(f"[{time.monotonic()-t0:.0f}s] reads written ({sum(len(r) for r in reads)/1e6:.0f} Mb)", flush=True)
+n_bases = sum(len(r) for r in reads)
+print(f"[{time.monotonic()-t0:.0f}s] {len(reads)} reads written "
+      f"({n_bases/1e6:.0f} Mb)", flush=True)
 
-cfg = AssemblyConfig()
-cfg.reads.min_read_length = 1000
-cfg.kmers.k = 10
-cfg.kmers.probability = 0.1
-cfg.min_hash.hash_fraction = 0.02
-cfg.min_hash.min_hash_iteration_count = 8
-cfg.min_hash.min_frequency = 2
-cfg.min_hash.max_bucket_size = 60
-cfg.align.min_aligned_marker_count = 40
-cfg.align.max_skip = 60
-cfg.align.max_drift = 40
-cfg.align.max_trim = 60
-cfg.read_graph.max_alignment_count = 8
-cfg.marker_graph.min_coverage = 0
-summary = run_assembly([fa], os.path.join(tmp, "run"), cfg)
+if REGIME == "ont":
+    from shasta_tpu.pipeline.configurations import get_configuration
+
+    cfg = AssemblyConfig.from_conf_text(get_configuration("Nanopore-May2022"))
+else:
+    cfg = AssemblyConfig()
+    cfg.reads.min_read_length = 1000
+    cfg.kmers.k = 10
+    cfg.kmers.probability = 0.1
+    cfg.min_hash.hash_fraction = 0.02
+    cfg.min_hash.min_hash_iteration_count = 8
+    cfg.min_hash.min_frequency = 2
+    cfg.min_hash.max_bucket_size = 60
+    cfg.align.min_aligned_marker_count = 40
+    cfg.align.max_skip = 60
+    cfg.align.max_drift = 40
+    cfg.align.max_trim = 60
+    cfg.read_graph.max_alignment_count = 8
+    cfg.marker_graph.min_coverage = 0
+run_dir = os.path.join(tmp, "run")
+summary = run_assembly([fa], run_dir, cfg)
+
+t_acc = time.monotonic()
+contigs = AC.parse_fasta_contigs(os.path.join(run_dir, "Assembly.fasta"))
+acc = AC.assembly_metrics(contigs, genome, k=21)
+summary["accuracy"] = acc
+summary["accuracySeconds"] = round(time.monotonic() - t_acc, 1)
+summary["regime"] = REGIME
 print(json.dumps({k: v for k, v in summary.items() if k != "stageSeconds"}, indent=1), flush=True)
 print("stage seconds:", json.dumps({k: round(v,1) for k, v in summary["stageSeconds"].items()}, indent=1))

@@ -67,10 +67,11 @@ STOP, DIAG, UP, LEFT = 0, 1, 2, 3
 # j0 clamp 2, run 1, prefix-max 2*log2(W)=14 (the dominant term),
 # V+mask 2, direction select 5, 2-bit pack shift+or 2 (store
 # amortized 1/16), end-cell accumulation 9 — plus the traceback pass
-# (~14 ops/cell: code unpack shift+mask 2, j mask 3, eligibility 3,
-# packed key+reduce 3, exit decode ~3; loads amortized 1/16). The
-# count scales with log2(W); treat it as W=128-accurate.
-KERNEL_OPS_PER_CELL = 64
+# (~12 ops/cell: code unpack shift+mask 2, j_row 1, terminal remap 2,
+# eligibility 3, key 2, lane max-reduce ~2; loads amortized 1/16,
+# (BB, 1)-wide decode ~0). The count scales with log2(W); treat it
+# as W=128-accurate.
+KERNEL_OPS_PER_CELL = 62
 
 _VMEM_BUDGET = int(os.environ.get("SHASTA_TPU_VMEM", 12 * 1024 * 1024 + 512 * 1024))
 
@@ -691,11 +692,14 @@ def _band_normalize(b, band_min, *, LA, LB, W):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("LA", "LB", "W", "match", "mismatch", "gap", "pack_u8"),
+    static_argnames=(
+        "LA", "LB", "W", "match", "mismatch", "gap", "pack_u8",
+        "force_chunked",
+    ),
 )
 def banded_align_pairs(
     a, a_len, b, b_len, band_min, *, LA, LB, W, match, mismatch, gap,
-    pack_u8=False
+    pack_u8=False, force_chunked=False
 ):
     """Forward + traceback for a batch of candidate pairs.
 
@@ -708,7 +712,7 @@ def banded_align_pairs(
       (at most one match per ordinal0 on a banded path).
     """
     B0 = a.shape[0]
-    BB = _block_pairs(LA, W, LB)
+    BB = 0 if force_chunked else _block_pairs(LA, W, LB)
     chunked = BB == 0
     if chunked:
         BB = _chunked_block_pairs(LA, LB, W)

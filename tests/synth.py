@@ -30,8 +30,13 @@ def sample_reads(
     error_rate: float = 0.0,
     both_strands: bool = True,
     circular: bool = False,
+    vectorized: bool = False,
 ) -> List[np.ndarray]:
-    """Sample reads uniformly from the genome (code arrays)."""
+    """Sample reads uniformly from the genome (code arrays).
+
+    ``vectorized`` switches the error applier to the O(n) numpy passes
+    (different RNG realization than the loop version — existing tests
+    and goldens pin the loop's stream, benches use the fast one)."""
     rng = np.random.default_rng(seed)
     g_len = genome.shape[0]
     reads = []
@@ -44,7 +49,11 @@ def sample_reads(
         else:
             r = genome[s : s + read_length].copy()
         if error_rate > 0:
-            r = apply_errors(r, rng, error_rate)
+            r = (
+                apply_errors_vec(r, rng, error_rate)
+                if vectorized
+                else apply_errors(r, rng, error_rate)
+            )
         if both_strands and rng.random() < 0.5:
             r = B.reverse_complement(r)
         reads.append(r)
