@@ -95,6 +95,25 @@ class Assembler:
         self.vertex_repeats: Optional[np.ndarray] = None
         self.edge_consensus: Optional[AG.EdgeConsensus] = None
         self.min_coverage_used: int = 0
+        self.log.memprobe = self._memory_inventory
+
+    _MEM_STORES = (
+        "reads", "markers", "candidates", "alignments", "read_graph",
+        "marker_graph", "assembly_graph", "vertex_repeats",
+        "edge_consensus", "mode2_graph",
+    )
+
+    def _memory_inventory(self) -> str:
+        """Array bytes held per pipeline store (SHASTA_TPU_MEMPROF)."""
+        from shasta_tpu.utils.perf import obj_nbytes
+
+        parts = []
+        for name in self._MEM_STORES:
+            nb = obj_nbytes(getattr(self, name, None))
+            if nb > (1 << 20):
+                parts.append((nb, f"{name}={nb / 2**20:.0f}MB"))
+        parts.sort(key=lambda x: -x[0])
+        return " ".join(p for _, p in parts)
 
     def test(self) -> bool:
         """Built-in self-test (reference: Assembler::test via

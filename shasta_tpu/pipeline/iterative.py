@@ -55,6 +55,135 @@ def score_alignment_pseudo_paths(
     return matches - mismatch_square_factor * mismatches * mismatches
 
 
+def nw_match_mismatch_batch(
+    a_pad: np.ndarray,
+    a_len: np.ndarray,
+    b_pad: np.ndarray,
+    b_len: np.ndarray,
+    match: int = 1,
+    mismatch: int = -1,
+    gap: int = -1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(matches, mismatches) on the optimal global-NW path for a batch
+    of padded int sequences — the batched form of
+    :func:`shasta_tpu.consensus.msa.nw_align` with IDENTICAL
+    tie-breaking (diagonal, then up, then left), vectorized over the
+    batch in plain numpy (journeys are tens of segments, so the full
+    (B, L0+1, L1+1) DP is small; the reference threads this loop,
+    src/AssemblerCreateReadGraphUsingPseudoPaths.cpp)."""
+    B, L0 = a_pad.shape
+    L1 = b_pad.shape[1]
+    V = np.zeros((B, L0 + 1, L1 + 1), np.int32)
+    V[:, :, 0] = gap * np.arange(L0 + 1, dtype=np.int32)[None, :]
+    V[:, 0, :] = gap * np.arange(L1 + 1, dtype=np.int32)[None, :]
+    jj = np.arange(1, L1 + 1, dtype=np.int32)[None, :]
+    for i in range(1, L0 + 1):
+        sub = np.where(b_pad == a_pad[:, i - 1 : i], match, mismatch)
+        row_prev = V[:, i - 1]
+        diag = row_prev[:, :-1] + sub
+        up = row_prev[:, 1:] + gap
+        best = np.maximum(diag, up)
+        run = np.maximum.accumulate(best - gap * jj, axis=1)
+        V[:, i, 1:] = np.maximum(best, run + gap * jj)
+    # Vectorized traceback: every pair walks from (a_len, b_len); the
+    # same move-preference checks as nw_align, batched.
+    bi = np.arange(B)
+    i = a_len.astype(np.int64).copy()
+    j = b_len.astype(np.int64).copy()
+    m_cnt = np.zeros(B, np.int64)
+    x_cnt = np.zeros(B, np.int64)
+    for _ in range(L0 + L1):
+        active = (i > 0) | (j > 0)
+        if not active.any():
+            break
+        ic = np.maximum(i, 1)
+        jc = np.maximum(j, 1)
+        av = a_pad[bi, ic - 1]
+        bv = b_pad[bi, jc - 1]
+        eq = av == bv
+        sub = np.where(eq, match, mismatch)
+        vij = V[bi, i, j]
+        can_diag = (
+            (i > 0) & (j > 0) & (vij == V[bi, ic - 1, jc - 1] + sub)
+        )
+        can_up = (i > 0) & (vij == V[bi, ic - 1, j] + gap)
+        take_diag = active & can_diag
+        take_up = active & ~can_diag & can_up
+        take_left = active & ~can_diag & ~can_up
+        m_cnt += take_diag & eq
+        x_cnt += take_diag & ~eq
+        i -= take_diag | take_up
+        j -= take_diag | take_left
+    return m_cnt, x_cnt
+
+
+_NW_LEN_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+# Cap the per-chunk DP memory: B * (L+1)^2 int32 cells.
+_NW_CELL_BUDGET = 1 << 26
+
+
+def score_pseudo_path_batch(
+    flat: np.ndarray,
+    off: np.ndarray,
+    orid0: np.ndarray,
+    orid1: np.ndarray,
+    mismatch_square_factor: float,
+    match: int = 1,
+    mismatch: int = -1,
+    gap: int = -1,
+) -> np.ndarray:
+    """Pseudo-path alignment scores for alignment pairs, batched.
+
+    flat/off: CSR of per-oriented-read journeys (segment ids);
+    orid0/orid1: the pair's oriented reads. Returns (n,) float64
+    scores = matches - mismatch_square_factor * mismatches^2 (pairs
+    with an empty journey score 0, like the loop form)."""
+    lens = np.diff(off)
+    l0 = lens[orid0].astype(np.int64)
+    l1 = lens[orid1].astype(np.int64)
+    n = orid0.shape[0]
+    scores = np.zeros(n, np.float64)
+    live = np.flatnonzero((l0 > 0) & (l1 > 0))
+    if live.shape[0] == 0:
+        return scores
+    key = np.maximum(
+        _bucket_len(l0[live]), _bucket_len(l1[live])
+    )
+    for L in np.unique(key):
+        sel = live[key == L]
+        step = max(int(_NW_CELL_BUDGET // ((L + 1) * (L + 1))), 64)
+        for lo in range(0, sel.shape[0], step):
+            s = sel[lo : lo + step]
+            a_pad = _pad_journeys(flat, off, orid0[s], l0[s], int(L), -1)
+            b_pad = _pad_journeys(flat, off, orid1[s], l1[s], int(L), -2)
+            m, x = nw_match_mismatch_batch(
+                a_pad, l0[s], b_pad, l1[s], match, mismatch, gap
+            )
+            scores[s] = m - mismatch_square_factor * x.astype(np.float64) ** 2
+    return scores
+
+
+def _bucket_len(n: np.ndarray) -> np.ndarray:
+    b = np.asarray(_NW_LEN_BUCKETS, np.int64)
+    idx = np.minimum(np.searchsorted(b, n), len(b) - 1)
+    out = b[idx]
+    over = n > b[-1]
+    if over.any():
+        out = out.copy()
+        out[over] = 1 << np.ceil(np.log2(n[over])).astype(np.int64)
+    return out
+
+
+def _pad_journeys(flat, off, orids, lens, L, fill):
+    ar = np.arange(L, dtype=np.int64)[None, :]
+    idx = off[orids][:, None] + ar
+    valid = ar < lens[:, None]
+    np.minimum(idx, max(flat.shape[0] - 1, 0), out=idx)
+    if flat.shape[0] == 0:
+        return np.full((orids.shape[0], L), fill, np.int64)
+    return np.where(valid, flat[idx], fill)
+
+
 def refine_read_graph_with_pseudo_paths(
     assembler,
     min_score: float = 1.0,
@@ -68,20 +197,21 @@ def refine_read_graph_with_pseudo_paths(
     al = assembler.alignments
     m3 = create_mode3_graph(markers, mg, min_link_coverage=1)
 
-    # Score each alignment currently usable.
+    # Score every alignment's pseudo-path pair in one batched pass.
     n = al.count
-    keep = np.zeros(n, dtype=bool)
     aopt = assembler.config.assembly
-    for i in range(n):
-        orid0 = int(al.read_id0[i]) * 2
-        orid1 = int(al.read_id1[i]) * 2 + (0 if al.same_strand[i] else 1)
-        s = score_alignment_pseudo_paths(
-            m3.journey(orid0), m3.journey(orid1), mismatch_square_factor,
-            aopt.iterative_pseudo_path_align_match_score,
-            aopt.iterative_pseudo_path_align_mismatch_score,
-            aopt.iterative_pseudo_path_align_gap_score,
-        )
-        keep[i] = s >= min_score
+    orid0 = al.read_id0.astype(np.int64) * 2
+    orid1 = al.read_id1.astype(np.int64) * 2 + np.where(
+        al.same_strand, 0, 1
+    )
+    scores = score_pseudo_path_batch(
+        m3.journey_segments, m3.journey_offsets, orid0, orid1,
+        mismatch_square_factor,
+        aopt.iterative_pseudo_path_align_match_score,
+        aopt.iterative_pseudo_path_align_mismatch_score,
+        aopt.iterative_pseudo_path_align_gap_score,
+    )
+    keep = scores >= min_score
 
     dropped = int((~keep).sum())
 

@@ -11,11 +11,54 @@ import time
 from typing import Dict, List, Optional, TextIO
 
 
+def rss_mb() -> float:
+    """Current resident set size in MiB (Linux /proc)."""
+    try:
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("VmRSS:"):
+                    return int(ln.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+def obj_nbytes(o, _seen=None) -> int:
+    """Total numpy-array bytes reachable from an object's attributes
+    (one level of dataclass/object nesting, dicts, lists)."""
+    import numpy as np
+
+    if _seen is None:
+        _seen = set()
+    if id(o) in _seen or o is None:
+        return 0
+    _seen.add(id(o))
+    if isinstance(o, np.ndarray):
+        return o.nbytes
+    if isinstance(o, dict):
+        return sum(obj_nbytes(v, _seen) for v in o.values())
+    if isinstance(o, (list, tuple)):
+        return sum(obj_nbytes(v, _seen) for v in o)
+    d = getattr(o, "__dict__", None)
+    if d:
+        return sum(obj_nbytes(v, _seen) for v in d.values())
+    return 0
+
+
 class PerformanceLog:
     def __init__(self, path: Optional[str] = None, echo: bool = False):
+        import os
+
         self._f: Optional[TextIO] = open(path, "w") if path else None
         self._echo = echo
         self.stage_seconds: Dict[str, float] = {}
+        # SHASTA_TPU_MEMPROF=1: log RSS (and, via the memprobe hook the
+        # Assembler installs, a per-store array-bytes inventory) at
+        # every stage end — the audit tool for the bytes-per-base
+        # budget (reference runs at 4-6 B/base,
+        # docs/ComputationalMethods.html "High performance computing").
+        self.memprof = bool(os.environ.get("SHASTA_TPU_MEMPROF"))
+        self.memprobe = None  # optional () -> str
 
     def line(self, msg: str) -> None:
         ts = datetime.datetime.now().strftime("%Y-%b-%d %H:%M:%S.%f")
@@ -36,6 +79,11 @@ class PerformanceLog:
             dt = time.monotonic() - t0
             self.stage_seconds[name] = self.stage_seconds.get(name, 0.0) + dt
             self.line(f"End {name} ({dt:.3f} s).")
+            if self.memprof:
+                inv = f" | {self.memprobe()}" if self.memprobe else ""
+                msg = f"[memprof] after {name}: rss={rss_mb():.0f}MB{inv}"
+                self.line(msg)
+                print(msg, file=sys.stderr, flush=True)
 
     def close(self) -> None:
         if self._f:

@@ -40,3 +40,41 @@ def test_iterative_pipeline(tmp_path):
     assert s["totalAssembledSegmentLength"] > 0.8 * 20000
     log = open(os.path.join(tmp_path, "run", "performance.log")).read()
     assert "iterativeAssembly-0" in log
+
+
+def test_batched_nw_matches_loop_scoring():
+    """score_pseudo_path_batch (vectorized NW over all alignment pairs)
+    must reproduce score_alignment_pseudo_paths (per-pair nw_align
+    loop) exactly, across ragged lengths, ties, and empty journeys."""
+    import numpy as np
+
+    from shasta_tpu.pipeline.iterative import score_pseudo_path_batch
+
+    rng = np.random.default_rng(11)
+    journeys = []
+    for _ in range(40):
+        L = int(rng.integers(0, 90))
+        journeys.append(rng.integers(0, 12, L).astype(np.int64))
+    # Some near-duplicates to force long matched runs and ties.
+    for t in range(0, 30, 3):
+        j = journeys[t].copy()
+        if j.shape[0] > 4:
+            j[rng.integers(0, j.shape[0], 2)] = rng.integers(0, 12, 2)
+        journeys.append(j)
+    off = np.zeros(len(journeys) + 1, np.int64)
+    np.cumsum([j.shape[0] for j in journeys], out=off[1:])
+    flat = (
+        np.concatenate(journeys)
+        if off[-1]
+        else np.zeros(0, np.int64)
+    )
+    n_pairs = 300
+    o0 = rng.integers(0, len(journeys), n_pairs)
+    o1 = rng.integers(0, len(journeys), n_pairs)
+    msf = 3.0
+    got = score_pseudo_path_batch(flat, off, o0, o1, msf)
+    for t in range(n_pairs):
+        want = score_alignment_pseudo_paths(
+            journeys[int(o0[t])], journeys[int(o1[t])], msf
+        )
+        assert got[t] == want, (t, got[t], want)
