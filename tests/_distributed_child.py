@@ -1,7 +1,8 @@
 """Child process body for the 2-process distributed identity test.
 
 Launched by tests/test_distributed.py as ``python _distributed_child.py
-<process_id> <num_processes> <coordinator_addr> <workdir>``. Each child
+<process_id> <num_processes> <coordinator_addr> <workdir> [mode]``
+(mode 0 default, 2 = diploid). Each child
 brings up jax.distributed against the shared coordinator, runs
 ``run_assembly_distributed`` on the same input, and exercises the
 p>1 branches of the cross-host helpers (allgather_to_hosts, barrier).
@@ -18,6 +19,7 @@ def main() -> None:
     nproc = int(sys.argv[2])
     addr = sys.argv[3]
     workdir = sys.argv[4]
+    mode = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     # 4 virtual CPU devices per process -> a 2x4 = 8-device global mesh.
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -56,14 +58,23 @@ def main() -> None:
     assert D.shard_input_files(files) == files[pid::nproc]
     assert D.shard_input_files(["only"]) == ["only"]
 
+    cfg = small_config()
+    if mode == 2:
+        cfg.assembly.mode = 2
+        cfg.marker_graph.min_edge_coverage = 3
+        cfg.marker_graph.min_edge_coverage_per_strand = 0
+        cfg.assembly.mode2_bubble_removal_component_size_threshold = 3
     summary = D.run_assembly_distributed(
         [os.path.join(workdir, "r.fasta")],
         os.path.join(workdir, "run_dist"),
-        small_config(),
+        cfg,
     )
     if pid == 0:
         assert summary is not None
-        assert summary["assembledSegmentCount"] >= 1
+        if mode == 2:
+            assert summary["phasedBubbleCount"] >= 3
+        else:
+            assert summary["assembledSegmentCount"] >= 1
     else:
         assert summary is None
     print(f"CHILD{pid} OK", flush=True)

@@ -94,3 +94,49 @@ def test_pipeline_mesh_with_errors_identity(tmp_path):
     with open(os.path.join(mesh_dir, "Assembly.fasta"), "rb") as f:
         mesh_bytes = f.read()
     assert host_bytes == mesh_bytes
+
+
+@pytest.mark.slow
+def test_mode2_mesh_identity(tmp_path):
+    """The diploid (mode 2) pipeline — strict edges, AssemblyGraph2,
+    phasing — executed over an 8-device mesh writes the full
+    deterministic output-file family byte-identical to the host run
+    (VERDICT r3 item 6: every prior identity proof ran mode 0 only)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from shasta_tpu.parallel.mesh import make_mesh
+    from tests.test_reference_parity import (
+        MODE2_PINNED_FILES,
+        _golden_run_mode2,
+    )
+
+    rng = np.random.default_rng(61)
+    hapA = synth.random_genome(15000, seed=62)
+    hapB = hapA.copy()
+    for p in np.arange(350, 15000, 700):
+        hapB[p] = (hapB[p] + 1 + rng.integers(0, 3)) % 4
+    reads = synth.sample_reads(hapA, 90, 2500, seed=63, both_strands=True)
+    reads += synth.sample_reads(hapB, 90, 2500, seed=64, both_strands=True)
+    fa = os.path.join(tmp_path, "r.fasta")
+    synth.write_fasta(fa, reads)
+
+    def cfg():
+        c = small_config()
+        c.assembly.mode = 2
+        c.marker_graph.min_edge_coverage = 3
+        c.marker_graph.min_edge_coverage_per_strand = 0
+        c.assembly.mode2_bubble_removal_component_size_threshold = 3
+        return c
+
+    host_dir = os.path.join(tmp_path, "host")
+    mesh_dir = os.path.join(tmp_path, "mesh")
+    s_host = run_assembly([fa], host_dir, cfg())
+    s_mesh = run_assembly([fa], mesh_dir, cfg(), mesh=make_mesh(8))
+    assert s_host["phasedBubbleCount"] >= 3
+    assert s_host["phasedBubbleCount"] == s_mesh["phasedBubbleCount"]
+    for name in MODE2_PINNED_FILES:
+        with open(os.path.join(host_dir, name), "rb") as f:
+            hb = f.read()
+        with open(os.path.join(mesh_dir, name), "rb") as f:
+            mb = f.read()
+        assert hb == mb, name
