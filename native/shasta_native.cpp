@@ -808,6 +808,47 @@ void union_find_min_labels(
     for (int64_t i = 0; i < n; i++) label[i] = dsu_find(label, i);
 }
 
+// Streaming fusion of expand_unite_pairs + union_find_min_labels:
+// unite the marker pairs (and their reverse complements) of every
+// selected alignment straight into the DSU without ever
+// materializing the pair list — at genome scale the u/v arrays are
+// the run's largest transient (16 bytes x 2 x total matched
+// ordinals). The min-root DSU result is order-independent, so labels
+// are identical to the two-step path (equality-tested).
+void unite_from_alignments(
+    const int64_t* moff,
+    const int64_t* counts,
+    const int64_t* orid0,  // per selected alignment
+    const int64_t* orid1,
+    const int64_t* lo,     // flat ordinal range per alignment
+    const int64_t* hi,
+    int64_t n_sel,
+    const uint32_t* ord0_flat,
+    const uint32_t* ord1_flat,
+    int64_t n,
+    int64_t* label)  // in: arange(n); out: min-id component labels
+{
+    for (int64_t a = 0; a < n_sel; a++) {
+        const int64_t o0r = orid0[a], o1r = orid1[a];
+        const int64_t b0 = moff[o0r], b1 = moff[o1r];
+        const int64_t r0 = moff[o0r ^ 1] + counts[o0r] - 1;
+        const int64_t r1 = moff[o1r ^ 1] + counts[o1r] - 1;
+        for (int64_t i = lo[a]; i < hi[a]; i++) {
+            const int64_t x0 = (int64_t)ord0_flat[i];
+            const int64_t x1 = (int64_t)ord1_flat[i];
+            int64_t p = dsu_find(label, b0 + x0);
+            int64_t q = dsu_find(label, b1 + x1);
+            if (p < q) label[q] = p;
+            else if (q < p) label[p] = q;
+            p = dsu_find(label, r0 - x0);
+            q = dsu_find(label, r1 - x1);
+            if (p < q) label[q] = p;
+            else if (q < p) label[p] = q;
+        }
+    }
+    for (int64_t i = 0; i < n; i++) label[i] = dsu_find(label, i);
+}
+
 
 // Dual 64-bit polynomial content hash of each strict-edge interval's
 // intervening RLE sequence, computed directly from the read store

@@ -88,6 +88,64 @@ def union_find_labels(n: int, u: np.ndarray, v: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _selected_alignment_ranges(
+    markers: MarkerStore,
+    graph: ReadGraph,
+    alignments: AlignmentStore,
+    is_chimeric: Optional[np.ndarray] = None,
+):
+    """(orid0, orid1, lo, hi) of the read-graph alignments that
+    contribute unite pairs: direct edges only (even index of each RC
+    pair), skipping cross-strand edges, inconsistent-alignment edges,
+    and chimeric reads (reference:
+    createMarkerGraphVerticesThreadFunction1,
+    src/AssemblerMarkerGraph.cpp:540-604)."""
+    direct = np.arange(0, graph.edge_count, 2, dtype=np.int64)
+    ok = ~graph.crosses_strands[direct] & ~graph.inconsistent[direct]
+    aids = graph.alignment_id[direct]
+    r0 = alignments.read_id0[aids]
+    r1 = alignments.read_id1[aids]
+    if is_chimeric is not None:
+        ok &= ~is_chimeric[r0] & ~is_chimeric[r1]
+    aids = aids[ok]
+    orid0 = alignments.read_id0[aids].astype(np.int64) * 2
+    orid1 = alignments.read_id1[aids].astype(np.int64) * 2 + np.where(
+        alignments.same_strand[aids], 0, 1
+    )
+    lo = alignments.offsets[aids]
+    hi = alignments.offsets[aids + 1]
+    return orid0, orid1, lo, hi
+
+
+def union_find_labels_from_alignments(
+    markers: MarkerStore,
+    graph: ReadGraph,
+    alignments: AlignmentStore,
+    is_chimeric: Optional[np.ndarray] = None,
+) -> Optional[np.ndarray]:
+    """Min-id component labels computed by STREAMING every selected
+    alignment's unite pairs (and their reverse complements) straight
+    into the native sequential DSU — labels identical to
+    gather_unite_pairs + union_find_labels (equality-tested) without
+    the 16-byte-per-pair u/v arrays, the run's largest transient at
+    genome scale. The reference's unites stream through its lock-free
+    DSU the same way (src/AssemblerMarkerGraph.cpp:590-604). Returns
+    None when the native library is unavailable."""
+    from shasta_tpu import native
+
+    if native.get_lib() is None:
+        return None
+    orid0, orid1, lo, hi = _selected_alignment_ranges(
+        markers, graph, alignments, is_chimeric
+    )
+    if orid0.shape[0] == 0:
+        return np.arange(markers.total_count, dtype=np.int64)
+    return native.unite_from_alignments_native(
+        markers.total_count, markers.offsets, markers.counts(),
+        orid0, orid1, lo, hi, alignments.ord0, alignments.ord1,
+    )
+
+
 def gather_unite_pairs(
     markers: MarkerStore,
     graph: ReadGraph,
@@ -103,29 +161,11 @@ def gather_unite_pairs(
     moff = markers.offsets
     counts = np.diff(moff)
 
-    # Direct edges only (even index), skipping cross-strand edges,
-    # inconsistent-alignment edges, and chimeric reads.
-    direct = np.arange(0, graph.edge_count, 2, dtype=np.int64)
-    ok = ~graph.crosses_strands[direct] & ~graph.inconsistent[direct]
-    aids = graph.alignment_id[direct]
-    r0 = alignments.read_id0[aids]
-    r1 = alignments.read_id1[aids]
-    if is_chimeric is not None:
-        ok &= ~is_chimeric[r0] & ~is_chimeric[r1]
-    aids = aids[ok]
-    if aids.shape[0] == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-
-    # Oriented reads of the stored alignment (the convention used when
-    # the alignment was computed).
-    orid0 = alignments.read_id0[aids].astype(np.int64) * 2
-    orid1 = alignments.read_id1[aids].astype(np.int64) * 2 + np.where(
-        alignments.same_strand[aids], 0, 1
+    orid0, orid1, lo, hi = _selected_alignment_ranges(
+        markers, graph, alignments, is_chimeric
     )
-
-    # Expand per-alignment ordinal lists.
-    lo = alignments.offsets[aids]
-    hi = alignments.offsets[aids + 1]
+    if orid0.shape[0] == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     if int((hi - lo).sum()) >= 1 << 20:
         # Threaded one-pass native expansion (pair ORDER differs from
         # the numpy path — interleaved direct/rc — but every consumer

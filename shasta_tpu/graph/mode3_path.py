@@ -50,6 +50,21 @@ MIN_COMMON_FOR_LINK = 3
 MIN_COMMON_FOR_PRIMARY = 3
 MIN_JACCARD = 0.75
 MIN_LINK_SEPARATION = -20
+# Corrected-Jaccard acceptance (SegmentPairInformation::jaccard —
+# discounts reads whose absence the estimated offset explains,
+# reference: src/mode3-SegmentPairInformation.hpp:67-71). The
+# reference computes both forms and its experimental walk settled on
+# rawJaccard (src/mode3.cpp: "USING RAWJACCARD INSTEAD OF JACCARD"),
+# but the raw form can NEVER accept a primary across a segment-length
+# mismatch — a short reference next to a long segment caps rawJaccard
+# at roughly the read-set size ratio — and that measured as the
+# dominant cause of Jaccard-chain breaks (docs/Design.md "Mode 3
+# behavior envelope"). Accepting EITHER criterion reconnects those
+# chains while error branches (genuinely discordant read sets, which
+# the offset does NOT explain) stay excluded. Set to None for the
+# reference's raw-only behavior. Measured on the fragmented-regime
+# dataset: path N50 span 521 -> 3174 markers (6.1x), paths 170 -> 125.
+MIN_JACCARD_CORRECTED = 0.75
 
 
 class Mode3Connectivity:
@@ -263,9 +278,13 @@ def _walk(
             info = conn.analyze_segment_pair(reference, seg1)
         else:
             info = conn.analyze_segment_pair(seg1, reference)
+        jaccard_ok = conn.raw_jaccard(info) >= MIN_JACCARD or (
+            MIN_JACCARD_CORRECTED is not None
+            and info.jaccard() >= MIN_JACCARD_CORRECTED
+        )
         if (
             info.common_count >= MIN_COMMON_FOR_PRIMARY
-            and conn.raw_jaccard(info) >= MIN_JACCARD
+            and jaccard_ok
             and (candidate_mask is None or candidate_mask[seg1])
         ):
             if stop_at_first_primary:
@@ -436,15 +455,33 @@ def find_jaccard_paths(
     primary endpoints (the chains the reference's ExpandedJaccardGraph
     materializes, src/mode3-JaccardGraph.cpp:471)."""
     strong = [e for e in edges.values() if e.is_strong]
-    out_edge: Dict[int, JaccardEdge] = {}
-    in_deg: Dict[int, int] = {}
+
+    def better(a: JaccardEdge, b: Optional[JaccardEdge], other_attr: str):
+        """Deterministic preference: higher common count, then lower
+        other-endpoint id."""
+        if b is None:
+            return True
+        if a.common != b.common:
+            return a.common > b.common
+        return getattr(a, other_attr) < getattr(b, other_attr)
+
+    # Mutual selection: keep an edge only when it is BOTH the best
+    # out-edge of its source and the best in-edge of its target. The
+    # result has out-degree <= 1 AND in-degree <= 1 everywhere, so the
+    # chains are simple paths (plus possible cycles) and no chain can
+    # be truncated by another's traversal — the round-3 greedy chainer
+    # marked visited targets and cut ~12% of chain ends short.
+    best_out: Dict[int, JaccardEdge] = {}
+    best_in: Dict[int, JaccardEdge] = {}
     for e in strong:
-        # Keep one out-edge per source (highest common count).
-        cur = out_edge.get(e.seg0)
-        if cur is None or e.common > cur.common:
-            out_edge[e.seg0] = e
-    for e in out_edge.values():
-        in_deg[e.seg1] = in_deg.get(e.seg1, 0) + 1
+        if better(e, best_out.get(e.seg0), "seg1"):
+            best_out[e.seg0] = e
+        if better(e, best_in.get(e.seg1), "seg0"):
+            best_in[e.seg1] = e
+    out_edge = {
+        s: e for s, e in best_out.items() if best_in.get(e.seg1) is e
+    }
+    has_in = {e.seg1 for e in out_edge.values()}
 
     paths: List[List[PathSegment]] = []
     used = set()
@@ -455,7 +492,7 @@ def find_jaccard_paths(
         cur = start
         while cur in out_edge:
             e = out_edge[cur]
-            if e.seg1 in used:
+            if e.seg1 in used:  # cycle closes back on this chain
                 break
             for mid in e.intermediates:
                 s = PathSegment(mid, False)
@@ -468,12 +505,12 @@ def find_jaccard_paths(
         if len(path) > 1:
             paths.append(path)
 
-    for e in strong:
-        if e.seg0 not in used and in_deg.get(e.seg0, 0) == 0:
-            emit_chain(e.seg0)
-    for e in strong:  # circular leftovers
-        if e.seg0 not in used:
-            emit_chain(e.seg0)
+    for s in sorted(out_edge):
+        if s not in used and s not in has_in:
+            emit_chain(s)
+    for s in sorted(out_edge):  # circular leftovers, cut at min id
+        if s not in used:
+            emit_chain(s)
     return paths
 
 

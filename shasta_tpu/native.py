@@ -164,6 +164,37 @@ def expand_unite_pairs_native(
     return u, v
 
 
+def unite_from_alignments_native(
+    n: int, moff, counts, orid0, orid1, lo, hi, ord0_flat, ord1_flat
+):
+    """Streaming unite of every selected alignment's marker pairs (and
+    their reverse complements) straight into the sequential min-root
+    DSU — never materializes the pair arrays, the run's largest
+    transient at scale. Returns min-id component labels or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    moff = np.ascontiguousarray(moff, np.int64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    orid0 = np.ascontiguousarray(orid0, np.int64)
+    orid1 = np.ascontiguousarray(orid1, np.int64)
+    lo = np.ascontiguousarray(lo, np.int64)
+    hi = np.ascontiguousarray(hi, np.int64)
+    ord0_flat = np.ascontiguousarray(ord0_flat, np.uint32)
+    ord1_flat = np.ascontiguousarray(ord1_flat, np.uint32)
+    label = np.arange(n, dtype=np.int64)
+    lib.unite_from_alignments(
+        _i64p(moff), _i64p(counts), _i64p(orid0), _i64p(orid1),
+        _i64p(lo), _i64p(hi), ctypes.c_int64(orid0.shape[0]),
+        ord0_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ord1_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(n), _i64p(label),
+    )
+    return label
+
+
 def union_find_min_labels_native(n: int, u, v):
     """Sequential min-root DSU; returns min-id component labels or
     None when the native library is unavailable."""

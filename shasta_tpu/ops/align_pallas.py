@@ -80,6 +80,17 @@ def _round128(x: int) -> int:
     return ((x + 127) // 128) * 128
 
 
+@functools.lru_cache(None)
+def _log_shape_once(LA, LB, W, BB, chunked):
+    import sys
+
+    print(
+        f"[align shape] LA={LA} LB={LB} W={W} BB={BB} chunked={chunked} "
+        f"est={_block_bytes(LA, LB, W, max(BB, 8)) / 2**20:.1f}MiB",
+        file=sys.stderr, flush=True,
+    )
+
+
 def _geometry(LA: int, LB: int, W: int):
     # b arrives already band-normalized (bnorm[t] = b[t + band_min],
     # computed by the device-side gather that builds the batch), so the
@@ -92,6 +103,14 @@ def _geometry(LA: int, LB: int, W: int):
     return LEFTPAD, R, LBP, LAP
 
 
+def _unroll_temp_bytes(BB: int, W: int) -> int:
+    """Stack bytes for the 16-row unrolled loop bodies: the compiler
+    keeps ~3 live (BB, W) int32 temporaries per unrolled row (measured:
+    scoped-vmem OOM at (LA=512, W=1344, BB=32) with 18.05M actual vs
+    7.8M accounted before this term)."""
+    return 16 * 3 * max(BB, 8) * ((W + 127) // 128) * 128 * 4
+
+
 def _block_bytes(LA: int, LB: int, W: int, BB: int) -> int:
     """VMEM bytes for one BB-pair block. The 2-bit-packed dirs scratch
     (LA/16, BB, W) int32 is tiled (8, 128) on its last two dims, so
@@ -100,7 +119,7 @@ def _block_bytes(LA: int, LB: int, W: int, BB: int) -> int:
     accounting)."""
     LEFTPAD, R, LBP, LAP = _geometry(LA, LB, W)
     dirs = (LA // 16) * max(BB, 8) * ((W + 127) // 128) * 128 * 4
-    return dirs + BB * (
+    return dirs + _unroll_temp_bytes(BB, W) + BB * (
         8 * LBP + 8 * LAP + 8 * LA + 4 * (2 * W + 2 * R + 2 * W)
     )
 
@@ -109,7 +128,7 @@ def _block_pairs(LA: int, W: int, LB: int | None = None) -> int:
     if LB is None:
         LB = LA
     cap = int(os.environ.get("SHASTA_TPU_BB", "128"))
-    for cand in (128, 64, 32, 16, 8):
+    for cand in (256, 128, 64, 32, 16, 8):
         if cap >= cand and _block_bytes(LA, LB, W, cand) <= _VMEM_BUDGET:
             return cand
     return 0
@@ -316,7 +335,7 @@ def _chunked_block_pairs(LA: int, LB: int, W: int) -> int:
         return 0
     LEFTPAD, R0, LBP, LAP = _geometry(LA, LB, W)
     cap = int(os.environ.get("SHASTA_TPU_BB", "128"))
-    for BB in (64, 32):
+    for BB in (128, 64, 32):
         if cap < BB:
             continue
         dirs_blk = (
@@ -325,7 +344,8 @@ def _chunked_block_pairs(LA: int, LB: int, W: int) -> int:
         rows = BB * (4 * LBP + 4 * LAP)  # un-double-buffered (per i)
         small = BB * (4 * (W + 128) + 4 * (2 * _CHUNK_R) + 12 * W)
         mj_blk = 2 * _CHUNK_R * BB * 4
-        if dirs_blk + rows + small + mj_blk <= _VMEM_BUDGET:
+        temps = _unroll_temp_bytes(BB, W)
+        if dirs_blk + rows + small + mj_blk + temps <= _VMEM_BUDGET:
             return BB
     return 0
 
@@ -714,6 +734,8 @@ def banded_align_pairs(
     B0 = a.shape[0]
     BB = 0 if force_chunked else _block_pairs(LA, W, LB)
     chunked = BB == 0
+    if os.environ.get("SHASTA_TPU_PROF"):
+        _log_shape_once(LA, LB, W, BB, chunked)
     if chunked:
         BB = _chunked_block_pairs(LA, LB, W)
     if BB == 0:

@@ -540,11 +540,28 @@ class Assembler:
 
         cm = self.config.marker_graph
         with self.log.stage("createMarkerGraphVertices"):
-            u, v = MG.gather_unite_pairs(
-                self.markers, self.read_graph, self.alignments, self.reads.is_chimeric
-            )
-            _mark("gather_unite_pairs")
             labels = None
+            u = v = np.zeros(0, np.int64)
+            # The duplicate-marker cleanup pass (rare path) still
+            # consumes explicit pairs; everyone else streams.
+            need_uv = self.mesh is not None or (
+                cm.allow_duplicate_markers and cm.cleanup_duplicate_markers
+            )
+            if not need_uv:
+                # Stream unites straight into the native DSU — no
+                # materialized pair arrays (the run's largest transient
+                # at scale; labels identical, equality-tested).
+                labels = MG.union_find_labels_from_alignments(
+                    self.markers, self.read_graph, self.alignments,
+                    self.reads.is_chimeric,
+                )
+                _mark("unite_stream")
+            if labels is None:
+                u, v = MG.gather_unite_pairs(
+                    self.markers, self.read_graph, self.alignments,
+                    self.reads.is_chimeric,
+                )
+                _mark("gather_unite_pairs")
             if self.mesh is not None:
                 # Union-find min-hooking rounds run edge-parallel over
                 # the mesh (reference analog: the lock-free CAS DSU,
@@ -980,9 +997,20 @@ class Assembler:
             total_path_length = int(
                 sum(p.raw.shape[0] for p in self.mode3_paths)
             )
+            path_lens = sorted(
+                (int(p.raw.shape[0]) for p in self.mode3_paths),
+                reverse=True,
+            )
+            path_n50 = 0
+            acc = 0
+            for ln in path_lens:
+                acc += ln
+                if acc * 2 >= total_path_length:
+                    path_n50 = ln
+                    break
             self.log.line(
                 f"Assembled {len(self.mode3_paths)} Jaccard paths, "
-                f"total {total_path_length} raw bases."
+                f"total {total_path_length} raw bases, N50 {path_n50}."
             )
         with self.log.stage("clusterSegments"):
             # (reference: AssemblyGraph::clusterSegments, mode3.cpp:1201)
@@ -1005,6 +1033,7 @@ class Assembler:
             "mode3JaccardEdgeCount": len(jedges),
             "mode3JaccardPathCount": len(self.mode3_paths),
             "mode3JaccardPathTotalLength": total_path_length,
+            "mode3JaccardPathN50": path_n50,
             "mode3ClusterCount": n_clusters,
         }
 

@@ -351,3 +351,80 @@ def test_check_strictly_increasing():
     assert store([0, 2, 5, 0, 1], [1, 3, 4, 7, 9], [0, 3, 5]).check_strictly_increasing()
     # Non-increasing inside the second alignment.
     assert not store([0, 2, 5, 3, 1], [1, 3, 4, 7, 9], [0, 3, 5]).check_strictly_increasing()
+
+
+def test_streaming_unite_labels_match_gathered():
+    """union_find_labels_from_alignments (native streaming DSU, no
+    materialized pair arrays) must produce labels identical to
+    gather_unite_pairs + union_find_labels."""
+    import numpy as np
+
+    from shasta_tpu import native
+    from shasta_tpu.data.markers import MarkerStore
+    from shasta_tpu.graph import marker_graph as MG
+    from shasta_tpu.graph.read_graph import ReadGraph
+    from shasta_tpu.ops.align import AlignmentStore
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(97)
+    n_reads = 12
+    counts = np.repeat(rng.integers(30, 80, n_reads), 2).astype(np.int64)
+    offsets = np.zeros(2 * n_reads + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    markers = MarkerStore(
+        k=8,
+        kmer_ids=rng.integers(0, 4000, offsets[-1]).astype(np.uint32),
+        positions=np.zeros(offsets[-1], np.uint32),
+        offsets=offsets,
+    )
+    # Random alignments between read pairs.
+    n_al = 20
+    r0 = rng.integers(0, n_reads - 1, n_al).astype(np.int32)
+    r1 = (r0 + 1 + rng.integers(0, n_reads - 1 - r0)).astype(np.int32)
+    same = rng.random(n_al) < 0.5
+    ords0, ords1, offs = [], [], [0]
+    for t in range(n_al):
+        o0r = 2 * int(r0[t])
+        o1r = 2 * int(r1[t]) + (0 if same[t] else 1)
+        m = int(rng.integers(3, 15))
+        a = np.sort(rng.choice(int(counts[o0r]), m, replace=False))
+        b = np.sort(rng.choice(int(counts[o1r]), m, replace=False))
+        ords0.append(a.astype(np.uint32))
+        ords1.append(b.astype(np.uint32))
+        offs.append(offs[-1] + m)
+    al = AlignmentStore(
+        read_id0=r0, read_id1=r1, same_strand=same,
+        marker_count=np.diff(offs).astype(np.int32),
+        n_markers0=counts[2 * r0].astype(np.int32),
+        n_markers1=counts[2 * r1].astype(np.int32),
+        first0=np.zeros(n_al, np.int32), last0=np.zeros(n_al, np.int32),
+        first1=np.zeros(n_al, np.int32), last1=np.zeros(n_al, np.int32),
+        min_offset=np.zeros(n_al, np.int32),
+        max_offset=np.zeros(n_al, np.int32),
+        max_skip_v=np.zeros(n_al, np.int32),
+        max_drift_v=np.zeros(n_al, np.int32),
+        ord0=np.concatenate(ords0), ord1=np.concatenate(ords1),
+        offsets=np.array(offs, np.int64),
+    )
+    # Read graph: each alignment as an RC edge pair (even = direct).
+    orid0 = 2 * r0.astype(np.int64)
+    orid1 = 2 * r1.astype(np.int64) + np.where(same, 0, 1)
+    g = ReadGraph(
+        orid0=np.repeat(orid0, 2),
+        orid1=np.repeat(orid1, 2),
+        alignment_id=np.repeat(np.arange(n_al, dtype=np.int64), 2),
+        crosses_strands=np.zeros(2 * n_al, bool),
+        n_oriented_reads=2 * n_reads,
+    )
+    chim = np.zeros(n_reads, bool)
+    chim[3] = True
+
+    u, v = MG.gather_unite_pairs(markers, g, al, chim)
+    want = MG.union_find_labels(markers.total_count, u, v)
+    got = MG.union_find_labels_from_alignments(markers, g, al, chim)
+    assert got is not None
+    assert np.array_equal(got, want)
