@@ -823,19 +823,26 @@ void unite_from_alignments(
     const int64_t* lo,     // flat ordinal range per alignment
     const int64_t* hi,
     int64_t n_sel,
-    const uint32_t* ord0_flat,
-    const uint32_t* ord1_flat,
+    const void* ord0_flat,  // uint16 or uint32 per ord_u16
+    const void* ord1_flat,
+    int64_t ord_u16,
     int64_t n,
     int64_t* label)  // in: arange(n); out: min-id component labels
 {
+    const uint32_t* o0_32 = (const uint32_t*)ord0_flat;
+    const uint32_t* o1_32 = (const uint32_t*)ord1_flat;
+    const uint16_t* o0_16 = (const uint16_t*)ord0_flat;
+    const uint16_t* o1_16 = (const uint16_t*)ord1_flat;
     for (int64_t a = 0; a < n_sel; a++) {
         const int64_t o0r = orid0[a], o1r = orid1[a];
         const int64_t b0 = moff[o0r], b1 = moff[o1r];
         const int64_t r0 = moff[o0r ^ 1] + counts[o0r] - 1;
         const int64_t r1 = moff[o1r ^ 1] + counts[o1r] - 1;
         for (int64_t i = lo[a]; i < hi[a]; i++) {
-            const int64_t x0 = (int64_t)ord0_flat[i];
-            const int64_t x1 = (int64_t)ord1_flat[i];
+            const int64_t x0 =
+                ord_u16 ? (int64_t)o0_16[i] : (int64_t)o0_32[i];
+            const int64_t x1 =
+                ord_u16 ? (int64_t)o1_16[i] : (int64_t)o1_32[i];
             int64_t p = dsu_find(label, b0 + x0);
             int64_t q = dsu_find(label, b1 + x1);
             if (p < q) label[q] = p;

@@ -422,10 +422,15 @@ def create_marker_graph_vertices(
 
     # Final numbering: surviving sets in increasing order of their
     # minimum marker id, which equals the representative label.
+    # Ids narrow to int32 below 2^31 markers — at 5 bytes/marker these
+    # two per-marker tables are among the run's largest persistent
+    # arrays (the reference packs the same tables into Uint40,
+    # src/MarkerGraph.hpp:32-37).
+    idt = np.int32 if total < 2**31 else np.int64
     kept_reps_idx = np.flatnonzero(keep_set)
     # reps is sorted ascending already (np.unique), so numbering follows.
-    new_id = np.full(reps.shape[0], INVALID_VERTEX, dtype=np.int64)
-    new_id[kept_reps_idx] = np.arange(kept_reps_idx.shape[0], dtype=np.int64)
+    new_id = np.full(reps.shape[0], INVALID_VERTEX, dtype=idt)
+    new_id[kept_reps_idx] = np.arange(kept_reps_idx.shape[0], dtype=idt)
 
     vertex_table = new_id[inverse]
 
@@ -435,7 +440,7 @@ def create_marker_graph_vertices(
     vm = np.flatnonzero(keep_marker)
     vt = vertex_table[vm]
     o = np.argsort(vt, kind="stable")  # marker ids stay sorted within vertex
-    vertex_markers = vm[o]
+    vertex_markers = vm[o].astype(idt)
     vertex_offsets = np.zeros(n_vertices + 1, dtype=np.int64)
     np.cumsum(np.bincount(vt, minlength=n_vertices), out=vertex_offsets[1:])
 
@@ -544,7 +549,9 @@ def create_marker_graph_edges(markers: MarkerStore, mg: MarkerGraph) -> None:
     order = np.lexsort((ord0, orid, tgt, src))
     src = src[order]
     tgt = tgt[order]
-    orid = orid[order]
+    orid = orid[order].astype(
+        np.int32 if n_or < 2**31 else np.int64, copy=False
+    )
     ord0 = ord0[order]
     ord1 = ord1[order]
 
@@ -569,7 +576,9 @@ def create_marker_graph_edges(markers: MarkerStore, mg: MarkerGraph) -> None:
     pos = np.searchsorted(key, rc_key)
     pos = np.clip(pos, 0, n_edges - 1)
     found = key[pos] == rc_key
-    rc_edge = np.where(found, pos, -1).astype(np.int64)
+    rc_edge = np.where(found, pos, -1).astype(
+        np.int32 if n_edges < 2**31 else np.int64
+    )
 
     mg.source = e_src
     mg.target = e_tgt

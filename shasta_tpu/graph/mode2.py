@@ -337,7 +337,9 @@ def create_marker_graph_edges_strict(
     mg.superbubble = np.zeros(n_edges, bool)
     mg.low_coverage_cross = np.zeros(n_edges, bool)
     mg.interval_offsets = interval_offsets
-    mg.interval_orid = orid[order2]
+    mg.interval_orid = orid[order2].astype(
+        np.int32 if moff.shape[0] < 2**31 else np.int64, copy=False
+    )
     mg.interval_ord0 = ord0[order2]
     mg.interval_ord1 = ord1[order2]
     mg.build_adjacency()
@@ -445,7 +447,7 @@ def create_marker_graph_secondary_edges(
     new_offsets = mg.interval_offsets[-1] + np.cumsum([0] + lengths)
     mg.interval_offsets = np.concatenate([mg.interval_offsets, new_offsets[1:]])
     mg.interval_orid = np.concatenate(
-        [mg.interval_orid, np.array(add_orid, np.int64)]
+        [mg.interval_orid, np.array(add_orid, mg.interval_orid.dtype)]
     )
     mg.interval_ord0 = np.concatenate(
         [mg.interval_ord0, np.array(add_ord0, np.int32)]
@@ -624,7 +626,7 @@ def split_marker_graph_secondary_edges(
     new_offsets = mg.interval_offsets[-1] + np.cumsum([0] + lengths)
     mg.interval_offsets = np.concatenate([mg.interval_offsets, new_offsets[1:]])
     mg.interval_orid = np.concatenate(
-        [mg.interval_orid, np.array(add_orid, np.int64)]
+        [mg.interval_orid, np.array(add_orid, mg.interval_orid.dtype)]
     )
     mg.interval_ord0 = np.concatenate(
         [mg.interval_ord0, np.array(add_ord0, np.int32)]

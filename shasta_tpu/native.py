@@ -182,14 +182,19 @@ def unite_from_alignments_native(
     orid1 = np.ascontiguousarray(orid1, np.int64)
     lo = np.ascontiguousarray(lo, np.int64)
     hi = np.ascontiguousarray(hi, np.int64)
-    ord0_flat = np.ascontiguousarray(ord0_flat, np.uint32)
-    ord1_flat = np.ascontiguousarray(ord1_flat, np.uint32)
+    # uint16 ordinal streams pass through without widening (the copy
+    # would cost 4 bytes/match of transient RAM at genome scale).
+    u16 = ord0_flat.dtype == np.uint16 and ord1_flat.dtype == np.uint16
+    dt = np.uint16 if u16 else np.uint32
+    ord0_flat = np.ascontiguousarray(ord0_flat, dt)
+    ord1_flat = np.ascontiguousarray(ord1_flat, dt)
     label = np.arange(n, dtype=np.int64)
     lib.unite_from_alignments(
         _i64p(moff), _i64p(counts), _i64p(orid0), _i64p(orid1),
         _i64p(lo), _i64p(hi), ctypes.c_int64(orid0.shape[0]),
-        ord0_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        ord1_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_void_p(ord0_flat.ctypes.data),
+        ctypes.c_void_p(ord1_flat.ctypes.data),
+        ctypes.c_int64(1 if u16 else 0),
         ctypes.c_int64(n), _i64p(label),
     )
     return label

@@ -343,8 +343,8 @@ class AlignmentStore:
     max_offset: np.ndarray  # int32 [n]
     max_skip_v: np.ndarray  # int32 [n]
     max_drift_v: np.ndarray  # int32 [n]
-    ord0: np.ndarray  # uint32 flat
-    ord1: np.ndarray  # uint32 flat
+    ord0: np.ndarray  # uint16 (uint32 for >64k-marker reads) flat
+    ord1: np.ndarray  # uint16/uint32 flat
     offsets: np.ndarray  # int64 [n+1]
 
     @property
@@ -1665,8 +1665,16 @@ def align_candidates(
 
     offs = np.zeros(kept_t.shape[0] + 1, np.int64)
     np.cumsum(mc[kept_t], out=offs[1:])
-    ord0 = np.empty(int(offs[-1]), np.uint32)
-    ord1 = np.empty(int(offs[-1]), np.uint32)
+    # Ordinals are within-read marker indices: uint16 suffices below
+    # 65,536 markers/read (= reads under ~650 kb raw at 10% marker
+    # density), halving the largest persistent alignment arrays
+    # (reference analog: the byte-compressed alignment storage,
+    # src/compressAlignment.cpp).
+    ord_dtype = (
+        np.uint16 if int(klen.max(initial=0)) <= 0xFFFF else np.uint32
+    )
+    ord0 = np.empty(int(offs[-1]), ord_dtype)
+    ord1 = np.empty(int(offs[-1]), ord_dtype)
     # Vectorized scatter: every match lands at the kept pair's CSR
     # offset plus its within-pair path position (matches of one pair
     # are contiguous and path-ordered within their batch chunk).

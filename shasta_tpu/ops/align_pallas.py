@@ -127,7 +127,19 @@ def _block_bytes(LA: int, LB: int, W: int, BB: int) -> int:
 def _block_pairs(LA: int, W: int, LB: int | None = None) -> int:
     if LB is None:
         LB = LA
+    if LA >= 8192:
+        # The monolithic dirs scratch at LA >= 8192 leaves too little
+        # VMEM headroom for Mosaic's stack (measured: 16.09M demand
+        # vs the 16M limit at (8192, 512, BB=8) even though the
+        # static accounting fit) — ultra-long shapes stream through
+        # the chunked kernel, as in round 3.
+        return 0
     cap = int(os.environ.get("SHASTA_TPU_BB", "128"))
+    if W >= 1024:
+        # Wide bands inflate Mosaic's stack beyond the static model
+        # (measured: 18.05M actual vs ~11M accounted at
+        # (512, W=2048, BB=32)); keep wide-band blocks narrow.
+        cap = min(cap, 8)
     for cand in (256, 128, 64, 32, 16, 8):
         if cap >= cand and _block_bytes(LA, LB, W, cand) <= _VMEM_BUDGET:
             return cand
@@ -331,11 +343,13 @@ def _chunked_block_pairs(LA: int, LB: int, W: int) -> int:
     """Pair-block width for the chunked kernel (2-bit-packed dirs
     streamed to HBM per R-row block, so VMEM holds only the full
     a/bnorm rows and one dirs block). 0 if even that does not fit."""
-    if LA % _CHUNK_R or W > 512:
+    if LA % _CHUNK_R or W > 2048:
         return 0
     LEFTPAD, R0, LBP, LAP = _geometry(LA, LB, W)
     cap = int(os.environ.get("SHASTA_TPU_BB", "128"))
-    for BB in (128, 64, 32):
+    if W >= 1024:
+        cap = min(cap, 8)  # same wide-band stack inflation as above
+    for BB in (128, 64, 32, 16, 8):
         if cap < BB:
             continue
         dirs_blk = (

@@ -463,6 +463,20 @@ class Assembler:
 
             gc.collect()
 
+    def release_candidates(self) -> None:
+        """Drop the in-memory candidate pairs (persisted in the stage
+        store; ``alignmentCandidateCount`` survives for the summary)."""
+        if self.candidates is not None:
+            self.n_candidates = int(self.candidates.count)
+            self.candidates = None
+
+    def release_alignments(self) -> None:
+        """Drop the in-memory alignment store (persisted in the stage
+        store; the count survives for the summary)."""
+        if self.alignments is not None:
+            self.n_alignments = int(self.alignments.count)
+            self.alignments = None
+
     def create_read_graph(self) -> None:
         cr = self.config.read_graph
         with self.log.stage("createReadGraph"):
@@ -1116,8 +1130,16 @@ class Assembler:
                 "rawBaseCount": self.reads.total_raw_bases,
                 "rleBaseCount": self.reads.total_rle_bases,
                 "markerCount": self.markers.total_count,
-                "alignmentCandidateCount": int(self.candidates.count),
-                "alignmentCount": int(self.alignments.count),
+                "alignmentCandidateCount": (
+                    int(self.candidates.count)
+                    if self.candidates is not None
+                    else getattr(self, "n_candidates", 0)
+                ),
+                "alignmentCount": (
+                    int(self.alignments.count)
+                    if self.alignments is not None
+                    else getattr(self, "n_alignments", 0)
+                ),
                 "chimericReadCount": int(self.reads.is_chimeric.sum()),
                 "palindromicReadCount": int(self.reads.is_palindromic.sum()),
                 "discardedShortReadCount": self.reads.discards.short_read_count,
@@ -1198,9 +1220,19 @@ def _run_assembly_stages(a: "Assembler", input_files: List[str], t0: float) -> D
     a.flag_palindromic_reads()
     a.find_alignment_candidates()
     a.compute_alignments()
+    # Candidates are consumed; the stage store keeps them reloadable
+    # (explorer/stage-wise reruns reattach there). Freeing the host
+    # copies eagerly is part of the bytes-per-base budget (the
+    # reference frees/remaps stage data the same way via its mmap
+    # namespace, src/MemoryMappedVector.hpp remove()).
+    a.release_candidates()
     a.create_read_graph()
     a.create_marker_graph_vertices()
     a.create_marker_graph_edges()
+    if not (a.config.assembly.iterative and a.config.assembly.mode == 0):
+        # Iterative refinement re-scores stored alignments; everyone
+        # else is done with them once the marker graph exists.
+        a.release_alignments()
     if a.config.assembly.iterative and a.config.assembly.mode == 0:
         # Iterative refinement (reference: srcMain/main.cpp:851-906).
         from shasta_tpu.pipeline.iterative import (

@@ -359,11 +359,12 @@ def test_chunked_kernel_wide_band():
 
 
 def test_chunked_selected_for_oversized_shapes():
-    """With 2-bit-packed dirs, LA = 8192 at W = 128 fits the monolithic
-    kernel; LA = 32768 still exceeds VMEM and must remain supported via
-    the chunked path."""
-    assert AP._block_pairs(8192, 128) >= 8
-    assert AP._block_pairs(32768, 128) == 0
+    """LA >= 8192 routes to the chunked kernel (the monolithic dirs
+    scratch leaves too little VMEM headroom there — measured on
+    hardware); both UL shapes stay supported."""
+    assert AP._block_pairs(8192, 128) == 0
+    assert AP._block_pairs(4096, 128) >= 16
+    assert AP._chunked_block_pairs(8192, 8192, 512) >= 32
     assert AP._chunked_block_pairs(32768, 32768, 128) >= 32
     assert AP.supported(8192, 128)
     assert AP.supported(32768, 128)
@@ -518,3 +519,42 @@ def test_align_candidates_pallas_matches_jnp(monkeypatch):
     assert 0 < ref.count < cand.count
     for k, v in ref.arrays().items():
         assert np.array_equal(v, got.arrays()[k]), k
+
+
+def test_chunked_kernel_ultrawide_band():
+    """Chunked path at W = 1024 (now permitted for UL shapes whose
+    monolithic block would overflow Mosaic's stack): equality with the
+    monolithic kernel at BB=8."""
+    import jax.numpy as jnp
+
+    LA = LB = 256
+    W = 1024
+    B = 16
+    rng = np.random.default_rng(8)
+    a = np.full((B, LA), -1, np.int32)
+    b = np.full((B, LB), -2, np.int32)
+    a_len = np.zeros(B, np.int32)
+    b_len = np.zeros(B, np.int32)
+    bm = np.full(B, -W // 2, np.int32)
+    for t in range(B):
+        g = rng.integers(0, 50, LB + 400).astype(np.int32)
+        la = int(rng.integers(20, LA))
+        lb = int(rng.integers(20, LB))
+        sb = int(rng.integers(0, 300))
+        a[t, :la] = g[:la]
+        b[t, :lb] = g[sb : sb + lb]
+        a_len[t], b_len[t] = la, lb
+    kw = dict(LA=LA, LB=LB, W=W, match=6, mismatch=-1, gap=-1)
+    LEFTPAD, R, LBP, LAP = AP._geometry(LA, LB, W)
+    band_min = np.clip(bm, -LEFTPAD, LB).astype(np.int32)
+    b_pad = AP._band_normalize(
+        jnp.asarray(b), jnp.asarray(band_min), LA=LA, LB=LB, W=W
+    )
+    a_pad = jnp.concatenate(
+        [jnp.asarray(a), jnp.full((B, LAP - LA), -1, jnp.int32)], axis=1
+    )
+    args = (a_pad, b_pad, jnp.asarray(a_len), jnp.asarray(b_len),
+            jnp.asarray(band_min), B)
+    ref = np.asarray(AP._invoke(*args, 8, **kw))
+    got = np.asarray(AP._invoke_chunked(*args, 8, **kw))
+    assert np.array_equal(ref, got)
