@@ -61,6 +61,22 @@ cfg.marker_graph.min_coverage = 0
 cfg.marker_graph.min_edge_coverage = 4
 cfg.marker_graph.min_edge_coverage_per_strand = 1
 cfg.assembly.mode = 2
-summary = run_assembly([fa], os.path.join(tmp, "run"), cfg)
+run_dir = os.path.join(tmp, "run")
+summary = run_assembly([fa], run_dir, cfg)
+
+# Grade against the known haplotypes: QV/completeness of the haploid
+# squash vs the union k-mer set, and phase correctness of the phased
+# output (purity per phased sequence + het k-mer recall).
+from shasta_tpu.utils import accuracy as AC
+
+t_acc = time.monotonic()
+haploid = AC.parse_fasta_contigs(os.path.join(run_dir, "Assembly-Haploid.fasta"))
+phased = AC.parse_fasta_contigs(os.path.join(run_dir, "Assembly-Phased.fasta"))
+try:
+    summary["accuracy"] = AC.assembly_metrics(haploid, [hapA, hapB], k=21)
+    summary["phasing"] = AC.diploid_phasing_metrics(phased, hapA, hapB, k=21)
+except (AttributeError, TypeError):  # stale module in a long session
+    summary["accuracy"] = AC.assembly_metrics(haploid, hapA, k=21)
+summary["accuracySeconds"] = round(time.monotonic() - t_acc, 1)
 print(json.dumps({k: v for k, v in summary.items() if k != "stageSeconds"}, indent=1), flush=True)
 print("stage seconds:", json.dumps({k: round(v, 1) for k, v in summary["stageSeconds"].items()}, indent=1))

@@ -59,19 +59,27 @@ def _found_mask(codes: np.ndarray, truth_sorted: np.ndarray) -> np.ndarray:
 
 def assembly_metrics(
     contigs: Sequence[np.ndarray],
-    truth: np.ndarray,
+    truth,
     k: int = 21,
     anchor_stride: int = 1000,
     max_indel: int = 5000,
     qv_cap: float = 90.0,
 ) -> Dict:
-    """Grade ``contigs`` (base-code arrays) against ``truth``.
+    """Grade ``contigs`` (base-code arrays) against ``truth`` — one
+    genome array, or a list of haplotype arrays whose k-mer union is
+    the truth set (diploid).
 
     Returns {qv, completeness, misassemblies, contigKmers, missingKmers,
     truthKmers, foundTruthKmers, anchorsMapped}.
     """
-    truth_can = canonical_kmer_codes(truth, k)
+    truths = truth if isinstance(truth, (list, tuple)) else [truth]
+    truth_can = np.concatenate(
+        [canonical_kmer_codes(t, k) for t in truths]
+    )
     truth_sorted = np.unique(truth_can)
+    # Misassembly anchors come from the first haplotype (shared
+    # backbone in the synthetic diploid benches).
+    truth = truths[0]
 
     total = 0
     missing = 0
@@ -172,6 +180,61 @@ def _misassemblies(contigs, truth, k, stride, max_indel):
         )
         breaks += int((~ok).sum())
     return breaks, mapped
+
+
+def diploid_phasing_metrics(
+    phased: Sequence[np.ndarray],
+    hapA: np.ndarray,
+    hapB: np.ndarray,
+    k: int = 21,
+) -> Dict:
+    """Phase correctness of mode-2 output against known haplotypes.
+
+    For each phased sequence, count k-mers SPECIFIC to haplotype A vs
+    B (k-mers covering het sites); a correctly phased sequence is
+    dominated by one side. Returns {phasedSequences, informative,
+    meanPurity, purity90Fraction, hetKmerRecall}: purity = max(nA,nB)
+    / (nA+nB) per informative sequence; hetKmerRecall = fraction of
+    all hap-specific truth k-mers recovered somewhere in the phased
+    output (phase switches drag purity down; dropped het regions drag
+    recall down)."""
+    ka = np.unique(canonical_kmer_codes(hapA, k))
+    kb = np.unique(canonical_kmer_codes(hapB, k))
+    only_a = np.setdiff1d(ka, kb, assume_unique=True)
+    only_b = np.setdiff1d(kb, ka, assume_unique=True)
+    n_inf = 0
+    purities: List[float] = []
+    seen_a = np.zeros(only_a.shape[0], bool)
+    seen_b = np.zeros(only_b.shape[0], bool)
+    for c in phased:
+        codes = canonical_kmer_codes(np.asarray(c, np.uint8), k)
+        ina = _found_mask(codes, only_a)
+        inb = _found_mask(codes, only_b)
+        na, nb = int(ina.sum()), int(inb.sum())
+        if na + nb == 0:
+            continue
+        n_inf += 1
+        purities.append(max(na, nb) / (na + nb))
+        if na:
+            seen_a[np.searchsorted(only_a, codes[ina])] = True
+        if nb:
+            seen_b[np.searchsorted(only_b, codes[inb])] = True
+    total_het = only_a.shape[0] + only_b.shape[0]
+    recall = (
+        (int(seen_a.sum()) + int(seen_b.sum())) / total_het
+        if total_het
+        else 0.0
+    )
+    pur = np.asarray(purities)
+    return {
+        "phasedSequences": len(phased),
+        "informative": n_inf,
+        "meanPurity": round(float(pur.mean()), 4) if n_inf else 0.0,
+        "purity90Fraction": (
+            round(float((pur >= 0.9).mean()), 4) if n_inf else 0.0
+        ),
+        "hetKmerRecall": round(recall, 4),
+    }
 
 
 def parse_fasta_contigs(path: str) -> List[np.ndarray]:

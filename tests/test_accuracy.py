@@ -63,3 +63,35 @@ def test_parse_fasta_contigs(tmp_path):
     cs = AC.parse_fasta_contigs(str(p))
     assert len(cs) == 2
     assert np.array_equal(np.concatenate(cs), g)
+
+
+def test_diploid_metrics():
+    from shasta_tpu.data import bases as B
+
+    hapA = synth.random_genome(200_000, seed=9)
+    hapB = hapA.copy()
+    snps = np.arange(350, 200_000, 700)
+    hapB[snps] = (hapB[snps] + 1) % 4
+
+    # Union truth: a contig from either haplotype scores clean.
+    m = AC.assembly_metrics([hapA[:50_000], hapB[50_000:120_000]],
+                            [hapA, hapB], k=21)
+    assert m["qv"] == 90.0
+
+    # Phasing: pure per-haplotype pieces vs a switched chimera.
+    pure = [hapA[:60_000], hapB[:60_000],
+            B.reverse_complement(hapA[100_000:160_000])]
+    ph = AC.diploid_phasing_metrics(pure, hapA, hapB, k=21)
+    assert ph["informative"] == 3
+    assert ph["meanPurity"] == 1.0 and ph["purity90Fraction"] == 1.0
+
+    switched = [np.concatenate([hapA[:30_000], hapB[30_000:60_000]])]
+    ph2 = AC.diploid_phasing_metrics(switched, hapA, hapB, k=21)
+    assert ph2["informative"] == 1
+    assert ph2["meanPurity"] < 0.75
+
+    # Recall: covering only half the genome recovers ~half the het
+    # k-mers.
+    half = [hapA[:100_000], hapB[:100_000]]
+    ph3 = AC.diploid_phasing_metrics(half, hapA, hapB, k=21)
+    assert 0.4 < ph3["hetKmerRecall"] < 0.6
