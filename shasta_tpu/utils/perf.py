@@ -23,6 +23,29 @@ def rss_mb() -> float:
     return 0.0
 
 
+def peak_rss_mb() -> float:
+    """High-water-mark RSS in MiB since start or the last reset."""
+    try:
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith("VmHWM:"):
+                    return int(ln.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+def reset_peak_rss() -> bool:
+    """Reset VmHWM (Linux >= 5.9, needs CAP_SYS_RESOURCE or root) so
+    per-stage true peaks are measurable. Returns False if unsupported."""
+    try:
+        with open("/proc/self/clear_refs", "w") as f:
+            f.write("5")
+        return True
+    except OSError:
+        return False
+
+
 def obj_nbytes(o, _seen=None) -> int:
     """Total numpy-array bytes reachable from an object's attributes
     (one level of dataclass/object nesting, dicts, lists)."""
@@ -72,6 +95,8 @@ class PerformanceLog:
     @contextlib.contextmanager
     def stage(self, name: str):
         self.line(f"Begin {name}.")
+        if self.memprof:
+            hwm_ok = reset_peak_rss()
         t0 = time.monotonic()
         try:
             yield
@@ -80,8 +105,12 @@ class PerformanceLog:
             self.stage_seconds[name] = self.stage_seconds.get(name, 0.0) + dt
             self.line(f"End {name} ({dt:.3f} s).")
             if self.memprof:
+                peak = f" peak={peak_rss_mb():.0f}MB" if hwm_ok else ""
                 inv = f" | {self.memprobe()}" if self.memprobe else ""
-                msg = f"[memprof] after {name}: rss={rss_mb():.0f}MB{inv}"
+                msg = (
+                    f"[memprof] after {name}: rss={rss_mb():.0f}MB"
+                    f"{peak}{inv}"
+                )
                 self.line(msg)
                 print(msg, file=sys.stderr, flush=True)
 
