@@ -540,8 +540,16 @@ def create_marker_graph_edges(markers: MarkerStore, mg: MarkerGraph) -> None:
     orid = orid_of_valid[:-1][same]
     src = vt[i0]
     tgt = vt[i1]
-    ord0 = (i0 - moff[orid]).astype(np.int32)
-    ord1 = (i1 - moff[orid]).astype(np.int32)
+    # Ordinals fit uint16 below 65,536 markers/read (reference packs
+    # them into Uint24, src/Marker.hpp:42-66); these per-interval
+    # arrays persist for the whole run.
+    odt = (
+        np.uint16
+        if int(np.diff(moff).max(initial=0)) < 65536
+        else np.int32
+    )
+    ord0 = (i0 - moff[orid]).astype(odt)
+    ord1 = (i1 - moff[orid]).astype(odt)
 
     # Group by (source, target); intervals sorted by (orid, ord0)
     # within the edge, edges sorted by (source, target) — matching the

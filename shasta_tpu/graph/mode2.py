@@ -80,8 +80,13 @@ def create_marker_graph_edges_strict(
     orid = orid_of_valid[:-1][same]
     src = vt[i0]
     tgt = vt[i1]
-    ord0 = (i0 - moff[orid]).astype(np.int32)
-    ord1 = (i1 - moff[orid]).astype(np.int32)
+    odt = (
+        np.uint16
+        if int(np.diff(moff).max(initial=0)) < 65536
+        else np.int32
+    )
+    ord0 = (i0 - moff[orid]).astype(odt)
+    ord1 = (i1 - moff[orid]).astype(odt)
 
     # Dual 64-bit polynomial content hash per interval's intervening
     # RLE sequence (wrap-around mod 2^64), plus offset sentinel for

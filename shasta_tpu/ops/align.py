@@ -1294,11 +1294,21 @@ class _CsrStreamingRunner:
             met = np.asarray(met_dev)[:n_real, :10].astype(np.int64)
             keep = np.asarray(keep_fn(tags, met), bool)
             sel = np.flatnonzero(keep)
-            BK = _bucket(max(sel.shape[0], 1), _BATCH_BUCKETS)
-            K = _csr_bucket(max(int(met[sel, 0].sum()), 1))
+            # Coarse power-of-2 shape grid: every distinct (BK, K) is
+            # a separate remote compile (~10-45 s first time), which
+            # dominated the first SCALE=25 collection; <=2x padding
+            # on a bitmap/byte stream is cheap.
+            BK = 1 << max(int(sel.shape[0] - 1).bit_length(), 3)
+            K = 1 << max(int(met[sel, 0].sum() - 1).bit_length(), 10)
             selp = np.full(BK, -1, np.int32)
             selp[: sel.shape[0]] = sel
             out = _compact_kept(delta_dev, jnp.asarray(selp), K=K)
+            # Release this batch's uncompacted device output (and its
+            # relay-client host mirror) NOW: holding every batch's
+            # (B, LA) matrix until collection was the run's largest
+            # untracked allocation (~15 GB at SCALE=25, memprof r4).
+            pending[0] = None
+            del entry, met_dev, delta_dev
             staged.append((tags, None, (met, sel, bm, out)))
         for _tags, _ent, c in staged:
             if c is not None:

@@ -109,7 +109,10 @@ def assembly_metrics(
     )
 
     mis, anchors_mapped = _misassemblies(
-        contigs, truth, k, anchor_stride, max_indel
+        contigs, truth, k, anchor_stride, max_indel,
+        truth_can=canonical_kmer_codes(truth, k)
+        if len(truths) > 1
+        else truth_can,
     )
     return {
         "qv": round(float(qv), 2),
@@ -122,7 +125,7 @@ def assembly_metrics(
     }
 
 
-def _misassemblies(contigs, truth, k, stride, max_indel):
+def _misassemblies(contigs, truth, k, stride, max_indel, truth_can=None):
     """Breakpoints in the unique-anchor chains of all contigs.
 
     Anchors are truth k-mers occurring exactly once among canonical
@@ -130,7 +133,8 @@ def _misassemblies(contigs, truth, k, stride, max_indel):
     (negative = reverse strand). Consecutive anchors must advance
     colinearly on one strand within ``max_indel`` slack.
     """
-    truth_can = canonical_kmer_codes(truth, k)
+    if truth_can is None:
+        truth_can = canonical_kmer_codes(truth, k)
     order = np.argsort(truth_can, kind="stable")
     sc = truth_can[order]
     first = np.ones(sc.shape[0], bool)

@@ -192,13 +192,17 @@ class StageProf:
     def report(self, extra: str = "") -> None:
         if not self.enabled:
             return
+        import os
         import sys
 
         total = sum(self._acc.values())
         parts = " ".join(f"{k}={self._acc[k]:.3f}s" for k in self._order)
+        mem = ""
+        if os.environ.get("SHASTA_TPU_MEMPROF"):
+            mem = f" rss={rss_mb():.0f}MB peak={peak_rss_mb():.0f}MB"
         print(
             f"[{self.tag} prof]{' ' + extra if extra else ''} "
-            f"total={total:.3f}s {parts}",
+            f"total={total:.3f}s {parts}{mem}",
             file=sys.stderr,
             flush=True,
         )
