@@ -355,7 +355,10 @@ def _chunked_block_pairs(LA: int, LB: int, W: int) -> int:
         dirs_blk = (
             2 * (_CHUNK_R // 16) * max(BB, 8) * ((W + 127) // 128) * 128 * 4
         )
-        rows = BB * (4 * LBP + 4 * LAP)  # un-double-buffered (per i)
+        # Mosaic double-buffers the full-row input blocks (measured:
+        # 16.48M actual at (32768, 128, BB=32) where single-buffered
+        # accounting said 9.6M).
+        rows = BB * (8 * LBP + 8 * LAP)
         small = BB * (4 * (W + 128) + 4 * (2 * _CHUNK_R) + 12 * W)
         mj_blk = 2 * _CHUNK_R * BB * 4
         temps = _unroll_temp_bytes(BB, W)

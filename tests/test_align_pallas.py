@@ -365,7 +365,7 @@ def test_chunked_selected_for_oversized_shapes():
     assert AP._block_pairs(8192, 128) == 0
     assert AP._block_pairs(4096, 128) >= 16
     assert AP._chunked_block_pairs(8192, 8192, 512) >= 32
-    assert AP._chunked_block_pairs(32768, 32768, 128) >= 32
+    assert AP._chunked_block_pairs(32768, 32768, 128) >= 16
     assert AP.supported(8192, 128)
     assert AP.supported(32768, 128)
 
