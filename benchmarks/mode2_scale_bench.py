@@ -71,12 +71,16 @@ from shasta_tpu.utils import accuracy as AC
 
 t_acc = time.monotonic()
 haploid = AC.parse_fasta_contigs(os.path.join(run_dir, "Assembly-Haploid.fasta"))
-phased = AC.parse_fasta_contigs(os.path.join(run_dir, "Assembly-Phased.fasta"))
-try:
-    summary["accuracy"] = AC.assembly_metrics(haploid, [hapA, hapB], k=21)
-    summary["phasing"] = AC.diploid_phasing_metrics(phased, hapA, hapB, k=21)
-except (AttributeError, TypeError):  # stale module in a long session
-    summary["accuracy"] = AC.assembly_metrics(haploid, hapA, k=21)
+names, phased = AC.parse_fasta_named(os.path.join(run_dir, "Assembly-Phased.fasta"))
+summary["accuracy"] = AC.assembly_metrics(haploid, [hapA, hapB], k=21)
+# Phasing purity is a claim only the PR.* (phased-region) segments
+# make; UR.* unphased regions and non-chain segments are expected to
+# mix haplotypes (reference: writePhased, src/AssemblyGraph2.cpp:1360,
+# fills unphased bubbles with their strongest branch). Grade the
+# claims and the whole file separately.
+pr_only = [s for n, s in zip(names, phased) if n.startswith("PR.")]
+summary["phasing"] = AC.diploid_phasing_metrics(pr_only, hapA, hapB, k=21)
+summary["phasingAllSegments"] = AC.diploid_phasing_metrics(phased, hapA, hapB, k=21)
 summary["accuracySeconds"] = round(time.monotonic() - t_acc, 1)
 print(json.dumps({k: v for k, v in summary.items() if k != "stageSeconds"}, indent=1), flush=True)
 print("stage seconds:", json.dumps({k: round(v, 1) for k, v in summary["stageSeconds"].items()}, indent=1))

@@ -23,7 +23,7 @@ Metrics:
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -260,3 +260,31 @@ def parse_fasta_contigs(path: str) -> List[np.ndarray]:
     if cur:
         contigs.append(lut[np.frombuffer(b"".join(cur), np.uint8)])
     return contigs
+
+
+def parse_fasta_named(path: str) -> Tuple[List[str], List[np.ndarray]]:
+    """Like :func:`parse_fasta_contigs` but also returns record names,
+    so callers can grade segment classes separately (mode 2 writes
+    PR.* phased-claim segments alongside UR.* unphased regions that
+    are EXPECTED to mix haplotypes — grading them together understates
+    phasing quality; reference segment naming: writePhased,
+    src/AssemblyGraph2.cpp:1360)."""
+    lut = np.full(256, 255, np.uint8)
+    for i, ch in enumerate(b"ACGT"):
+        lut[ch] = i
+        lut[ch + 32] = i
+    names: List[str] = []
+    contigs: List[np.ndarray] = []
+    cur: List[bytes] = []
+    with open(path, "rb") as f:
+        for line in f:
+            if line.startswith(b">"):
+                if cur:
+                    contigs.append(lut[np.frombuffer(b"".join(cur), np.uint8)])
+                cur = []
+                names.append(line[1:].split()[0].decode())
+            else:
+                cur.append(line.strip())
+    if cur:
+        contigs.append(lut[np.frombuffer(b"".join(cur), np.uint8)])
+    return names, contigs
