@@ -470,7 +470,7 @@ def _bucket_vec(n: np.ndarray, buckets) -> np.ndarray:
     return out
 
 
-def _dot_diag_band(ids_a, ids_b, flat, off, lens):
+def _dot_diag_band(ids_a, ids_b, flat, off, lens, max_width=None):
     """Per-pair diagonal range of exact k-mer matches ("dots") between
     two CSR rows, vectorized across pairs.
 
@@ -479,7 +479,20 @@ def _dot_diag_band(ids_a, ids_b, flat, off, lens):
     intermediate diagonals stay inside the dots' diagonal range, so a
     band covering [dmin-1, dmax+1] preserves the optimal score of the
     unbanded alignment. Returns (dmin, dmax, has_dots); diagonals are
-    j - i (b ordinal minus a ordinal)."""
+    j - i (b ordinal minus a ordinal).
+
+    ``max_width``: when set and a pair's full dot range needs a band
+    wider than this, the range narrows to the DENSEST window of dot
+    diagonals whose band still fits (dmax-dmin+3 <= max_width). For
+    ultra-long pairs the full range is inflated by spurious shared
+    markers scattered across the whole dot plane, while any alignment
+    the downstream maxBand filter (reference default 1000 original
+    ordinals ~= 50 downsampled at downsamplingFactor 0.05,
+    conf/Nanopore-May2022.conf) could accept concentrates its dots in
+    a window far narrower than the kernel's widest band — so banding
+    the densest window preserves every acceptable alignment while
+    keeping the pair on the Pallas kernel instead of falling to an
+    unbanded path no TPU kernel shape supports."""
     n = ids_a.shape[0]
     la = lens[ids_a].astype(np.int64)
     lb = lens[ids_b].astype(np.int64)
@@ -526,6 +539,39 @@ def _dot_diag_band(ids_a, ids_b, flat, off, lens):
         hi = bmax_o[hb] - amin[ha]  # max diagonal
         np.minimum.at(dmin, p, lo)
         np.maximum.at(dmax, p, hi)
+        if max_width is not None:
+            over = (dmax - dmin + 3) > max_width
+            if over.any():
+                maxw = int(max_width) - 3
+                mid = (lo + hi) >> 1
+                sel = over[p]
+                ps, ms = p[sel], mid[sel]
+                order = np.lexsort((ms, ps))
+                ps, ms = ps[order], ms[order]
+                # Count dots in [m, m+maxw] per starting dot with one
+                # global searchsorted (keys strictly separate pairs).
+                base = ms - ms.min()
+                span = int(base.max()) + maxw + 2
+                key = ps * span + base
+                upper = np.searchsorted(key, key + maxw, side="right")
+                cnt = upper - np.arange(ps.shape[0])
+                new_grp = np.empty(ps.shape[0], bool)
+                new_grp[0] = True
+                np.not_equal(ps[1:], ps[:-1], out=new_grp[1:])
+                grp = np.flatnonzero(new_grp)
+                gid = np.cumsum(new_grp) - 1
+                gbest = np.maximum.reduceat(cnt, grp)
+                at_best = cnt == gbest[gid]
+                idx = np.where(
+                    at_best,
+                    np.arange(ps.shape[0], dtype=np.int64),
+                    np.iinfo(np.int64).max,
+                )
+                gfirst = np.minimum.reduceat(idx, grp)
+                pair_ids = ps[grp]
+                start = ms[gfirst]
+                dmin[pair_ids] = np.maximum(dmin[pair_ids], start)
+                dmax[pair_ids] = np.minimum(dmax[pair_ids], start + maxw)
     has = dmax >= dmin
     return dmin, dmax, has
 
@@ -1009,6 +1055,17 @@ def _dispatch_padded(
             from shasta_tpu.utils.jaxsetup import cpu_device
 
             dev = cpu_device()
+            if dev is None and _jax.default_backend() != "cpu":
+                # No CPU backend registered (axon-pinned platform):
+                # the scan + traceback run THROUGH the relay. This
+                # stalled a 25 Mb ONT run for >1 h before the ph1
+                # densest-dot-window banding removed the only caller
+                # with shapes beyond the kernel table — keep it loud.
+                print(
+                    f"[align fallback] jnp path on non-CPU backend: "
+                    f"LA={LA} LB={LB} W={W} B={a.shape[0]}",
+                    flush=True,
+                )
             ctx = (
                 _jax.default_device(dev)
                 if dev is not None and _jax.default_backend() != "cpu"
@@ -1533,6 +1590,7 @@ def align_candidates(
             dmin, dmax, has = _dot_diag_band(
                 or0[run_idx[wsel]], or1[run_idx[wsel]],
                 ds_kmer_flat, ds_off, ds_len,
+                max_width=_W_BUCKETS[-1],
             )
             w2 = dmax - dmin + 3
             use = has & (w2 <= _W_BUCKETS[-1])

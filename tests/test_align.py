@@ -218,6 +218,45 @@ def test_dot_diag_band_matches_bruteforce():
             assert not has[t]
 
 
+def test_dot_diag_band_densest_window():
+    """With max_width set, a pair whose dot range exceeds the limit
+    narrows to the densest dot window (the true-alignment diagonal
+    cluster wins over scattered spurious dots), while in-range pairs
+    keep the exact full range."""
+    from shasta_tpu.ops.align import _dot_diag_band
+
+    rng = np.random.default_rng(11)
+    # Row pair: b is a shifted copy of a (dense dots on diagonal ~+7),
+    # plus one planted spurious shared value far down the sequence
+    # producing dots at extreme diagonals.
+    a = np.arange(1000, 1000 + 600, dtype=np.int32)
+    b = np.concatenate([a[7:], np.arange(5000, 5000 + 7, dtype=np.int32)])
+    # a spurious k-mer: a value from a's head repeated near b's tail
+    b[-1] = a[0]
+    # control pair: small range, must be untouched
+    c = np.arange(9000, 9040, dtype=np.int32)
+    d = c[5:].copy()
+    rows = [a, b, c, d]
+    lens = np.array([r.shape[0] for r in rows], np.int64)
+    off = np.zeros(5, np.int64)
+    np.cumsum(lens, out=off[1:])
+    flat = np.concatenate(rows).astype(np.int32)
+    ids_a = np.array([0, 2], np.int64)
+    ids_b = np.array([1, 3], np.int64)
+    full_min, full_max, full_has = _dot_diag_band(ids_a, ids_b, flat, off, lens)
+    assert full_has.all()
+    assert full_max[0] - full_min[0] + 3 > 128  # spurious dot inflates
+    dmin, dmax, has = _dot_diag_band(
+        ids_a, ids_b, flat, off, lens, max_width=128
+    )
+    assert has.all()
+    assert dmax[0] - dmin[0] + 3 <= 128
+    # the dense true-alignment diagonal (-7: j - i where b[j] = a[j+7])
+    assert dmin[0] <= -7 <= dmax[0]
+    # in-range pair identical to the unrestricted result
+    assert dmin[1] == full_min[1] and dmax[1] == full_max[1]
+
+
 def test_dot_band_preserves_unbanded_score():
     """A band covering the exact-match diagonal range (+-1) preserves
     the unbanded optimal score (the property the UL phase-1 banding
