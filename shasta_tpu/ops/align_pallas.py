@@ -148,7 +148,8 @@ def _block_pairs(LA: int, W: int, LB: int | None = None) -> int:
 
 def supported(LA: int, W: int) -> bool:
     return (
-        _block_pairs(LA, W) >= 1 or _chunked_block_pairs(LA, LA, W) >= 1
+        _block_pairs(LA, W) >= 1
+        or _chunked_block_pairs(LA, LA, W, _CHUNK_R) >= 1
     )
 
 
@@ -336,14 +337,25 @@ def _kernel(
     jax.lax.fori_loop(0, LA // 16, tb_rows16, tb_init)
 
 
-_CHUNK_R = 128  # row-chunk of the streamed (chunked) kernel
+_CHUNK_R = 128  # default row-chunk of the streamed (chunked) kernel
 
 
-def _chunked_block_pairs(LA: int, LB: int, W: int) -> int:
+def _chunk_r_default() -> int:
+    """Row-chunk size R of the chunked kernel. SHASTA_TPU_CHUNK_R
+    overrides for experiments (must be a multiple of 128; larger R
+    amortizes per-block overheads over more rows at the cost of a
+    bigger dirs block in VMEM)."""
+    return int(os.environ.get("SHASTA_TPU_CHUNK_R", str(_CHUNK_R)))
+
+
+def _chunked_block_pairs(LA: int, LB: int, W: int, R: int = 0) -> int:
     """Pair-block width for the chunked kernel (2-bit-packed dirs
     streamed to HBM per R-row block, so VMEM holds only the full
     a/bnorm rows and one dirs block). 0 if even that does not fit."""
-    if LA % _CHUNK_R or W > 2048:
+    R = R or _chunk_r_default()
+    # R beyond 2*min(W, LA) overruns the padded-a geometry (LAP =
+    # LA + 2*min(W, LA) must cover the last block's 2R-lane window).
+    if LA % R or W > 2048 or R % 128 or R > 2 * min(W, LA):
         return 0
     LEFTPAD, R0, LBP, LAP = _geometry(LA, LB, W)
     cap = int(os.environ.get("SHASTA_TPU_BB", "128"))
@@ -353,14 +365,14 @@ def _chunked_block_pairs(LA: int, LB: int, W: int) -> int:
         if cap < BB:
             continue
         dirs_blk = (
-            2 * (_CHUNK_R // 16) * max(BB, 8) * ((W + 127) // 128) * 128 * 4
+            2 * (R // 16) * max(BB, 8) * ((W + 127) // 128) * 128 * 4
         )
         # Mosaic double-buffers the full-row input blocks (measured:
         # 16.48M actual at (32768, 128, BB=32) where single-buffered
         # accounting said 9.6M).
         rows = BB * (8 * LBP + 8 * LAP)
-        small = BB * (4 * (W + 128) + 4 * (2 * _CHUNK_R) + 12 * W)
-        mj_blk = 2 * _CHUNK_R * BB * 4
+        small = BB * (4 * (W + 128) + 4 * (2 * R) + 12 * W)
+        mj_blk = 2 * R * BB * 4
         temps = _unroll_temp_bytes(BB, W)
         if dirs_blk + rows + small + mj_blk + temps <= _VMEM_BUDGET:
             return BB
@@ -389,13 +401,13 @@ def _fwd_chunked_kernel(
     match: int,
     mismatch: int,
     gap: int,
+    R: int = _CHUNK_R,
 ):
     """Forward DP only, dirs streamed to HBM one R-row block per grid
     step. Same row update as the monolithic kernel; the carry (prev
     row, best accumulators) lives in scratch, which persists across
     the sequential TPU grid."""
     BB = a_ref.shape[0]
-    R = _CHUNK_R
     g = pl.program_id(1)
     d_idx = jax.lax.broadcasted_iota(jnp.int32, (BB, W), 1)
     dgap = d_idx * jnp.int32(gap)
@@ -511,13 +523,13 @@ def _tb_chunked_kernel(
     *,
     LA: int,
     W: int,
+    R: int = _CHUNK_R,
 ):
     """Traceback over the streamed dirs blocks, walked in reverse row
     order (the grid's second axis maps to LA//R - 1 - g). Codes as in
     _kernel's traceback: 0 = DIAG match, 1 = DIAG mismatch, 2 = UP,
     3 = LEFT; j == 0 remaps to terminal 4."""
     BB = bi_ref.shape[1]
-    R = _CHUNK_R
     g = pl.program_id(1)
     nG = LA // R
     d_idx = jax.lax.broadcasted_iota(jnp.int32, (BB, W), 1)
@@ -571,18 +583,18 @@ def _tb_chunked_kernel(
 
 def _invoke_chunked(
     a_pad, b_pad, a_len, b_len, band_min, B0, BB,
-    *, LA, LB, W, match, mismatch, gap, pack_u8=False
+    *, LA, LB, W, match, mismatch, gap, pack_u8=False, chunk_r=_CHUNK_R
 ):
     """Two-kernel launch for shapes whose dirs scratch exceeds VMEM:
     the forward kernel streams dirs to HBM, the traceback kernel walks
     the blocks back in reverse. Output identical to :func:`_invoke`."""
     B = a_pad.shape[0]
     LEFTPAD, R0, LBP, LAP = _geometry(LA, LB, W)
-    R = _CHUNK_R
+    R = chunk_r
     nB, nG = B // BB, LA // R
     fwd = functools.partial(
         _fwd_chunked_kernel, LA=LA, LB=LB, W=W, match=match,
-        mismatch=mismatch, gap=gap,
+        mismatch=mismatch, gap=gap, R=R,
     )
     lens3 = lambda x: x.reshape(nB, BB, 1)  # noqa: E731
     dirs, best, bi, bd = pl.pallas_call(
@@ -612,8 +624,8 @@ def _invoke_chunked(
         ],
         scratch_shapes=[
             pltpu.VMEM((BB, W), jnp.int32),
-            pltpu.VMEM((BB, W + _CHUNK_R), jnp.int32),
-            pltpu.VMEM((BB, 2 * _CHUNK_R), jnp.int32),
+            pltpu.VMEM((BB, W + R), jnp.int32),
+            pltpu.VMEM((BB, 2 * R), jnp.int32),
             pltpu.VMEM((BB, W), jnp.int32),
             pltpu.VMEM((BB, W), jnp.int32),
         ],
@@ -625,7 +637,7 @@ def _invoke_chunked(
         lens3(band_min),
     )
 
-    tbk = functools.partial(_tb_chunked_kernel, LA=LA, W=W)
+    tbk = functools.partial(_tb_chunked_kernel, LA=LA, W=W, R=R)
     mj = pl.pallas_call(
         tbk,
         grid=(nB, nG),
@@ -753,8 +765,13 @@ def banded_align_pairs(
     chunked = BB == 0
     if os.environ.get("SHASTA_TPU_PROF"):
         _log_shape_once(LA, LB, W, BB, chunked)
+    chunk_r = _CHUNK_R
     if chunked:
-        BB = _chunked_block_pairs(LA, LB, W)
+        chunk_r = _chunk_r_default()
+        BB = _chunked_block_pairs(LA, LB, W, chunk_r)
+        if BB == 0 and chunk_r != _CHUNK_R:
+            chunk_r = _CHUNK_R  # experimental R invalid for this shape
+            BB = _chunked_block_pairs(LA, LB, W, chunk_r)
     if BB == 0:
         raise ValueError(f"shape (LA={LA}, W={W}) too large for the kernel")
     # Pad the batch to a block multiple (padded pairs have length 0).
@@ -785,8 +802,13 @@ def banded_align_pairs(
     a_pad = jnp.full((B, LAP), -1, jnp.int32)
     a_pad = jax.lax.dynamic_update_slice(a_pad, a, (0, 0))
 
-    launch = _invoke_chunked if chunked else _invoke
-    return launch(
+    if chunked:
+        return _invoke_chunked(
+            a_pad, b_pad, a_len, b_len, band_min, B0, BB,
+            LA=LA, LB=LB, W=W, match=match, mismatch=mismatch, gap=gap,
+            pack_u8=pack_u8, chunk_r=chunk_r,
+        )
+    return _invoke(
         a_pad, b_pad, a_len, b_len, band_min, B0, BB,
         LA=LA, LB=LB, W=W, match=match, mismatch=mismatch, gap=gap,
         pack_u8=pack_u8,
