@@ -743,12 +743,12 @@ def _band_normalize(b, band_min, *, LA, LB, W):
     jax.jit,
     static_argnames=(
         "LA", "LB", "W", "match", "mismatch", "gap", "pack_u8",
-        "force_chunked",
+        "force_chunked", "chunk_r",
     ),
 )
 def banded_align_pairs(
     a, a_len, b, b_len, band_min, *, LA, LB, W, match, mismatch, gap,
-    pack_u8=False, force_chunked=False
+    pack_u8=False, force_chunked=False, chunk_r=None
 ):
     """Forward + traceback for a batch of candidate pairs.
 
@@ -765,13 +765,14 @@ def banded_align_pairs(
     chunked = BB == 0
     if os.environ.get("SHASTA_TPU_PROF"):
         _log_shape_once(LA, LB, W, BB, chunked)
-    chunk_r = _CHUNK_R
     if chunked:
-        chunk_r = _chunk_r_default()
+        chunk_r = chunk_r or _chunk_r_default()
         BB = _chunked_block_pairs(LA, LB, W, chunk_r)
         if BB == 0 and chunk_r != _CHUNK_R:
             chunk_r = _CHUNK_R  # experimental R invalid for this shape
             BB = _chunked_block_pairs(LA, LB, W, chunk_r)
+    else:
+        chunk_r = _CHUNK_R
     if BB == 0:
         raise ValueError(f"shape (LA={LA}, W={W}) too large for the kernel")
     # Pad the batch to a block multiple (padded pairs have length 0).
