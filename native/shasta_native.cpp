@@ -949,4 +949,23 @@ void counting_sort_by_key(
     }
 }
 
+// 32-bit variant: int32 keys and order (n < 2^31), negative keys
+// skipped — lets createMarkerGraphVertices group 10^8 markers by
+// set/vertex id at half the index-array footprint and build the
+// vertex->markers CSR directly from vertex_table (INVALID = -1)
+// without materializing the kept-marker index vector first.
+void counting_sort_by_key32(
+    const int32_t* key,
+    int64_t n,
+    int64_t* next_pos,
+    int32_t* order)
+{
+    for (int64_t i = 0; i < n; i++) {
+        const int32_t k = key[i];
+        if (k >= 0) {
+            order[next_pos[k]++] = (int32_t)i;
+        }
+    }
+}
+
 }  // extern "C"

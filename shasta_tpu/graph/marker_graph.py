@@ -360,21 +360,29 @@ def create_marker_graph_vertices(
     # (label[label] == label), so the unique/inverse/counts triple
     # falls out of linear passes — np.unique would sort all markers
     # (the stage's top cost at 10^8+ markers on the 4-core host).
+    # Index arrays stay int32 below 2^31 markers: the transient
+    # footprint of this stage was the run's largest untracked RSS
+    # (memprof r4 ONT-25Mb: +7 GB retained, 17.8 GB peak at 91M
+    # markers before the narrowing; the reference packs the same
+    # tables into Uint40/Uint24, src/MarkerGraph.hpp:32-37).
+    idt = np.int32 if total < 2**31 else np.int64
     is_rep = np.zeros(total, bool)
     is_rep[label] = True
     reps = np.flatnonzero(is_rep)
-    rank = np.cumsum(is_rep) - 1  # rep id -> dense rank
+    rank = np.cumsum(is_rep, dtype=idt)
+    rank -= 1  # rep marker id -> dense rank
     inverse = rank[label]
+    del rank
+    if labels is None:
+        del label  # the caller-scope array persists only when passed in
     cov = np.bincount(inverse, minlength=reps.shape[0])
     good = (cov >= min_coverage) & (cov <= max_coverage)
 
-    # Read id of each marker (one linear expansion of the CSR).
+    # Oriented-read id of each marker (one linear expansion of the CSR).
     moff = markers.offsets
     orid_of_marker = np.repeat(
-        np.arange(moff.shape[0] - 1, dtype=np.int64), np.diff(moff)
+        np.arange(moff.shape[0] - 1, dtype=idt), np.diff(moff)
     )
-    read_of_marker = orid_of_marker >> 1
-    strand_of_marker = (orid_of_marker & 1).astype(np.int64)
 
     # Bad-set detection, vectorized over all markers grouped by set:
     # sort markers by (set, marker id) — marker id order groups same
@@ -387,32 +395,33 @@ def create_marker_graph_vertices(
     set_starts = np.zeros(reps.shape[0], np.int64)
     np.cumsum(cov[:-1], out=set_starts[1:])
     order = (
-        _native.counting_sort_by_key_native(inverse, set_starts)
-        if total >= 1 << 20
+        _native.counting_sort_by_key32_native(inverse, set_starts)
+        if total >= 1 << 20 and idt is np.int32
         else None
     )
     if order is None:
         order = np.argsort(inverse, kind="stable")
     g = inverse[order]
-    m_sorted = np.arange(total, dtype=np.int64)[order]
-    r_sorted = read_of_marker[m_sorted]
-    s_sorted = strand_of_marker[m_sorted]
 
     same_set = np.empty(total, dtype=bool)
     same_set[0] = False
     np.equal(g[1:], g[:-1], out=same_set[1:])
 
     if not allow_duplicate_markers:
+        r_sorted = orid_of_marker[order] >> 1
         dup = same_set & (r_sorted == np.concatenate(([-1], r_sorted[:-1])))
+        del r_sorted
         bad_dup = np.zeros(reps.shape[0], dtype=bool)
         np.logical_or.at(bad_dup, g[dup], True)
+        del dup
     else:
         bad_dup = np.zeros(reps.shape[0], dtype=bool)
+    del g, same_set
 
     if min_coverage_per_strand > 0:
         c0 = np.bincount(
-            inverse, weights=1 - strand_of_marker, minlength=reps.shape[0]
-        ).astype(np.int64)
+            inverse[(orid_of_marker & 1) == 0], minlength=reps.shape[0]
+        )
         c1 = cov - c0
         bad_strand = (c0 < min_coverage_per_strand) | (c1 < min_coverage_per_strand)
     else:
@@ -422,27 +431,34 @@ def create_marker_graph_vertices(
 
     # Final numbering: surviving sets in increasing order of their
     # minimum marker id, which equals the representative label.
-    # Ids narrow to int32 below 2^31 markers — at 5 bytes/marker these
-    # two per-marker tables are among the run's largest persistent
-    # arrays (the reference packs the same tables into Uint40,
-    # src/MarkerGraph.hpp:32-37).
-    idt = np.int32 if total < 2**31 else np.int64
+    # reps is sorted ascending already, so numbering follows.
     kept_reps_idx = np.flatnonzero(keep_set)
-    # reps is sorted ascending already (np.unique), so numbering follows.
     new_id = np.full(reps.shape[0], INVALID_VERTEX, dtype=idt)
     new_id[kept_reps_idx] = np.arange(kept_reps_idx.shape[0], dtype=idt)
 
     vertex_table = new_id[inverse]
+    del inverse
 
-    # CSR vertex -> sorted marker ids.
+    # CSR vertex -> sorted marker ids: the same skip-negatives native
+    # counting sort groups kept markers by vertex id directly from
+    # vertex_table (marker order within a vertex stays ascending).
     n_vertices = kept_reps_idx.shape[0]
-    keep_marker = vertex_table >= 0
-    vm = np.flatnonzero(keep_marker)
-    vt = vertex_table[vm]
-    o = np.argsort(vt, kind="stable")  # marker ids stay sorted within vertex
-    vertex_markers = vm[o].astype(idt)
+    n_kept = int(cov[kept_reps_idx].sum())
     vertex_offsets = np.zeros(n_vertices + 1, dtype=np.int64)
-    np.cumsum(np.bincount(vt, minlength=n_vertices), out=vertex_offsets[1:])
+    np.cumsum(cov[kept_reps_idx], out=vertex_offsets[1:])
+    vertex_markers = (
+        _native.counting_sort_by_key32_native(
+            vertex_table, vertex_offsets[:-1], n_out=n_kept
+        )
+        if idt is np.int32
+        else None
+    )
+    if vertex_markers is None:
+        keep_marker = vertex_table >= 0
+        vm = np.flatnonzero(keep_marker)
+        vt = vertex_table[vm]
+        o = np.argsort(vt, kind="stable")  # marker order kept in vertex
+        vertex_markers = vm[o].astype(idt)
 
     # Reverse complement vertex: vertex of the RC of the first marker.
     counts = np.diff(moff)

@@ -38,6 +38,10 @@ def _u8p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library, or None."""
     global _lib, _build_failed
@@ -588,5 +592,29 @@ def counting_sort_by_key_native(key, starts):
     lib.counting_sort_by_key(
         _i64p(key), ctypes.c_int64(key.shape[0]), _i64p(next_pos),
         _i64p(order),
+    )
+    return order
+
+
+def counting_sort_by_key32_native(key, starts, n_out=None):
+    """32-bit variant of :func:`counting_sort_by_key_native` (int32
+    keys and order, negative keys skipped): half the index-array RAM
+    for grouping 10^8 markers, and the skip rule builds filtered CSRs
+    (e.g. vertex -> kept markers from vertex_table with INVALID = -1)
+    in one pass without a flatnonzero index vector. Returns order
+    int32 (length n_out, default = key length) or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    key = np.ascontiguousarray(key, np.int32)
+    next_pos = np.ascontiguousarray(starts, np.int64).copy()
+    order = np.empty(
+        key.shape[0] if n_out is None else int(n_out), np.int32
+    )
+    lib.counting_sort_by_key32(
+        _i32p(key), ctypes.c_int64(key.shape[0]), _i64p(next_pos),
+        _i32p(order),
     )
     return order

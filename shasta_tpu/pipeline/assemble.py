@@ -64,13 +64,11 @@ def _malloc_trim() -> None:
     """Return freed glibc arena pages to the OS (RSS stayed at the
     computeAlignments plateau for the rest of the run otherwise —
     measured 18.4 GB flat at SCALE=25; the reference's mmap allocator
-    releases regions on remove() the same way)."""
-    try:
-        import ctypes
+    releases regions on remove() the same way). The stage context
+    manager (utils/perf.py) also trims at every stage boundary."""
+    from shasta_tpu.utils.perf import malloc_trim
 
-        ctypes.CDLL("libc.so.6").malloc_trim(0)
-    except OSError:
-        pass
+    malloc_trim()
 
 
 class Assembler:

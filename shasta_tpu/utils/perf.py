@@ -46,6 +46,24 @@ def reset_peak_rss() -> bool:
         return False
 
 
+_malloc_trim_fn = None
+
+
+def malloc_trim() -> None:
+    """Return freed glibc arena pages to the OS (the reference's mmap
+    allocator releases regions on remove() the same way)."""
+    global _malloc_trim_fn
+    if _malloc_trim_fn is None:
+        try:
+            import ctypes
+
+            _malloc_trim_fn = ctypes.CDLL("libc.so.6").malloc_trim
+        except OSError:
+            _malloc_trim_fn = False
+    if _malloc_trim_fn:
+        _malloc_trim_fn(0)
+
+
 def obj_nbytes(o, _seen=None) -> int:
     """Total numpy-array bytes reachable from an object's attributes
     (one level of dataclass/object nesting, dicts, lists)."""
@@ -104,6 +122,11 @@ class PerformanceLog:
             dt = time.monotonic() - t0
             self.stage_seconds[name] = self.stage_seconds.get(name, 0.0) + dt
             self.line(f"End {name} ({dt:.3f} s).")
+            # Return freed arena pages to the OS at every stage
+            # boundary (glibc keeps sbrk heap grown by a stage's large
+            # transients: createMarkerGraphVertices alone retained
+            # +7 GB RSS at ONT-25Mb before this; ~ms on a 10 GB heap).
+            malloc_trim()
             if self.memprof:
                 peak = f" peak={peak_rss_mb():.0f}MB" if hwm_ok else ""
                 inv = f" | {self.memprobe()}" if self.memprobe else ""
