@@ -125,12 +125,18 @@ def prepare_feature_index(
     markers: MarkerStore,
     m: int,
     exclude: Optional[np.ndarray] = None,
+    want_ordinals: bool = True,
 ):
     """Loop-invariant feature index shared by all LowHash iterations:
     (sel flat positions, orid per feature, ordinal per feature, and —
     when it fits in memory — the gathered (n, m) feature matrix).
     Only the hash seed changes per iteration, so re-deriving this per
-    iteration cost several full-array passes for nothing."""
+    iteration cost several full-array passes for nothing.
+
+    Index arrays narrow to int32 below 2^31 positions, and ords is
+    None unless ``want_ordinals`` (LowHash0 never reads it): at
+    SCALE=50 the int64 triple was ~4.3 GB of persistent RAM inside
+    the stage's 18 GB peak."""
     kmer_ids = markers.kmer_ids
     offsets = markers.offsets
     n_or = markers.oriented_read_count
@@ -139,15 +145,18 @@ def prepare_feature_index(
     n_pos = kmer_ids.shape[0] - m + 1
     if n_pos <= 0:
         z = np.zeros(0, np.int64)
-        return z, z, z, np.zeros((0, m), np.uint32)
+        return z, z, z if want_ordinals else None, np.zeros((0, m), np.uint32)
+    idt = np.int32 if n_pos + m < 2**31 else np.int64
 
-    orid_of_p = np.repeat(np.arange(n_or, dtype=np.int64), counts)[:n_pos]
-    ord_in_read = np.arange(n_pos, dtype=np.int64) - offsets[orid_of_p]
+    orid_of_p = np.repeat(np.arange(n_or, dtype=idt), counts)[:n_pos]
+    ord_in_read = (
+        np.arange(n_pos, dtype=np.int64) - offsets[orid_of_p]
+    ).astype(idt)
     valid = ord_in_read <= (counts[orid_of_p] - m)
     if exclude is not None:
         valid &= ~exclude[orid_of_p]
 
-    sel = np.flatnonzero(valid)
+    sel = np.flatnonzero(valid).astype(idt)
     feat = None
     # Materialize the (n, m) feature matrix when memory allows: the
     # per-iteration chunked re-gather measured ~25x slower than hashing
@@ -164,7 +173,9 @@ def prepare_feature_index(
         feat = np.empty((sel.shape[0], m), dtype=np.uint32)
         for j in range(m):
             feat[:, j] = kmer_ids[sel + j]
-    return sel, orid_of_p[sel], ord_in_read[sel], feat
+    orids_sel = orid_of_p[sel]
+    ords_sel = ord_in_read[sel] if want_ordinals else None
+    return sel, orids_sel, ords_sel, feat
 
 
 def compute_feature_hashes(
@@ -201,8 +212,49 @@ def compute_feature_hashes(
                 fb[:, j] = kmer_ids[block + j]
             hashes[lo:hi] = hashing.murmur64_features(fb, seed)
     if return_ordinals:
+        assert ords is not None, "prepared index lacks ordinals"
         return orids, hashes, ords
     return orids, hashes
+
+
+def compute_feature_hashes_filtered(
+    markers: MarkerStore,
+    m: int,
+    seed: int,
+    threshold: np.uint64,
+    prepared,
+    chunk: int = 1 << 24,
+):
+    """Hash features and keep only those below ``threshold``, chunked
+    so the full n-feature hash array never materializes (at SCALE=50
+    that array was 1.4 GB per LowHash iteration for a ~2% keep rate).
+    Returns (orids_low, hashes_low), identical to filtering
+    :func:`compute_feature_hashes` by ``hashes < threshold``."""
+    sel, orids, _ords, feat = prepared
+    kmer_ids = markers.kmer_ids
+    n = sel.shape[0]
+    out_o: list = []
+    out_h: list = []
+    fbuf = None if feat is not None else np.empty(
+        (min(chunk, n), m), dtype=np.uint32
+    )
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        if feat is not None:
+            fb = feat[lo:hi]
+        else:
+            fb = fbuf[: hi - lo]
+            block = sel[lo:hi]
+            for j in range(m):
+                fb[:, j] = kmer_ids[block + j]
+        h = hashing.murmur64_features(fb, seed)
+        low = np.flatnonzero(h < threshold)
+        if low.shape[0]:
+            out_o.append(orids[lo:hi][low].astype(np.int64))
+            out_h.append(h[low])
+    if not out_o:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    return np.concatenate(out_o), np.concatenate(out_h)
 
 
 def find_candidates_lowhash(
@@ -232,14 +284,13 @@ def find_candidates_lowhash(
 
     pair_keys = []  # uint64 keys: (r0 << 33) | (r1 << 1) | sameStrand
 
-    prepared = prepare_feature_index(markers, params.m, exclude)
+    prepared = prepare_feature_index(
+        markers, params.m, exclude, want_ordinals=False
+    )
     for it in range(params.iteration_count):
-        orids, hashes = compute_feature_hashes(
-            markers, params.m, it * 37, exclude, prepared=prepared
+        orids, hashes = compute_feature_hashes_filtered(
+            markers, params.m, it * 37, hash_threshold, prepared=prepared
         )
-        low = hashes < hash_threshold
-        orids = orids[low]
-        hashes = hashes[low]
         if orids.shape[0] == 0:
             continue
 
