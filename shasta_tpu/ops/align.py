@@ -1225,6 +1225,7 @@ class _CsrStreamingRunner:
         self.buffers: Dict[Tuple[int, int, int], List] = {}
         self.counts: Dict[Tuple[int, int, int], int] = {}
         self.batches: List = []
+        self._staged: List = []
 
     def add_many(self, ids_a, ids_b, band_mins, widths, tags):
         ids_a = np.asarray(ids_a, np.int64)
@@ -1305,21 +1306,23 @@ class _CsrStreamingRunner:
         for tags, pending in self.batches:
             yield (tags, *_entry_to_flat(pending[0]))
 
-    def collect_filtered(self, keep_fn):
-        """Two-sweep collection with device-side match compaction.
+    def collect_filtered_metrics(self, keep_fn):
+        """Sweep 1 of the filtered collection: fetch each batch's
+        (tiny) metric block, ask ``keep_fn(tags, met)`` which pairs
+        survive the acceptance filters, dispatch the device-side match
+        compaction of ONLY those pairs (:func:`_compact_kept` — LA/8 +
+        count bytes per kept pair instead of LA bytes per pair), and
+        release the batch's uncompacted device output. Returns a list
+        of (tags, met) covering every batch; the match decode is
+        deferred to :meth:`collect_filtered_matches` so the caller can
+        size its output CSR from the metrics FIRST and scatter each
+        batch's matches on arrival — accumulating decoded int64 match
+        chunks across 2.5M pairs was a ~24 GB transient at SCALE=50
+        (the computeAlignments 35.6 GB RSS peak, memprof r4).
 
-        Sweep 1 fetches only each batch's (tiny) metric block and asks
-        ``keep_fn(tags, met)`` which pairs survive the acceptance
-        filters; sweep 2 fetches the match rows of ONLY those pairs,
-        compacted on device to a position bitmap plus a flat delta
-        stream (:func:`_compact_kept`) — LA/8 + count bytes per kept
-        pair instead of LA bytes per pair, the fix for ph2_collect
-        dominating computeAlignments at scale through a slow
-        device->host link. Yields (tags, met, rows, cols, vals) like
-        collect_flat, with rows/cols/vals restricted to kept pairs
-        (met still covers every pair). Entries that are not packed
-        device outputs (jnp fallback, multiprocess pre-fetched) decode
-        through the flat path unchanged."""
+        Entries that are not packed device outputs (jnp fallback,
+        multiprocess pre-fetched) stage their fetched payload whole
+        and decode in sweep 2."""
         import jax.numpy as jnp
 
         use = os.environ.get("SHASTA_TPU_COMPACT", "1") != "0"
@@ -1341,10 +1344,13 @@ class _CsrStreamingRunner:
             else:
                 _prefetch_batches([(tags, pending)])
         staged = []
+        metas = []
         for tags, pending in self.batches:
             entry = pending[0]
             if not compactable(entry):
-                staged.append((tags, entry, None))
+                met, rows, cols, vals = _entry_to_flat(entry)
+                metas.append((tags, met))
+                staged.append((tags, None, (rows, cols, vals)))
                 continue
             met_dev, delta_dev, bm = entry[1]
             n_real = entry[2]
@@ -1366,19 +1372,32 @@ class _CsrStreamingRunner:
             # untracked allocation (~15 GB at SCALE=25, memprof r4).
             pending[0] = None
             del entry, met_dev, delta_dev
-            staged.append((tags, None, (met, sel, bm, out)))
-        for _tags, _ent, c in staged:
-            if c is not None:
-                for x in c[3]:
+            metas.append((tags, met))
+            staged.append((tags, (met, sel, bm), out))
+        for _tags, _meta, out in staged:
+            if _meta is not None:
+                for x in out:
                     try:
                         x.copy_to_host_async()
                     except AttributeError:
                         pass
-        for tags, ent, c in staged:
-            if ent is not None:
-                yield (tags, *_entry_to_flat(ent))
+        self._staged = staged
+        return metas
+
+    def collect_filtered_matches(self):
+        """Sweep 2: decode each staged batch's compacted matches and
+        yield (tags, rows, cols, vals) — rows batch-local ascending,
+        cols/vals the matched ordinal pairs in path order, restricted
+        to kept pairs. The caller scatters each batch immediately;
+        nothing accumulates here."""
+        staged = self._staged
+        self._staged = []
+        for tags, meta, payload in staged:
+            if meta is None:
+                yield (tags, *payload)
                 continue
-            met, sel, bm, (bitmap_dev, vals_dev) = c
+            met, sel, bm = meta
+            bitmap_dev, vals_dev = payload
             bitmap = np.asarray(bitmap_dev)[: sel.shape[0]]
             vals = np.asarray(vals_dev)
             bits = np.unpackbits(bitmap, axis=1, bitorder="little")
@@ -1387,9 +1406,18 @@ class _CsrStreamingRunner:
             if __debug__:
                 assert rows_k.shape[0] == int(met[sel, 0].sum())
             v = vals[: rows.shape[0]].astype(np.int64) + cols + bm[rows]
-            yield (
-                tags, met, rows.astype(np.int64), cols.astype(np.int64), v
-            )
+            yield (tags, rows.astype(np.int64), cols.astype(np.int64), v)
+
+    def collect_filtered(self, keep_fn):
+        """Two-sweep filtered collection as one generator of
+        (tags, met, rows, cols, vals) — compatibility wrapper over
+        collect_filtered_metrics + collect_filtered_matches (large
+        runs should use the split API and scatter per batch)."""
+        metas = self.collect_filtered_metrics(keep_fn)
+        for (tags, met), (_t, rows, cols, vals) in zip(
+            metas, self.collect_filtered_matches()
+        ):
+            yield tags, met, rows, cols, vals
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
@@ -1695,9 +1723,12 @@ def align_candidates(
     runner.flush_all()
     _prof.mark("ph2_flush")
 
-    # Filtered phase-2 collection: per-pair metrics scatter + per-batch
-    # match chunks restricted on device to pairs that pass the
-    # acceptance filters (no per-pair array materialization anywhere).
+    # Filtered phase-2 collection, split in two sweeps: the metrics
+    # land first (tiny), the output CSR is sized from them, and then
+    # each batch's device-compacted matches scatter straight into the
+    # final ordinal arrays on arrival — nothing accumulates (the
+    # decoded-chunk accumulation this replaces was a ~24 GB transient
+    # at SCALE=50, the run's RSS peak).
     met_of = np.zeros((n_pairs, 10), np.int64)
     seen = np.zeros(n_pairs, bool)
 
@@ -1706,19 +1737,16 @@ def align_candidates(
             met, klen[or0[tags]], klen[or1[tags]], params
         )
 
-    chunks: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
-    for tags, met, rows, cols, vals in runner.collect_filtered(_keep_fn):
+    for tags, met in runner.collect_filtered_metrics(_keep_fn):
         met_of[tags] = met
         seen[tags] = True
-        chunks.append((tags, rows, cols, vals))
-    _prof.mark("ph2_collect")
-    _prof.report(n_pairs)
+    _prof.mark("ph2_metrics")
 
     full_idx = np.flatnonzero(seen)
     metrics = met_of[full_idx] if full_idx.shape[0] else np.zeros((0, 10), np.int64)
 
     # ---- Filters, vectorized over the in-kernel metrics (the same
-    # mask collect_filtered used to restrict the match fetch) ----
+    # mask the metric sweep used to restrict the match fetch) ----
     mc = metrics[:, 0]
     first0, last0 = metrics[:, 1], metrics[:, 2]
     first1, last1 = metrics[:, 3], metrics[:, 4]
@@ -1748,7 +1776,7 @@ def align_candidates(
     # are contiguous and path-ordered within their batch chunk).
     rank = np.full(n_pairs, -1, np.int64)
     rank[kept_p] = np.arange(kept_p.shape[0])
-    for tags, rows, cols, vals in chunks:
+    for tags, rows, cols, vals in runner.collect_filtered_matches():
         if rows.shape[0] == 0:
             continue
         pr = rank[tags[rows]]
@@ -1760,6 +1788,8 @@ def align_candidates(
         pos = offs[pr[m]] + within[m]
         ord0[pos] = cols[m]
         ord1[pos] = vals[m]
+    _prof.mark("ph2_collect")
+    _prof.report(n_pairs)
 
     return AlignmentStore(
         read_id0=read_id0[kept_p].astype(np.int32),
