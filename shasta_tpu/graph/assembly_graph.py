@@ -121,28 +121,46 @@ def assemble_marker_graph_vertices(
 
     moff = markers.offsets
     total = markers.total_count
+    # Index arrays stay int32 when everything fits (memprof r4: this
+    # stage's int64 expansions peaked at 27.8 GB RSS at SCALE=50 over
+    # a 318 MB output); the per-j position is a fused base + j*step so
+    # the lo/hi/where triple is computed once, not per k position.
+    idt = (
+        np.int32
+        if max(total, int(reads.offsets[-1])) < 2**31
+        else np.int64
+    )
     # Vertex and oriented read of every in-vertex marker.
     vm = mg.vertex_markers  # flat marker ids, grouped by vertex
-    v_of = np.repeat(np.arange(n_v, dtype=np.int64), mg.vertex_coverage())
-    orid = np.searchsorted(moff, vm, side="right") - 1
-    pos = markers.positions[vm].astype(np.int64)  # RLE position of marker start
+    v_of = np.repeat(np.arange(n_v, dtype=idt), mg.vertex_coverage())
+    orid_of_marker = np.repeat(
+        np.arange(moff.shape[0] - 1, dtype=idt), np.diff(moff)
+    )
+    orid = orid_of_marker[vm]
+    del orid_of_marker
+    pos = markers.positions[vm].astype(idt)  # RLE position of marker start
 
-    # Flat index of RLE position (pos + j) per oriented read.
+    # Flat index of RLE position (pos + j) per oriented read:
+    # idx_j = base + j*step (step -1 on the reversed strand).
     rid = orid >> 1
     rev = (orid & 1).astype(bool)
-    lo = reads.offsets[rid]
-    hi = reads.offsets[rid + 1]
+    lo = reads.offsets[rid].astype(idt)
+    hi = reads.offsets[rid + 1].astype(idt)
+    base = np.where(rev, hi - 1 - pos, lo + pos)
+    step = np.where(rev, np.int8(-1), np.int8(1))
+    del orid, pos, rid, rev, lo, hi
 
     for j in range(k):
-        p = pos + j
-        idx = np.where(rev, hi - 1 - p, lo + p)
-        rc = reads.repeat_counts[idx].astype(np.int64).clip(0, max_repeat - 1)
+        idx = base + j * step
+        rc = np.minimum(reads.repeat_counts[idx], max_repeat - 1)
         # bincount over a fused (vertex, repeat) key with the width
         # trimmed to the largest repeat actually present: orders of
         # magnitude cheaper than a scatter-add into (n_v, 256).
         width = int(rc.max()) + 1 if rc.shape[0] else 1
+        kdt = np.int64 if n_v * width >= 2**31 else np.int32
         hist = np.bincount(
-            v_of * width + rc, minlength=n_v * width
+            v_of.astype(kdt, copy=False) * kdt(width) + rc,
+            minlength=n_v * width,
         ).reshape(n_v, width)
         if caller == "Modal":
             out[:, j] = np.argmax(hist, axis=1)
