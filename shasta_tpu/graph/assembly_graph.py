@@ -409,28 +409,33 @@ def assemble_marker_graph_edges(
     # mode-1 case (overlapping/adjacent markers, consensus = most
     # frequent offset <= k) is then resolved without any per-edge
     # Python work; only mode-2/pathological edges take the slow path.
+    # Interval index arrays stay int32 (10^8 intervals at SCALE=50;
+    # the int64 expansions and float64 bincount-weight temps here were
+    # most of the stage's 33.2 GB RSS peak, memprof r4).
     n_iv = mg.interval_orid.shape[0]
+    idt = np.int32 if max(n_iv, n_edges, len(pos_flat)) < 2**31 else np.int64
     edge_of_iv = np.repeat(
-        np.arange(n_edges, dtype=np.int64), np.diff(mg.interval_offsets)
+        np.arange(n_edges, dtype=idt), np.diff(mg.interval_offsets)
     )
     iv_p0 = pos_flat[
         moff[mg.interval_orid] + mg.interval_ord0
-    ].astype(np.int64)
+    ].astype(idt)
     iv_p1 = pos_flat[
         moff[mg.interval_orid] + mg.interval_ord1
-    ].astype(np.int64)
+    ].astype(idt)
     iv_off = iv_p1 - iv_p0
-    iv_skip = (mg.interval_ord1 - mg.interval_ord0).astype(np.int64)
+    # ord1 >= ord0 always, so the unsigned uint16 difference is exact.
+    iv_skip = mg.interval_ord1 - mg.interval_ord0
 
     has_long = np.zeros(n_edges, dtype=bool)
-    np.logical_or.at(
-        has_long,
-        edge_of_iv,
-        (iv_skip > length_threshold_markers)
-        | (iv_off > length_threshold_bases),
-    )
+    has_long[
+        edge_of_iv[
+            (iv_skip > length_threshold_markers)
+            | (iv_off > length_threshold_bases)
+        ]
+    ] = True
     mode1_per_edge = np.bincount(
-        edge_of_iv, weights=(iv_off <= k), minlength=n_edges
+        edge_of_iv[iv_off <= k], minlength=n_edges
     )
     total_per_edge = np.bincount(edge_of_iv, minlength=n_edges)
     is_mode1 = (~has_long) & (mode1_per_edge >= total_per_edge - mode1_per_edge)
@@ -439,10 +444,12 @@ def assemble_marker_graph_edges(
     # (ties -> smaller offset, like the reference's max_element).
     sel = is_mode1[edge_of_iv] & (iv_off <= k)
     hist = np.bincount(
-        edge_of_iv[sel] * np.int64(k + 1) + iv_off[sel],
+        edge_of_iv[sel].astype(np.int64) * np.int64(k + 1) + iv_off[sel],
         minlength=n_edges * (k + 1),
     ).reshape(n_edges, k + 1)
+    del sel
     best_offset_all = np.argmax(hist, axis=1)
+    del hist
 
     # Mode-1 edges (the overwhelming majority) resolve without any
     # per-edge Python; the loop below visits only mode-2/pathological
@@ -461,15 +468,15 @@ def assemble_marker_graph_edges(
     # sequence (positions [p0+k, p1)); the loop then only slices.
     slow_edge_mask = np.zeros(n_edges, bool)
     slow_edge_mask[slow_edges] = True
-    iv_sel = np.flatnonzero(slow_edge_mask[edge_of_iv])
+    iv_sel = np.flatnonzero(slow_edge_mask[edge_of_iv]).astype(idt)
     fill_b, fill_r, fill_off = batch_fill_sequences(
         reads,
         mg.interval_orid[iv_sel],
-        iv_p0[iv_sel] + k,
-        iv_p1[iv_sel],
+        iv_p0[iv_sel].astype(np.int64) + k,
+        iv_p1[iv_sel].astype(np.int64),
     )
-    fill_of_iv = np.full(n_iv, -1, np.int64)
-    fill_of_iv[iv_sel] = np.arange(iv_sel.shape[0])
+    fill_of_iv = np.full(n_iv, -1, idt)
+    fill_of_iv[iv_sel] = np.arange(iv_sel.shape[0], dtype=idt)
 
     # ---- Uniform mode-2 fast path ----
     # The majority of mode-2 edges (57% measured at 5 Mb / 1% errors)

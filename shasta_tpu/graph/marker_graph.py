@@ -543,17 +543,23 @@ def create_marker_graph_edges(markers: MarkerStore, mg: MarkerGraph) -> None:
     n_or = markers.oriented_read_count
 
     vt = mg.vertex_table
-    valid = np.flatnonzero(vt >= 0)  # markers with vertices, in flat order
+    idt = np.int32 if total < 2**31 else np.int64
+    valid = np.flatnonzero(vt >= 0).astype(idt)  # markers w/ vertices
     if valid.shape[0] == 0:
         _set_empty_edges(mg)
         return
-    orid_of_valid = np.searchsorted(moff, valid, side="right") - 1
+    orid_of_marker = np.repeat(
+        np.arange(n_or, dtype=idt), np.diff(moff)
+    )
+    orid_of_valid = orid_of_marker[valid]
+    del orid_of_marker
 
     # Consecutive valid markers within the same oriented read.
     same = orid_of_valid[1:] == orid_of_valid[:-1]
     i0 = valid[:-1][same]
     i1 = valid[1:][same]
     orid = orid_of_valid[:-1][same]
+    del valid, orid_of_valid, same
     src = vt[i0]
     tgt = vt[i1]
     # Ordinals fit uint16 below 65,536 markers/read (reference packs
@@ -566,11 +572,41 @@ def create_marker_graph_edges(markers: MarkerStore, mg: MarkerGraph) -> None:
     )
     ord0 = (i0 - moff[orid]).astype(odt)
     ord1 = (i1 - moff[orid]).astype(odt)
+    del i0, i1
 
     # Group by (source, target); intervals sorted by (orid, ord0)
     # within the edge, edges sorted by (source, target) — matching the
-    # reference's per-vertex sorted-children order.
-    order = np.lexsort((ord0, orid, tgt, src))
+    # reference's per-vertex sorted-children order. The intervals are
+    # generated in flat marker order, i.e. already sorted by
+    # (orid, ord0), so two STABLE counting sorts (by tgt, then src)
+    # produce the full (src, tgt, orid, ord0) order — replacing a
+    # 4-key int64 lexsort over 10^8 intervals that dominated this
+    # stage's 25.2 GB RSS peak at SCALE=50 (memprof r4; CLAUDE.md:
+    # prefer single-key counting passes on this 4-core host).
+    from shasta_tpu import native as _native
+
+    order = None
+    if idt is np.int32 and mg.vertex_count < 2**31:
+        starts_t = np.zeros(mg.vertex_count, np.int64)
+        np.cumsum(
+            np.bincount(tgt, minlength=mg.vertex_count)[:-1],
+            out=starts_t[1:],
+        )
+        order1 = _native.counting_sort_by_key32_native(tgt, starts_t)
+        if order1 is not None:
+            starts_s = np.zeros(mg.vertex_count, np.int64)
+            np.cumsum(
+                np.bincount(src, minlength=mg.vertex_count)[:-1],
+                out=starts_s[1:],
+            )
+            order2 = _native.counting_sort_by_key32_native(
+                src[order1], starts_s
+            )
+            if order2 is not None:
+                order = order1[order2]
+            del order1
+    if order is None:
+        order = np.lexsort((ord0, orid, tgt, src))
     src = src[order]
     tgt = tgt[order]
     orid = orid[order].astype(
@@ -578,6 +614,7 @@ def create_marker_graph_edges(markers: MarkerStore, mg: MarkerGraph) -> None:
     )
     ord0 = ord0[order]
     ord1 = ord1[order]
+    del order
 
     new_edge = np.empty(src.shape[0], dtype=bool)
     new_edge[0] = True
