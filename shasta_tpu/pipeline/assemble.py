@@ -588,6 +588,17 @@ class Assembler:
                     self.reads.is_chimeric,
                 )
                 _mark("gather_unite_pairs")
+            if not (
+                self.config.assembly.iterative
+                and self.config.assembly.mode == 0
+            ):
+                # The unite/gather pass was the alignments' last
+                # consumer: releasing the 3.8 GB store (SCALE=50) here
+                # instead of after createMarkerGraphEdges keeps the
+                # heavy vertex/edge passes under the memory budget
+                # (iterative assembly re-scores them, so it keeps the
+                # store; stage-store reloads still work).
+                self.release_alignments()
             if self.mesh is not None:
                 # Union-find min-hooking rounds run edge-parallel over
                 # the mesh (reference analog: the lock-free CAS DSU,
