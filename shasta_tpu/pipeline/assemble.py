@@ -614,8 +614,12 @@ class Assembler:
                 # Histogram of disjoint-set sizes for auto selection.
                 if labels is None:
                     labels = MG.union_find_labels(self.markers.total_count, u, v)
-                _, counts = np.unique(labels, return_counts=True)
-                hist = np.bincount(counts)
+                # Labels are min-member representatives: one linear
+                # bincount replaces np.unique's full sort of 10^8
+                # int64 labels.
+                cov_all = np.bincount(labels)
+                hist = np.bincount(cov_all[cov_all > 0])
+                del cov_all
                 # DisjointSetsHistogram.csv (reference:
                 # src/AssemblerMarkerGraph.cpp:224).
                 with open(
