@@ -65,21 +65,29 @@ def batch_fill_sequences(
     """RLE (bases, repeats) for position ranges [start, end) of many
     oriented reads at once, as one flat CSR (offsets int64 [n+1]).
     One vectorized pass replaces per-interval oriented_base_repeat
-    calls, which dominate edge-consensus wall time at genome scale."""
+    calls, which dominate edge-consensus wall time at genome scale.
+    The flat index is a fused per-interval base + t*step expansion in
+    int32 when the RLE space fits (~12 B/position vs the five int64
+    expansions this replaces — part of the assembleMarkerGraphEdges
+    27.8 GB peak at SCALE=50, memprof r4)."""
     lens = np.maximum(ends - starts, 0).astype(np.int64)
     off = np.zeros(lens.shape[0] + 1, np.int64)
     np.cumsum(lens, out=off[1:])
     n = int(off[-1])
-    iv_of = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
-    t = np.arange(n, dtype=np.int64) - np.repeat(off[:-1], lens)
-    pos = starts.astype(np.int64)[iv_of] + t
+    idt = np.int32 if max(n, int(reads.offsets[-1])) < 2**31 else np.int64
     rid = (orids >> 1).astype(np.int64)
     rev = (orids & 1).astype(bool)
     lo = reads.offsets[rid]
     hi = reads.offsets[rid + 1]
-    idx = np.where(rev[iv_of], hi[iv_of] - 1 - pos, lo[iv_of] + pos)
+    base_iv = np.where(rev, hi - 1 - starts, lo + starts).astype(idt)
+    step_iv = np.where(rev, np.int8(-1), np.int8(1))
+    idx = np.repeat(base_iv, lens)
+    t = np.arange(n, dtype=idt) - np.repeat(off[:-1].astype(idt), lens)
+    idx += t * np.repeat(step_iv, lens)
+    del t
+    rev_pos = np.repeat(rev, lens)
     b = reads.rle_bases[idx]
-    b = np.where(rev[iv_of], 3 - b, b).astype(np.uint8)
+    b = np.where(rev_pos, 3 - b, b).astype(np.uint8)
     return b, reads.repeat_counts[idx], off
 
 
@@ -241,14 +249,10 @@ def _native_mode2_consensus(
     )
     if res is None:
         return None
-    out_b, out_r, out_off, out_len = res
+    out_b, out_r, out_len = res  # already compacted per edge
     col_off = np.zeros(m2_edges.shape[0] + 1, np.int64)
     np.cumsum(out_len, out=col_off[1:])
-    n_cols = int(col_off[-1])
-    src = np.repeat(out_off[:-1], out_len) + (
-        np.arange(n_cols, dtype=np.int64) - np.repeat(col_off[:-1], out_len)
-    )
-    return m2_edges, out_len, col_off, out_b[src], out_r[src]
+    return m2_edges, out_len, col_off, out_b, out_r
 
 
 def _uniform_mode2_consensus(

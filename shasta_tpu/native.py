@@ -462,9 +462,16 @@ def edge_consensus_batch_native(
     per edge. mode 0=Modal, 1=Median, 2=Bayesian (pass the model's
     priors (2, ny) and likelihood (4, ny, nx) log10 matrices).
 
-    Returns (seq uint8, rep int32, out_off int64 [n_edges+1] bound
-    layout, out_len int64 [n_edges]) or None if the library is
-    unavailable / an edge overflowed its bound."""
+    Returns (seq uint8, rep int32, out_len int64 [n_edges]) with
+    seq/rep COMPACTED (edge e's consensus is the out_len[e]-long slice
+    at cumsum position), or None if the library is unavailable / an
+    edge overflowed its bound.
+
+    Edges are processed in chunks so the bound-sized output buffer
+    (each edge's bound = its TOTAL fill length ~= coverage x the
+    consensus length) stays ~256 MB: the single whole-batch buffer
+    was ~10 GB of the assembleMarkerGraphEdges 27.8 GB RSS peak at
+    SCALE=50 (memprof r4)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -480,11 +487,7 @@ def edge_consensus_batch_native(
         lens, edge_iv_off[:-1]
     ) if n_edges else np.zeros(0, np.int64)
     per_edge = np.where(np.diff(edge_iv_off) > 0, per_edge, 0)
-    out_off = np.zeros(n_edges + 1, np.int64)
-    np.cumsum(per_edge, out=out_off[1:])
-    out_b = np.empty(int(out_off[-1]), np.uint8)
-    out_r = np.empty(int(out_off[-1]), np.int32)
-    out_len = np.zeros(n_edges, np.int64)
+    bound_cum = np.cumsum(per_edge)
     if mode == 2:
         priors = np.ascontiguousarray(priors, np.float64)
         likelihood = np.ascontiguousarray(likelihood, np.float64)
@@ -496,17 +499,47 @@ def edge_consensus_batch_native(
         pp = lp = ctypes.POINTER(ctypes.c_double)()
     fn = lib.edge_consensus_batch
     fn.restype = ctypes.c_int64
-    rc = fn(
-        _u8p(fill_b), _u8p(fill_r), _i64p(fill_off),
-        _i64p(iv_idx), _i64p(edge_iv_off), ctypes.c_int64(n_edges),
-        ctypes.c_int32(mode),
-        pp, lp, ctypes.c_int64(ny), ctypes.c_int64(nx),
-        _u8p(out_b), out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        _i64p(out_off), _i64p(out_len),
+    CAP = 1 << 28
+    seq_parts, rep_parts, len_parts = [], [], []
+    e0 = 0
+    while e0 < n_edges:
+        base = int(bound_cum[e0 - 1]) if e0 else 0
+        e1 = int(np.searchsorted(bound_cum, base + CAP, side="right")) + 1
+        e1 = max(e0 + 1, min(e1, n_edges))
+        nb = e1 - e0
+        out_off = np.zeros(nb + 1, np.int64)
+        np.cumsum(per_edge[e0:e1], out=out_off[1:])
+        out_b = np.empty(int(out_off[-1]), np.uint8)
+        out_r = np.empty(int(out_off[-1]), np.int32)
+        out_len = np.zeros(nb, np.int64)
+        eoff = np.ascontiguousarray(edge_iv_off[e0 : e1 + 1])
+        rc = fn(
+            _u8p(fill_b), _u8p(fill_r), _i64p(fill_off),
+            _i64p(iv_idx), _i64p(eoff), ctypes.c_int64(nb),
+            ctypes.c_int32(mode),
+            pp, lp, ctypes.c_int64(ny), ctypes.c_int64(nx),
+            _u8p(out_b), out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            _i64p(out_off), _i64p(out_len),
+        )
+        if rc != 0:
+            return None
+        # Compact this chunk: gather each edge's real consensus run.
+        n_cols = int(out_len.sum())
+        src = np.repeat(out_off[:-1], out_len) + (
+            np.arange(n_cols, dtype=np.int64)
+            - np.repeat(
+                np.concatenate(([0], np.cumsum(out_len)[:-1])), out_len
+            )
+        )
+        seq_parts.append(out_b[src])
+        rep_parts.append(out_r[src])
+        len_parts.append(out_len)
+        e0 = e1
+    return (
+        np.concatenate(seq_parts) if seq_parts else np.zeros(0, np.uint8),
+        np.concatenate(rep_parts) if rep_parts else np.zeros(0, np.int32),
+        np.concatenate(len_parts) if len_parts else np.zeros(0, np.int64),
     )
-    if rc != 0:
-        return None
-    return out_b, out_r, out_off, out_len
 
 
 def near_strand_jump_native(graph, n_reads: int, max_distance: int):
