@@ -112,6 +112,7 @@ def assemble_marker_graph_vertices(
     mg: MarkerGraph,
     caller: str = "Modal",
     max_repeat: int = 256,
+    chunk_markers: int = 1 << 24,
 ) -> np.ndarray:
     """Consensus repeat count for each of the k positions of each
     vertex (reference: assembleMarkerGraphVertices,
@@ -119,65 +120,81 @@ def assemble_marker_graph_vertices(
     is its k-mer; only repeat counts need consensus.
 
     Returns int32 [n_vertices, k]. Fully vectorized: one histogram
-    scatter per k-mer position over all vertices at once.
+    bincount per k-mer position over a vertex-aligned marker chunk at
+    a time — every temporary (gathered positions, fused keys, the
+    (vertices, width) histogram) is O(chunk), so the stage's transient
+    RSS is flat in genome size (memprof r4: the whole-graph variant
+    peaked at 16.4 GB at SCALE=50 over a 318 MB output; the per-j
+    int64 keys, bincount's internal intp copy, and the full
+    n_v*width histogram were the whales).
     """
     k = markers.k
     n_v = mg.vertex_count
     out = np.zeros((n_v, k), dtype=np.int32)
     if n_v == 0:
         return out
+    if caller not in ("Modal", "Median"):
+        raise ValueError(f"Unsupported vertex caller {caller!r}")
 
     moff = markers.offsets
     total = markers.total_count
-    # Index arrays stay int32 when everything fits (memprof r4: this
-    # stage's int64 expansions peaked at 27.8 GB RSS at SCALE=50 over
-    # a 318 MB output); the per-j position is a fused base + j*step so
-    # the lo/hi/where triple is computed once, not per k position.
     idt = (
         np.int32
         if max(total, int(reads.offsets[-1])) < 2**31
         else np.int64
     )
-    # Vertex and oriented read of every in-vertex marker.
-    vm = mg.vertex_markers  # flat marker ids, grouped by vertex
-    v_of = np.repeat(np.arange(n_v, dtype=idt), mg.vertex_coverage())
-    orid_of_marker = np.repeat(
-        np.arange(moff.shape[0] - 1, dtype=idt), np.diff(moff)
-    )
-    orid = orid_of_marker[vm]
-    del orid_of_marker
-    pos = markers.positions[vm].astype(idt)  # RLE position of marker start
+    voff = mg.vertex_offsets
+    vm_all = mg.vertex_markers  # flat marker ids, grouped by vertex
 
-    # Flat index of RLE position (pos + j) per oriented read:
-    # idx_j = base + j*step (step -1 on the reversed strand).
-    rid = orid >> 1
-    rev = (orid & 1).astype(bool)
-    lo = reads.offsets[rid].astype(idt)
-    hi = reads.offsets[rid + 1].astype(idt)
-    base = np.where(rev, hi - 1 - pos, lo + pos)
-    step = np.where(rev, np.int8(-1), np.int8(1))
-    del orid, pos, rid, rev, lo, hi
+    v0 = 0
+    while v0 < n_v:
+        # Advance to the vertex boundary at (or just past) chunk_markers
+        # in-vertex markers, so every vertex's histogram is complete
+        # within one chunk and the result is byte-identical to the
+        # whole-graph pass.
+        v1 = int(np.searchsorted(voff, voff[v0] + chunk_markers, "left"))
+        v1 = max(v0 + 1, min(v1, n_v))
+        s0, s1 = int(voff[v0]), int(voff[v1])
+        vm = vm_all[s0:s1]
+        nvc = v1 - v0
+        v_of = np.repeat(
+            np.arange(nvc, dtype=idt), np.diff(voff[v0 : v1 + 1])
+        )
+        # Oriented read of each chunk marker by CSR bisection (avoids
+        # materializing a read id per marker for the whole store).
+        orid = (np.searchsorted(moff, vm, "right") - 1).astype(idt)
+        pos = markers.positions[vm].astype(idt)  # RLE marker start
 
-    for j in range(k):
-        idx = base + j * step
-        rc = np.minimum(reads.repeat_counts[idx], max_repeat - 1)
-        # bincount over a fused (vertex, repeat) key with the width
-        # trimmed to the largest repeat actually present: orders of
-        # magnitude cheaper than a scatter-add into (n_v, 256).
-        width = int(rc.max()) + 1 if rc.shape[0] else 1
-        kdt = np.int64 if n_v * width >= 2**31 else np.int32
-        hist = np.bincount(
-            v_of.astype(kdt, copy=False) * kdt(width) + rc,
-            minlength=n_v * width,
-        ).reshape(n_v, width)
-        if caller == "Modal":
-            out[:, j] = np.argmax(hist, axis=1)
-        elif caller == "Median":
-            c = np.cumsum(hist, axis=1)
-            half = c[:, -1:] // 2
-            out[:, j] = np.argmax(c > half, axis=1)
-        else:
-            raise ValueError(f"Unsupported vertex caller {caller!r}")
+        # Flat index of RLE position (pos + j) per oriented read:
+        # idx_j = base + j*step (step -1 on the reversed strand).
+        rid = orid >> 1
+        rev = (orid & 1).astype(bool)
+        lo = reads.offsets[rid].astype(idt)
+        hi = reads.offsets[rid + 1].astype(idt)
+        base = np.where(rev, hi - 1 - pos, lo + pos)
+        step = np.where(rev, np.int8(-1), np.int8(1))
+        del orid, pos, rid, rev, lo, hi
+
+        for j in range(k):
+            idx = base + j * step
+            rc = np.minimum(reads.repeat_counts[idx], max_repeat - 1)
+            # bincount over a fused (vertex, repeat) key with the width
+            # trimmed to the largest repeat present in the chunk (a
+            # narrower chunk-local width cannot change argmax: absent
+            # columns are zero and every vertex has coverage >= 1).
+            width = int(rc.max()) + 1 if rc.shape[0] else 1
+            kdt = np.int64 if nvc * width >= 2**31 else np.int32
+            hist = np.bincount(
+                v_of.astype(kdt, copy=False) * kdt(width) + rc,
+                minlength=nvc * width,
+            ).reshape(nvc, width)
+            if caller == "Modal":
+                out[v0:v1, j] = np.argmax(hist, axis=1)
+            else:  # Median
+                c = np.cumsum(hist, axis=1)
+                half = c[:, -1:] // 2
+                out[v0:v1, j] = np.argmax(c > half, axis=1)
+        v0 = v1
     return out
 
 

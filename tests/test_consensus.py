@@ -296,3 +296,27 @@ def test_edge_consensus_fast_paths_match_loop(monkeypatch):
                 assert np.array_equal(
                     getattr(ref, f), getattr(nat, f)
                 ), (name, "native", f)
+
+
+def test_vertex_consensus_chunked_matches_whole_graph():
+    """assemble_marker_graph_vertices processes vertex-aligned marker
+    chunks; forcing many tiny chunks must reproduce the single-chunk
+    (whole-graph) result exactly, for both repeat-count callers."""
+    from shasta_tpu.graph.assembly_graph import (
+        assemble_marker_graph_vertices,
+    )
+    from tests.test_marker_graph import full_pipeline_to_marker_graph
+
+    reads, markers, mg = full_pipeline_to_marker_graph(
+        genome_size=6000, n_reads=60, read_len=1500, seed=23,
+        error_rate=0.01,
+    )
+    assert mg.vertex_count > 100
+    for caller in ("Modal", "Median"):
+        whole = assemble_marker_graph_vertices(
+            reads, markers, mg, caller=caller, chunk_markers=1 << 60
+        )
+        tiny = assemble_marker_graph_vertices(
+            reads, markers, mg, caller=caller, chunk_markers=7
+        )
+        assert np.array_equal(whole, tiny), caller
