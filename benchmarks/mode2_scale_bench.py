@@ -1,19 +1,31 @@
 """Mode-2 (phased diploid) scale benchmark: SCALE Mb diploid genome
 (het SNP every ~700 bases, the reference's human-like density),
-~25x combined coverage, 1% errors, full mode-2 pipeline wall-clock on
-one chip (VERDICT r2 item 7 acceptance: a 5 Mb diploid mode-2 run
-completes in minutes with per-stage seconds recorded).
+full mode-2 pipeline wall-clock on one chip (VERDICT r2 item 7
+acceptance: a 5 Mb diploid mode-2 run completes in minutes with
+per-stage seconds recorded).
 
-Usage: SCALE=5 python benchmarks/mode2_scale_bench.py
+Regimes (REGIME env):
+- uniform1 (default): fixed 10 kb reads, 1% uniform errors, ~25x —
+  the round-3/4 comparison regime.
+- ont: the regime the reference's mode-2 claims are about
+  (docs/ComputationalMethods.html "Assembly mode 2: typical
+  results" — real ONT reads at 40-80x): calibrated ONT reads
+  (log-normal lengths, indel-biased homopolymer-concentrated
+  errors, ~2.2% post-RLE), ~40x combined coverage, run under the
+  Nanopore-Phased-May2022 built-in configuration verbatim.
+
+Usage: [REGIME=ont] SCALE=5 python benchmarks/mode2_scale_bench.py
 """
 import sys, time, json, tempfile, os
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 SCALE = int(os.environ.get("SCALE", "1"))
+REGIME = os.environ.get("REGIME", "uniform1")
 import numpy as np
 from tests import synth
 from shasta_tpu.pipeline.assemble import run_assembly
 from shasta_tpu.pipeline.config import AssemblyConfig
+from shasta_tpu.pipeline.configurations import get_configuration
 
 t0 = time.monotonic()
 size = 1_000_000 * SCALE
@@ -25,14 +37,29 @@ hapB[snp_positions] = (
     hapA[snp_positions] + 1 + rng.integers(0, 3, snp_positions.shape[0])
 ) % 4
 
-n_reads_per_hap = 1250 * SCALE  # 2x 12.5x of 10 kb reads = ~25x total
 reads = []
-reads += synth.sample_reads(
-    hapA, n_reads_per_hap, 10000, seed=702, error_rate=0.01, both_strands=True
-)
-reads += synth.sample_reads(
-    hapB, n_reads_per_hap, 10000, seed=703, error_rate=0.01, both_strands=True
-)
+if REGIME == "ont":
+    # 2 x 20x calibrated ONT reads = ~40x combined, the config's
+    # design range (conf/Nanopore-Phased-May2022.conf "Coverage 40x
+    # to 80x"); minReadLength=10000 sets the length floor.
+    reads += synth.sample_reads_ont(
+        hapA, 20.0, seed=702,
+        median_length=25000, sigma=0.55, min_length=11000,
+    )
+    reads += synth.sample_reads_ont(
+        hapB, 20.0, seed=703,
+        median_length=25000, sigma=0.55, min_length=11000,
+    )
+else:
+    n_reads_per_hap = 1250 * SCALE  # 2x 12.5x of 10 kb reads = ~25x total
+    reads += synth.sample_reads(
+        hapA, n_reads_per_hap, 10000, seed=702, error_rate=0.01,
+        both_strands=True,
+    )
+    reads += synth.sample_reads(
+        hapB, n_reads_per_hap, 10000, seed=703, error_rate=0.01,
+        both_strands=True,
+    )
 tmp = tempfile.mkdtemp()
 fa = os.path.join(tmp, "r.fasta")
 synth.write_fasta(fa, reads)
@@ -43,24 +70,29 @@ print(
     flush=True,
 )
 
-cfg = AssemblyConfig()
-cfg.reads.min_read_length = 1000
-cfg.kmers.k = 10
-cfg.kmers.probability = 0.1
-cfg.min_hash.hash_fraction = 0.02
-cfg.min_hash.min_hash_iteration_count = 8
-cfg.min_hash.min_frequency = 2
-cfg.min_hash.max_bucket_size = 60
-cfg.align.min_aligned_marker_count = 40
-cfg.align.max_skip = 60
-cfg.align.max_drift = 40
-cfg.align.max_trim = 60
-cfg.read_graph.max_alignment_count = 8
-cfg.read_graph.strand_separation_method = 2
-cfg.marker_graph.min_coverage = 0
-cfg.marker_graph.min_edge_coverage = 4
-cfg.marker_graph.min_edge_coverage_per_strand = 1
-cfg.assembly.mode = 2
+if REGIME == "ont":
+    cfg = AssemblyConfig.from_conf_text(
+        get_configuration("Nanopore-Phased-May2022")
+    )
+else:
+    cfg = AssemblyConfig()
+    cfg.reads.min_read_length = 1000
+    cfg.kmers.k = 10
+    cfg.kmers.probability = 0.1
+    cfg.min_hash.hash_fraction = 0.02
+    cfg.min_hash.min_hash_iteration_count = 8
+    cfg.min_hash.min_frequency = 2
+    cfg.min_hash.max_bucket_size = 60
+    cfg.align.min_aligned_marker_count = 40
+    cfg.align.max_skip = 60
+    cfg.align.max_drift = 40
+    cfg.align.max_trim = 60
+    cfg.read_graph.max_alignment_count = 8
+    cfg.read_graph.strand_separation_method = 2
+    cfg.marker_graph.min_coverage = 0
+    cfg.marker_graph.min_edge_coverage = 4
+    cfg.marker_graph.min_edge_coverage_per_strand = 1
+    cfg.assembly.mode = 2
 run_dir = os.path.join(tmp, "run")
 summary = run_assembly([fa], run_dir, cfg)
 
@@ -82,5 +114,6 @@ pr_only = [s for n, s in zip(names, phased) if n.startswith("PR.")]
 summary["phasing"] = AC.diploid_phasing_metrics(pr_only, hapA, hapB, k=21)
 summary["phasingAllSegments"] = AC.diploid_phasing_metrics(phased, hapA, hapB, k=21)
 summary["accuracySeconds"] = round(time.monotonic() - t_acc, 1)
+summary["regime"] = REGIME
 print(json.dumps({k: v for k, v in summary.items() if k != "stageSeconds"}, indent=1), flush=True)
 print("stage seconds:", json.dumps({k: round(v, 1) for k, v in summary["stageSeconds"].items()}, indent=1))

@@ -386,6 +386,56 @@ def find_candidates_lowhash(
     )
 
 
+def candidate_feedback(
+    candidates: CandidatePairs,
+    read_count: int,
+    m: int,
+    is_palindromic: Optional[np.ndarray] = None,
+):
+    """Post-LowHash starvation diagnosis (reference: the per-read
+    LowHash statistics at src/LowHash0.cpp:57 and the feedback rules
+    of scripts/GenerateFeedback.py:72-77: fewer than 20 candidates
+    per read means the MinHash phase starved).
+
+    Returns ``(messages, stats)``: ``messages`` is empty when
+    candidate generation looks healthy; ``stats`` always carries
+    candidatesPerRead and the isolated (zero-candidate) read
+    fraction so runs can be audited afterwards."""
+    has_candidate = np.zeros(read_count, bool)
+    if candidates.count:
+        has_candidate[candidates.read_id0] = True
+        has_candidate[candidates.read_id1] = True
+    eligible = np.ones(read_count, bool)
+    if is_palindromic is not None and is_palindromic.shape[0] == read_count:
+        eligible &= ~is_palindromic.astype(bool)
+    n_eligible = max(1, int(eligible.sum()))
+    isolated = int((eligible & ~has_candidate).sum())
+    per_read = candidates.count / max(1, read_count)
+    stats = {
+        "candidatesPerRead": round(per_read, 2),
+        "isolatedReadFraction": round(isolated / n_eligible, 4),
+        "isolatedReadCount": isolated,
+    }
+    messages = []
+    if per_read < 20.0:
+        msg = (
+            "LowHash starvation: the MinHash phase generated only "
+            f"{per_read:.1f} alignment candidates per read and "
+            f"{isolated} of {n_eligible} reads have no candidate at "
+            "all. Try, in order: increase MinHash.minHashIterationCount "
+            "by 10 (up to 100); increase MinHash.hashFraction; "
+        )
+        if m == 4:
+            msg += "decrease MinHash.m to 3; "
+        msg += (
+            "and check that MinHash.maxBucketSize exceeds the "
+            "effective coverage (identical features collapse into one "
+            "bucket on low-error data)."
+        )
+        messages.append(msg)
+    return messages, stats
+
+
 def get_read_meta_field(metadata: str, key: str) -> str:
     """Extract a key=value field from a read's metadata string
     (reference: Reads::getMetaData)."""

@@ -106,6 +106,11 @@ class Assembler:
         self.vertex_repeats: Optional[np.ndarray] = None
         self.edge_consensus: Optional[AG.EdgeConsensus] = None
         self.min_coverage_used: int = 0
+        # Actionable post-stage diagnoses (reference:
+        # scripts/GenerateFeedback.py run after an assembly); surfaced
+        # in the log as WARNINGs and in AssemblySummary.json.
+        self.feedback: List[str] = []
+        self.lowhash_stats: Dict = {}
         self.log.memprobe = self._memory_inventory
 
     _MEM_STORES = (
@@ -393,6 +398,21 @@ class Assembler:
                     "same-channel candidates."
                 )
             self.store.save_stage("AlignmentCandidates", self.candidates.arrays())
+            # Starvation check: the reference records per-read LowHash
+            # statistics (src/LowHash0.cpp:57) and its feedback script
+            # flags runs whose MinHash phase starved
+            # (scripts/GenerateFeedback.py:72-77); act on it here
+            # instead of only recording the CSV.
+            fb_msgs, self.lowhash_stats = LH.candidate_feedback(
+                self.candidates,
+                self.reads.read_count,
+                cm.m,
+                self.reads.is_palindromic,
+            )
+            for msg in fb_msgs:
+                self.log.line("WARNING: " + msg)
+                print("WARNING: " + msg, flush=True)
+            self.feedback.extend(fb_msgs)
 
     def compute_alignments(self) -> None:
         from shasta_tpu.parallel.context import use_mesh
@@ -511,6 +531,27 @@ class Assembler:
                     max_alignment_count=cr.max_alignment_count,
                 )
             self.store.save_stage("ReadGraph", self.read_graph.arrays())
+            # Alignment-quality feedback (reference:
+            # scripts/GenerateFeedback.py:82-91 — candidates were
+            # plentiful but too few passed the good-alignment bar).
+            good_per_read = self.alignments.count / max(1, self.reads.read_count)
+            isolated_frac = float(
+                (np.diff(self.read_graph.adj_offsets)[0::2] == 0).mean()
+            )
+            if self.lowhash_stats.get("candidatesPerRead", 99.0) >= 20.0 and (
+                good_per_read < 5.0 or isolated_frac > 0.5
+            ):
+                msg = (
+                    "Not enough good alignments: "
+                    f"{good_per_read:.1f} per read, isolated-read "
+                    f"fraction {isolated_frac:.2f}. Try, in order: "
+                    "decrease Align.minAlignedFraction by 0.05 (down "
+                    "to 0.2); decrease Align.minAlignedMarkerCount; "
+                    "increase Align.maxSkip and Align.maxDrift by 10."
+                )
+                self.log.line("WARNING: " + msg)
+                print("WARNING: " + msg, flush=True)
+                self.feedback.append(msg)
         with self.log.stage("flagChimericReads"):
             self.reads.is_chimeric = RG.flag_chimeric_reads(
                 self.read_graph,
@@ -1183,6 +1224,10 @@ class Assembler:
                 "assembledSegmentN50": stats["n50"],
                 "stageSeconds": dict(self.log.stage_seconds),
             }
+            if self.lowhash_stats:
+                summary["lowHashStatistics"] = self.lowhash_stats
+            if self.feedback:
+                summary["feedback"] = list(self.feedback)
             with open(os.path.join(self.run_dir, "AssemblySummary.json"), "w") as f:
                 json.dump(summary, f, indent=2)
             self.config.write_conf(os.path.join(self.run_dir, "shasta.conf"))

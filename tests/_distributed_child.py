@@ -1,8 +1,9 @@
 """Child process body for the 2-process distributed identity test.
 
 Launched by tests/test_distributed.py as ``python _distributed_child.py
-<process_id> <num_processes> <coordinator_addr> <workdir> [mode]``
-(mode 0 default, 2 = diploid). Each child
+<process_id> <num_processes> <coordinator_addr> <workdir> [mode]
+[scale]`` (mode 0 default, 2 = diploid; "scale" switches to the
+SCALE-bench configuration for multi-Mb inputs). Each child
 brings up jax.distributed against the shared coordinator, runs
 ``run_assembly_distributed`` on the same input, and exercises the
 p>1 branches of the cross-host helpers (allgather_to_hosts, barrier).
@@ -58,7 +59,12 @@ def main() -> None:
     assert D.shard_input_files(files) == files[pid::nproc]
     assert D.shard_input_files(["only"]) == ["only"]
 
-    cfg = small_config()
+    if len(sys.argv) > 6 and sys.argv[6] == "scale":
+        from tests.test_distributed import scale_config
+
+        cfg = scale_config()
+    else:
+        cfg = small_config()
     if mode == 2:
         cfg.assembly.mode = 2
         cfg.marker_graph.min_edge_coverage = 3

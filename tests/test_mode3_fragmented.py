@@ -67,8 +67,10 @@ def test_mode3_fragmented_regime(tmp_path):
     # the mutual-selection chainer hold path N50 at tens of kb here
     # (measured 44.4 kb; the round-3 reference-parameter walk gave
     # ~5-7 kb — root cause in docs/Design.md "Mode 3 behavior
-    # envelope").
-    assert s["mode3JaccardPathN50"] >= 25_000, s["mode3JaccardPathN50"]
+    # envelope"). Pinned at ~0.8x the measured value so a silent
+    # regression to the old chainer behavior fails (VERDICT r4
+    # weak 7).
+    assert s["mode3JaccardPathN50"] >= 35_000, s["mode3JaccardPathN50"]
 
     # The full mode-3 output family exists.
     for f in ("Mode3-Assembly.gfa", "Mode3-Paths.fasta",
