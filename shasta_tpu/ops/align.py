@@ -668,8 +668,14 @@ def _batch_plan(n: int, LA: int, LB: int, W: int, use_pallas: bool, mesh_d: int)
 
         if align_pallas._block_pairs(LA, W, LB) == 0:
             # Chunked launch: dirs stream through a B*LA*W/4-byte HBM
-            # intermediate (2-bit packed); cap it at ~2 GiB.
-            max_b = max(64, min(max_b, (1 << 33) // max(1, LA * W)))
+            # intermediate (2-bit packed); cap it at ~2 GiB — and at
+            # ~512 MiB for ultra-long classes (LA >= 16384), whose
+            # launches are additionally retired synchronously: at
+            # SCALE=100 ONT, a 2 GiB dirs co-resident with the take
+            # matrices and queued batch outputs exhausted HBM
+            # (RESOURCE_EXHAUSTED at (32768, 32768, 512) B=512).
+            budget = (1 << 31) if LA >= 16384 else (1 << 33)
+            max_b = max(32, min(max_b, budget // max(1, LA * W)))
     else:
         max_b = max(8, min(_MAX_BATCH, _DIRS_BYTE_BUDGET // max(1, LA * W)))
     max_b -= max_b % 8
@@ -928,9 +934,13 @@ def _dispatch_csr(
                         gap=params.gap_score,
                     )
                 pending.append(("band", out, hi - lo))
+                _retire_giant_chunked(out, LA, LB, W)
                 continue
+            # Band-relative delta packing: u8 below W=254, u16 above
+            # (align_pallas._fuse_outputs) — every packed batch is
+            # device-compactable, so the runner can drain HBM early.
             pack = (
-                W <= 254
+                W <= 65534
                 and os.environ.get("SHASTA_TPU_PACKU8", "1") != "0"
             )
             if mesh_d > 1:
@@ -961,6 +971,7 @@ def _dispatch_csr(
                 pending.append(("p2", (met_dev, delta_dev, bm), hi - lo))
             else:
                 pending.append(("pallas", out, hi - lo))
+            _retire_giant_chunked(out, LA, LB, W)
             continue
         ia = np.concatenate([ids_a[lo:hi], np.zeros(pad, np.int64)])
         ib = np.concatenate([ids_b[lo:hi], np.zeros(pad, np.int64)])
@@ -983,6 +994,26 @@ def _dispatch_csr(
             )
         )
     return pending
+
+
+def _retire_giant_chunked(out, LA, LB, W) -> None:
+    """Force an ultra-long-class chunked launch to finish before more
+    work is dispatched: its multi-hundred-MB HBM dirs intermediate
+    must not co-reside with the next launch's (measured
+    RESOURCE_EXHAUSTED at SCALE=100 ONT). A 1-element fetch blocks on
+    the whole execution; giant classes are tail-rare, so the ~150 ms
+    relay round trip is noise."""
+    if LA < 16384:
+        return
+    from shasta_tpu.ops import align_pallas
+
+    if align_pallas._block_pairs(LA, W, LB) != 0:
+        return
+    arr = out[0] if isinstance(out, tuple) else out
+    try:
+        np.asarray(arr[:1, :1])
+    except Exception:
+        pass
 
 
 def _dispatch_padded(
@@ -1217,7 +1248,7 @@ class _CsrStreamingRunner:
     earlier stages. Batches are built with one gather per batch — no
     per-pair Python array handling."""
 
-    def __init__(self, flat, off, lens, params: AlignParams):
+    def __init__(self, flat, off, lens, params: AlignParams, keep_fn=None):
         self.flat, self.off, self.lens = flat, off, lens
         self.params = params
         self.dev_csr = _to_device_csr(flat, off, lens)
@@ -1226,6 +1257,20 @@ class _CsrStreamingRunner:
         self.counts: Dict[Tuple[int, int, int], int] = {}
         self.batches: List = []
         self._staged: List = []
+        # Early-drain state: with ``keep_fn`` provided, dispatched
+        # batches whose estimated device residency exceeds the budget
+        # are metric-fetched + device-compacted DURING dispatch (oldest
+        # first) instead of all at collection time — at SCALE=100 the
+        # queued (B, LA) outputs of every phase-2 batch exhausted the
+        # 16 GB HBM (RESOURCE_EXHAUSTED; VERDICT r4 item 1 run).
+        self.keep_fn = keep_fn
+        self._dev_bytes = 0
+        self._drain_budget = (
+            int(os.environ.get("SHASTA_TPU_DEVQ_MB", "3072")) << 20
+        )
+        self._early: Dict[int, Tuple] = {}
+        self._batch_bytes: List[int] = []
+        self._drain_ptr = 0
 
     def add_many(self, ids_a, ids_b, band_mins, widths, tags):
         ids_a = np.asarray(ids_a, np.int64)
@@ -1274,7 +1319,64 @@ class _CsrStreamingRunner:
         for entry in pending:
             n_real = entry[2]
             self.batches.append((tags[lo : lo + n_real], [entry]))
+            est = _entry_dev_bytes(entry)
+            self._batch_bytes.append(est)
+            self._dev_bytes += est
             lo += n_real
+        if self.keep_fn is not None:
+            self._maybe_drain()
+
+    def _compactable(self, entry):
+        kind, payload, _n = entry
+        return (
+            os.environ.get("SHASTA_TPU_COMPACT", "1") != "0"
+            and kind == "p2"
+            and not isinstance(payload[1], np.ndarray)
+        )
+
+    def _compact_batch(self, tags, pending):
+        """Fetch one batch's (tiny) metric block, apply the acceptance
+        filters, dispatch the device-side compaction of the kept
+        pairs' matches (LA/8 + count bytes per kept pair), and release
+        the batch's uncompacted device output."""
+        import jax.numpy as jnp
+
+        entry = pending[0]
+        met_dev, delta_dev, bm = entry[1]
+        n_real = entry[2]
+        itemsize = np.dtype(delta_dev.dtype).itemsize
+        met = np.asarray(met_dev)[:n_real, :10].astype(np.int64)
+        keep = np.asarray(self.keep_fn(tags, met), bool)
+        sel = np.flatnonzero(keep)
+        # Coarse power-of-2 shape grid: every distinct (BK, K) is a
+        # separate remote compile (~10-45 s first time); <=2x padding
+        # on a bitmap/byte stream is cheap.
+        BK = 1 << max(int(sel.shape[0] - 1).bit_length(), 3)
+        K = 1 << max(int(met[sel, 0].sum() - 1).bit_length(), 10)
+        selp = np.full(BK, -1, np.int32)
+        selp[: sel.shape[0]] = sel
+        out = _compact_kept(delta_dev, jnp.asarray(selp), K=K)
+        # Release the uncompacted device output (and its relay-client
+        # host mirror) NOW.
+        pending[0] = None
+        del entry, met_dev, delta_dev
+        new_bytes = int(out[0].shape[0]) * int(out[0].shape[1]) + K * itemsize
+        return met, (met, sel, bm), out, new_bytes
+
+    def _maybe_drain(self):
+        while (
+            self._dev_bytes > self._drain_budget
+            and self._drain_ptr < len(self.batches)
+        ):
+            i = self._drain_ptr
+            self._drain_ptr += 1
+            tags, pending = self.batches[i]
+            if not self._compactable(pending[0]):
+                continue
+            met, meta, payload, new_bytes = self._compact_batch(tags, pending)
+            self._early[i] = (met, meta, payload)
+            self._dev_bytes -= self._batch_bytes[i] - new_bytes
+            self._batch_bytes[i] = new_bytes
 
     def flush_all(self):
         for key in list(self.buffers):
@@ -1322,21 +1424,15 @@ class _CsrStreamingRunner:
 
         Entries that are not packed device outputs (jnp fallback,
         multiprocess pre-fetched) stage their fetched payload whole
-        and decode in sweep 2."""
-        import jax.numpy as jnp
-
-        use = os.environ.get("SHASTA_TPU_COMPACT", "1") != "0"
-
-        def compactable(entry):
-            kind, payload, _n = entry
-            return (
-                use and kind == "p2"
-                and not isinstance(payload[1], np.ndarray)
-            )
-
-        for tags, pending in self.batches:
+        and decode in sweep 2. Batches already compacted by the
+        early drain pass through untouched."""
+        if self.keep_fn is None:
+            self.keep_fn = keep_fn
+        for i, (tags, pending) in enumerate(self.batches):
+            if i in self._early:
+                continue
             entry = pending[0]
-            if compactable(entry):
+            if self._compactable(entry):
                 try:
                     entry[1][0].copy_to_host_async()
                 except AttributeError:
@@ -1345,35 +1441,21 @@ class _CsrStreamingRunner:
                 _prefetch_batches([(tags, pending)])
         staged = []
         metas = []
-        for tags, pending in self.batches:
+        for i, (tags, pending) in enumerate(self.batches):
+            if i in self._early:
+                met, meta, payload = self._early[i]
+                metas.append((tags, met))
+                staged.append((tags, meta, payload))
+                continue
             entry = pending[0]
-            if not compactable(entry):
+            if not self._compactable(entry):
                 met, rows, cols, vals = _entry_to_flat(entry)
                 metas.append((tags, met))
                 staged.append((tags, None, (rows, cols, vals)))
                 continue
-            met_dev, delta_dev, bm = entry[1]
-            n_real = entry[2]
-            met = np.asarray(met_dev)[:n_real, :10].astype(np.int64)
-            keep = np.asarray(keep_fn(tags, met), bool)
-            sel = np.flatnonzero(keep)
-            # Coarse power-of-2 shape grid: every distinct (BK, K) is
-            # a separate remote compile (~10-45 s first time), which
-            # dominated the first SCALE=25 collection; <=2x padding
-            # on a bitmap/byte stream is cheap.
-            BK = 1 << max(int(sel.shape[0] - 1).bit_length(), 3)
-            K = 1 << max(int(met[sel, 0].sum() - 1).bit_length(), 10)
-            selp = np.full(BK, -1, np.int32)
-            selp[: sel.shape[0]] = sel
-            out = _compact_kept(delta_dev, jnp.asarray(selp), K=K)
-            # Release this batch's uncompacted device output (and its
-            # relay-client host mirror) NOW: holding every batch's
-            # (B, LA) matrix until collection was the run's largest
-            # untracked allocation (~15 GB at SCALE=25, memprof r4).
-            pending[0] = None
-            del entry, met_dev, delta_dev
+            met, meta, payload, _nb = self._compact_batch(tags, pending)
             metas.append((tags, met))
-            staged.append((tags, (met, sel, bm), out))
+            staged.append((tags, meta, payload))
         for _tags, _meta, out in staged:
             if _meta is not None:
                 for x in out:
@@ -1382,6 +1464,7 @@ class _CsrStreamingRunner:
                     except AttributeError:
                         pass
         self._staged = staged
+        self._early = {}
         return metas
 
     def collect_filtered_matches(self):
@@ -1420,6 +1503,20 @@ class _CsrStreamingRunner:
             yield tags, met, rows, cols, vals
 
 
+def _entry_dev_bytes(entry) -> int:
+    """Estimated device-resident bytes of one pending batch entry
+    (device arrays only; already-fetched numpy payloads count 0)."""
+    _kind, payload, _n = entry
+    arrs = payload if isinstance(payload, (tuple, list)) else (payload,)
+    total = 0
+    for x in arrs:
+        shp = getattr(x, "shape", None)
+        if shp is None or isinstance(x, np.ndarray):
+            continue
+        total += int(np.prod(shp)) * np.dtype(x.dtype).itemsize
+    return total
+
+
 @functools.partial(jax.jit, static_argnames=("K",))
 def _compact_kept(delta, sel, *, K):
     """Device-side compaction of the packed match rows of KEPT pairs.
@@ -1436,13 +1533,14 @@ def _compact_kept(delta, sel, *, K):
     reference byte-compresses stored alignments for the same reason,
     reference: src/compressAlignment.cpp)."""
     B, LA = delta.shape
+    sent = jnp.array(255 if delta.dtype == jnp.uint8 else 65535, delta.dtype)
     rows = jnp.take(delta, jnp.clip(sel, 0, B - 1), axis=0)
-    matched = (rows != jnp.uint8(255)) & (sel >= 0)[:, None]
+    matched = (rows != sent) & (sel >= 0)[:, None]
     bitmap = jnp.packbits(matched, axis=1, bitorder="little")
     flat = matched.reshape(-1)
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
     idx = jnp.where(flat, pos, K)
-    vals = jnp.zeros(K, jnp.uint8).at[idx].set(rows.reshape(-1), mode="drop")
+    vals = jnp.zeros(K, delta.dtype).at[idx].set(rows.reshape(-1), mode="drop")
     return bitmap, vals
 
 
@@ -1507,7 +1605,8 @@ def _entry_to_flat(entry):
         met_dev, delta_dev, bm = payload
         met = np.asarray(met_dev)[:n_real, :10].astype(np.int64)
         dm = np.asarray(delta_dev)[:n_real]
-        rows, cols = np.nonzero(dm != 255)
+        sent = 255 if dm.dtype == np.uint8 else 65535
+        rows, cols = np.nonzero(dm != sent)
         vals = dm[rows, cols].astype(np.int64) + cols + bm[rows]
         return met, rows, cols.astype(np.int64), vals
     if kind == "pallas":
@@ -1597,7 +1696,18 @@ def align_candidates(
     # phase 2. The DP i axis is oriented read 0, j axis is oriented
     # read 1; the band is on j - i = ordinal1 - ordinal0 = -offset.
     _prof.mark("ds_prep")
-    runner = _CsrStreamingRunner(kmer_flat, koff, klen, params)
+
+    def _early_keep_fn(tags, met):
+        # The same acceptance mask the filtered collection applies —
+        # known up front, so the runner can compact batches during
+        # dispatch when device residency exceeds its budget.
+        return _keep_mask_from_metrics(
+            met, klen[or0[tags]], klen[or1[tags]], params
+        )
+
+    runner = _CsrStreamingRunner(
+        kmer_flat, koff, klen, params, keep_fn=_early_keep_fn
+    )
     if run_idx.shape[0]:
         # Full-matrix band for phase 1: j - i ranges over [-LA, LB]
         # (the reference aligns the downsampled sequences unbanded,

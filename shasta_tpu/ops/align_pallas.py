@@ -1227,6 +1227,22 @@ def _fuse_outputs(mj, best, band_min, B0, *, LA, LB, W, match, pack_u8):
         if int16_ok:
             met = met.astype(jnp.int16)
         return met, packed
+    if pack_u8 and W <= 65534:
+        # Wide bands (W > 254) pack the same band-relative delta as
+        # uint16 (65535 = no match). Same bytes as the int16 fused
+        # output, but the DELTA layout is what the device-side
+        # kept-pair compaction consumes (_compact_kept) — making wide
+        # classes compactable/drainable keeps phase-2 HBM residency
+        # bounded at 100 Mb-scale runs (the int16 fused outputs of
+        # every W=512 batch co-resident was part of the SCALE=100
+        # RESOURCE_EXHAUSTED).
+        mjT = mj.T[:B0]
+        delta = mjT - jnp.arange(LA, dtype=jnp.int32)[None, :] - band_min[:B0, None]
+        packed = jnp.where(mjT >= 0, delta, 65535).astype(jnp.uint16)
+        met = metrics[:B0]
+        if int16_ok:
+            met = met.astype(jnp.int16)
+        return met, packed
     # mj is (LA, B): row i holds the matched ordinal1 for ordinal0 = i
     # (or -1). Row order IS path order, no sort needed. Metrics and
     # matches are fused into ONE output array: device->host
