@@ -61,7 +61,7 @@ def build_workload(n_reads=4000, read_len=3000, genome_size=800000, seed=5):
     return markers, kt, cand
 
 
-def kernel_roofline_prepare(seed=11, force_chunked=False):
+def kernel_roofline_prepare(seed=11, force_chunked=False, waves=None):
     """Marginal kernel throughput (launch/fetch overhead excluded):
     run K kernel invocations inside ONE jitted fori_loop (so the whole
     chain is a single launch + a single scalar fetch), time K=2 vs
@@ -106,6 +106,8 @@ def kernel_roofline_prepare(seed=11, force_chunked=False):
         LA=LA, LB=LB, W=W, match=6, mismatch=-1, gap=-1,
         force_chunked=force_chunked,
     )
+    if waves is not None:
+        kw["waves"] = waves
 
     @functools.partial(jax.jit, static_argnames=("K",))
     def chain(a, a_len, b, b_len, bm, K):

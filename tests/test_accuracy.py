@@ -95,3 +95,34 @@ def test_diploid_metrics():
     half = [hapA[:100_000], hapB[:100_000]]
     ph3 = AC.diploid_phasing_metrics(half, hapA, hapB, k=21)
     assert 0.4 < ph3["hetKmerRecall"] < 0.6
+
+
+def test_phasing_switch_errors():
+    """Positional switch analysis distinguishes block switches from
+    isolated-site noise (utils/accuracy.phasing_switch_errors)."""
+    hapA = synth.random_genome(140_000, seed=19)
+    hapB = hapA.copy()
+    snps = np.arange(350, 140_000, 700)
+    hapB[snps] = (hapB[snps] + 1) % 4
+
+    # Pure sequences: no switches at all.
+    sw = AC.phasing_switch_errors([hapA.copy(), hapB.copy()], hapA, hapB)
+    assert sw["blockSwitches"] == 0 and sw["isolatedFlips"] == 0
+    assert sw["informativeSites"] > 0
+
+    # One chimera with two junctions -> exactly two block switches,
+    # and the wrong (middle) block's length is reported.
+    chim = np.concatenate(
+        [hapA[:50_000], hapB[50_000:90_000], hapA[90_000:]]
+    )
+    sw2 = AC.phasing_switch_errors([chim], hapA, hapB)
+    assert sw2["blockSwitches"] == 2, sw2
+    assert sw2["isolatedFlips"] == 0
+    assert sw2["longestWrongRun"] > 30  # ~57 SNPs x 21 k-mers each
+
+    # A single flipped SNP site: isolated flips, zero block switches.
+    one = hapA.copy()
+    one[snps[60]] = hapB[snps[60]]
+    sw3 = AC.phasing_switch_errors([one], hapA, hapB)
+    assert sw3["blockSwitches"] == 0, sw3
+    assert sw3["isolatedFlips"] >= 1
