@@ -461,16 +461,30 @@ def assemble_marker_graph_edges(
     total_per_edge = np.bincount(edge_of_iv, minlength=n_edges)
     is_mode1 = (~has_long) & (mode1_per_edge >= total_per_edge - mode1_per_edge)
 
-    # Mode-1 best offsets for all such edges in one histogram pass
-    # (ties -> smaller offset, like the reference's max_element).
-    sel = is_mode1[edge_of_iv] & (iv_off <= k)
-    hist = np.bincount(
-        edge_of_iv[sel].astype(np.int64) * np.int64(k + 1) + iv_off[sel],
-        minlength=n_edges * (k + 1),
-    ).reshape(n_edges, k + 1)
-    del sel
-    best_offset_all = np.argmax(hist, axis=1)
-    del hist
+    # Mode-1 best offsets for all such edges, histogrammed in
+    # edge-chunks (ties -> smaller offset, like the reference's
+    # max_element). edge_of_iv is nondecreasing (np.repeat of arange),
+    # so each chunk is a contiguous interval slice; the monolithic
+    # (n_edges, k+1) int64 histogram this replaces was the stage's
+    # largest remaining transient (~6 GB at SCALE=50, ~12 GB at the
+    # 100 Mb ONT scale — the 19.5/32.5 GB stage peaks in SCALE_r05).
+    sel_mask = is_mode1[edge_of_iv] & (iv_off <= k)
+    best_offset_all = np.zeros(n_edges, np.int32)
+    _CH = 1 << 22  # 4M edges/chunk: (4M, k+1) int64 hist ~= 0.5 GB
+    for lo in range(0, n_edges, _CH):
+        hi = min(lo + _CH, n_edges)
+        s = np.searchsorted(edge_of_iv, lo, side="left")
+        e = np.searchsorted(edge_of_iv, hi, side="left")
+        m = sel_mask[s:e]
+        keys = (edge_of_iv[s:e][m].astype(np.int64) - lo) * np.int64(
+            k + 1
+        ) + iv_off[s:e][m]
+        hist = np.bincount(keys, minlength=(hi - lo) * (k + 1)).reshape(
+            hi - lo, k + 1
+        )
+        best_offset_all[lo:hi] = np.argmax(hist, axis=1).astype(np.int32)
+        del keys, hist
+    del sel_mask
 
     # Mode-1 edges (the overwhelming majority) resolve without any
     # per-edge Python; the loop below visits only mode-2/pathological

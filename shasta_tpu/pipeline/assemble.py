@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional
@@ -411,7 +412,9 @@ class Assembler:
             )
             for msg in fb_msgs:
                 self.log.line("WARNING: " + msg)
-                print("WARNING: " + msg, flush=True)
+                # stderr: the assemble CLI's stdout carries the
+                # summary JSON.
+                print("WARNING: " + msg, file=sys.stderr, flush=True)
             self.feedback.extend(fb_msgs)
 
     def compute_alignments(self) -> None:
@@ -550,7 +553,7 @@ class Assembler:
                     "increase Align.maxSkip and Align.maxDrift by 10."
                 )
                 self.log.line("WARNING: " + msg)
-                print("WARNING: " + msg, flush=True)
+                print("WARNING: " + msg, file=sys.stderr, flush=True)
                 self.feedback.append(msg)
         with self.log.stage("flagChimericReads"):
             self.reads.is_chimeric = RG.flag_chimeric_reads(

@@ -70,6 +70,6 @@ def test_starved_run_fires_diagnosis(tmp_path):
     s = run_assembly([fa], run_dir, cfg)
     assert "lowHashStatistics" in s, s
     assert any("LowHash starvation" in m for m in s.get("feedback", [])), s
-    # The warning is in the run's stdout.log too (Tee).
-    with open(os.path.join(run_dir, "stdout.log")) as f:
+    # The warning lands in the run's performance.log too.
+    with open(os.path.join(run_dir, "performance.log")) as f:
         assert "LowHash starvation" in f.read()
