@@ -774,49 +774,61 @@ class _DeviceCsr:
         self._members = {
             int(c): order[sorted_cls == c] for c in np.unique(sorted_cls)
         }
-        self._mats: Dict[int, object] = {}
+        # LRU class-matrix cache with an HBM byte budget: at 200 Mb
+        # ONT the flat array (~5.6 GB) PLUS every class matrix
+        # (~flat x 1.3-1.7 padding) kept resident exhausted the
+        # 16 GB chip (RESOURCE_EXHAUSTED mid phase 2). Rebuilding an
+        # evicted class costs one device gather from flat_dev; the
+        # hottest (median-length) classes stay cached. The phase-1
+        # downsampled CSR (aux present) gets a quarter budget — its
+        # matrices are ~10x smaller.
+        from collections import OrderedDict
+
+        budget_mb = int(os.environ.get("SHASTA_TPU_MAT_MB", "3072"))
+        if aux is not None:
+            budget_mb //= 4
+        self._mat_budget = budget_mb << 20
+        self._cache: "OrderedDict[Tuple[str, int], Tuple[object, int]]" = (
+            OrderedDict()
+        )
+
+    def _class_matrix(self, kind: str, src, L: int):
+        key = (kind, L)
+        entry = self._cache.get(key)
+        if entry is not None:
+            self._cache.move_to_end(key)
+            return entry[0]
+        import jax.numpy as jnp
+
+        ids = self._members.get(L, np.zeros(0, np.int64))
+        n_pad = _csr_bucket(max(ids.shape[0], 1))
+        off_sel = np.zeros(n_pad, np.int32)
+        len_sel = np.zeros(n_pad, np.int32)
+        off_sel[: ids.shape[0]] = self.off[ids]
+        len_sel[: ids.shape[0]] = self.lens[ids]
+        m = _build_class_matrix(
+            src, jnp.asarray(off_sel), jnp.asarray(len_sel), L=L
+        )
+        if self.mesh is not None:
+            from shasta_tpu.parallel.mesh import put_replicated
+
+            m = put_replicated(m, self.mesh)
+        nbytes = n_pad * L * 4
+        self._cache[key] = (m, nbytes)
+        total = sum(b for _, b in self._cache.values())
+        while total > self._mat_budget and len(self._cache) > 1:
+            k_old, (_m_old, b_old) = next(iter(self._cache.items()))
+            if k_old == key:
+                break
+            del self._cache[k_old]
+            total -= b_old
+        return m
 
     def matrix(self, L: int):
-        m = self._mats.get(L)
-        if m is None:
-            import jax.numpy as jnp
-
-            ids = self._members.get(L, np.zeros(0, np.int64))
-            n_pad = _csr_bucket(max(ids.shape[0], 1))
-            off_sel = np.zeros(n_pad, np.int32)
-            len_sel = np.zeros(n_pad, np.int32)
-            off_sel[: ids.shape[0]] = self.off[ids]
-            len_sel[: ids.shape[0]] = self.lens[ids]
-            m = _build_class_matrix(
-                self.flat_dev, jnp.asarray(off_sel), jnp.asarray(len_sel), L=L
-            )
-            if self.mesh is not None:
-                from shasta_tpu.parallel.mesh import put_replicated
-
-                m = put_replicated(m, self.mesh)
-            self._mats[L] = m
-        return m
+        return self._class_matrix("m", self.flat_dev, L)
 
     def aux_matrix(self, L: int):
-        m = self._aux_mats.get(L)
-        if m is None:
-            import jax.numpy as jnp
-
-            ids = self._members.get(L, np.zeros(0, np.int64))
-            n_pad = _csr_bucket(max(ids.shape[0], 1))
-            off_sel = np.zeros(n_pad, np.int32)
-            len_sel = np.zeros(n_pad, np.int32)
-            off_sel[: ids.shape[0]] = self.off[ids]
-            len_sel[: ids.shape[0]] = self.lens[ids]
-            m = _build_class_matrix(
-                self.aux_dev, jnp.asarray(off_sel), jnp.asarray(len_sel), L=L
-            )
-            if self.mesh is not None:
-                from shasta_tpu.parallel.mesh import put_replicated
-
-                m = put_replicated(m, self.mesh)
-            self._aux_mats[L] = m
-        return m
+        return self._class_matrix("aux", self.aux_dev, L)
 
 
 @functools.partial(jax.jit, static_argnames=("L",))
@@ -1266,7 +1278,7 @@ class _CsrStreamingRunner:
         self.keep_fn = keep_fn
         self._dev_bytes = 0
         self._drain_budget = (
-            int(os.environ.get("SHASTA_TPU_DEVQ_MB", "3072")) << 20
+            int(os.environ.get("SHASTA_TPU_DEVQ_MB", "2560")) << 20
         )
         self._early: Dict[int, Tuple] = {}
         self._batch_bytes: List[int] = []
