@@ -267,7 +267,7 @@ def traceback(
 # The 1024 step exists because 10 kb reads at 10% marker density are
 # ~750 markers — the dominant production shape — and would otherwise
 # pad 2.7x to 2048.
-_LEN_BUCKETS = [128, 512, 1024, 2048, 8192, 32768]
+_LEN_BUCKETS = [128, 512, 1024, 2048, 4096, 8192, 32768]
 _W_BUCKETS = [128, 512, 2048]
 
 
@@ -802,6 +802,21 @@ class _DeviceCsr:
 
         ids = self._members.get(L, np.zeros(0, np.int64))
         n_pad = _csr_bucket(max(ids.shape[0], 1))
+        nbytes = n_pad * L * 4
+        total = sum(b for _, b in self._cache.values()) + nbytes
+        if total > self._mat_budget and self._cache:
+            # Retire the execution queue BEFORE evicting: queued (not
+            # yet executed) take launches hold references to cached
+            # matrices, so an eviction without this barrier leaves the
+            # old copy pinned while the rebuild allocates a second one
+            # — measured RESOURCE_EXHAUSTED at 200 Mb ONT. A 1-element
+            # fetch of a freshly enqueued op drains everything queued
+            # before it (~1 relay round trip).
+            np.asarray(self.flat_dev[:1] + jnp.int32(0))
+            while total > self._mat_budget and self._cache:
+                k_old, (_m_old, b_old) = next(iter(self._cache.items()))
+                del self._cache[k_old]
+                total -= b_old
         off_sel = np.zeros(n_pad, np.int32)
         len_sel = np.zeros(n_pad, np.int32)
         off_sel[: ids.shape[0]] = self.off[ids]
@@ -813,15 +828,7 @@ class _DeviceCsr:
             from shasta_tpu.parallel.mesh import put_replicated
 
             m = put_replicated(m, self.mesh)
-        nbytes = n_pad * L * 4
         self._cache[key] = (m, nbytes)
-        total = sum(b for _, b in self._cache.values())
-        while total > self._mat_budget and len(self._cache) > 1:
-            k_old, (_m_old, b_old) = next(iter(self._cache.items()))
-            if k_old == key:
-                break
-            del self._cache[k_old]
-            total -= b_old
         return m
 
     def matrix(self, L: int):
