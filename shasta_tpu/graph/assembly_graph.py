@@ -438,12 +438,16 @@ def assemble_marker_graph_edges(
     edge_of_iv = np.repeat(
         np.arange(n_edges, dtype=idt), np.diff(mg.interval_offsets)
     )
-    iv_p0 = pos_flat[
-        moff[mg.interval_orid] + mg.interval_ord0
-    ].astype(idt)
-    iv_p1 = pos_flat[
-        moff[mg.interval_orid] + mg.interval_ord1
-    ].astype(idt)
+    # Chunked position gathers: the full-size int64 index temp
+    # (moff[orid] + ord, twice) cost ~5 GB at the 150 Mb scale.
+    iv_p0 = np.empty(n_iv, idt)
+    iv_p1 = np.empty(n_iv, idt)
+    for lo in range(0, n_iv, 1 << 24):
+        hi = min(lo + (1 << 24), n_iv)
+        base = moff[mg.interval_orid[lo:hi]]
+        iv_p0[lo:hi] = pos_flat[base + mg.interval_ord0[lo:hi]]
+        iv_p1[lo:hi] = pos_flat[base + mg.interval_ord1[lo:hi]]
+        del base
     iv_off = iv_p1 - iv_p0
     # ord1 >= ord0 always, so the unsigned uint16 difference is exact.
     iv_skip = mg.interval_ord1 - mg.interval_ord0
